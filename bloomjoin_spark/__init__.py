@@ -1,0 +1,21 @@
+"""bloomjoin_spark — a from-scratch PySpark-native mergeable-sketch
+engine with the query capabilities of gojiplus/bloomjoin.
+
+Flagship: ``bloom_join`` — Bloom-filter semi-join prefilter in front of
+a native Spark join (results exactly identical to ``df.join``; false
+positives only waste work). Generalized into a mergeable sketch suite:
+Bloom, HyperLogLog, count-min, t-digest, KLL — each an associative,
+commutative two-phase aggregate built with vectorized pandas/Arrow
+UDFs, never per-row Python.
+"""
+
+from .sketches import BloomSketch, Sketch, bloom_params, bloom_sizing
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "BloomSketch",
+    "Sketch",
+    "bloom_params",
+    "bloom_sizing",
+]

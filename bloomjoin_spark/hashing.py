@@ -1,0 +1,159 @@
+"""Canonical, vectorized key hashing shared by every sketch.
+
+Design mirrors the *role* of the reference's shared hasher
+(``/root/reference/src/hash_keys.cpp:81-255`` — one canonicalisation +
+hash pipeline used by both Bloom build and probe, so a key can never
+hash differently on the two sides), re-expressed for Spark:
+
+- JVM-side: join keys are canonicalised by explicit casts (Catalyst's
+  own type coercion) and hashed with ``F.xxhash64`` inside whole-stage
+  codegen — the hot path never leaves the JVM.
+- Python-side (sketch ingestion inside Arrow batches): numpy
+  splitmix64 over int64/float64 arrays, pandas' C-implemented
+  ``hash_array`` for variable-length strings.  No per-row Python.
+
+Canonicalisation rules ported from the reference's invariant
+(``src/hash_keys.cpp:45-68``): two values that are join-equal must hash
+identically —
+  * ``-0.0`` hashes as ``+0.0``          (``src/hash_keys.cpp:50-51``)
+  * every NaN/null of any type hashes to one sentinel
+    (``src/hash_keys.cpp:46-48``)
+  * integers hash as their double value so int 5 == double 5.0
+    (``src/hash_keys.cpp:148-181``) — except int64 beyond 2^53 which we
+    keep exact (Spark joins long==long exactly).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+# Fixed seeds — deterministic across executors; that determinism is what
+# makes partial sketches mergeable (same role as the fixed seeds in
+# /root/reference/src/BloomFilter.cpp:21-22, different constants).
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+_MIX1 = np.uint64(0xBF58476D1CE4E5B9)
+_MIX2 = np.uint64(0x94D049BB133111EB)
+
+#: hash value reserved for NULL/NaN keys (any type) — one sentinel so
+#: NA==NA under sketch membership, mirroring src/hash_keys.cpp:46-48.
+NULL_SENTINEL = np.uint64(0xD1B54A32D192ED03)
+
+_U64 = np.uint64
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over a uint64 array."""
+    x = x.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        x += _GOLDEN
+        x ^= x >> _U64(30)
+        x *= _MIX1
+        x ^= x >> _U64(27)
+        x *= _MIX2
+        x ^= x >> _U64(31)
+    return x
+
+
+def hash_int64(values: np.ndarray, seed: int = 0) -> np.ndarray:
+    """Hash an int64/uint64 array to uint64 (no canonicalisation)."""
+    v = values.astype(np.uint64, copy=False)
+    if seed:
+        v = v ^ _U64(seed)
+    return splitmix64(v)
+
+
+def hash_float64(values: np.ndarray, seed: int = 0) -> np.ndarray:
+    """Canonical double hash: -0→+0, NaN→NULL_SENTINEL."""
+    v = values.astype(np.float64, copy=True)
+    nan_mask = np.isnan(v)
+    v[v == 0.0] = 0.0  # folds -0.0 into +0.0
+    v[nan_mask] = 0.0
+    out = hash_int64(v.view(np.uint64), seed)
+    out[nan_mask] = NULL_SENTINEL  # final hash value, same for every type
+    return out
+
+
+def hash_strings(values: pd.Series | np.ndarray, seed: int = 0) -> np.ndarray:
+    """Hash a string array to uint64 via pandas' C siphash (vectorized,
+    deterministic, PYTHONHASHSEED-independent). Nulls → NULL_SENTINEL."""
+    if isinstance(values, pd.Series):
+        arr = values.to_numpy(dtype=object)
+    else:
+        arr = np.asarray(values, dtype=object)
+    null_mask = pd.isna(arr)
+    safe = np.where(null_mask, "", arr)
+    h = pd.util.hash_array(safe.astype(object), categorize=False)
+    if seed:
+        h = splitmix64(h ^ _U64(seed))
+    h = h.copy()
+    h[null_mask] = NULL_SENTINEL
+    return h
+
+
+def hash_series(s: pd.Series, seed: int = 0) -> np.ndarray:
+    """Canonical uint64 hash of one pandas column (one Arrow batch).
+
+    Dispatch mirrors the type switch in src/hash_keys.cpp:147-243:
+    numeric → canonical double bits; bool → 0.0/1.0; string → siphash;
+    datetime → epoch-seconds double. Nulls of every type collapse to
+    NULL_SENTINEL.
+    """
+    if pd.api.types.is_bool_dtype(s):
+        return hash_float64(s.fillna(np.nan).astype(np.float64).to_numpy())
+    if pd.api.types.is_datetime64_any_dtype(s):
+        # epoch seconds as double — Date == timestamp at equal instants
+        vals = s.to_numpy(dtype="datetime64[ns]").view("int64").astype(np.float64) / 1e9
+        out = hash_float64(vals, seed)
+        out[s.isna().to_numpy()] = NULL_SENTINEL
+        return out
+    if pd.api.types.is_integer_dtype(s):
+        arr = s.to_numpy()
+        null_mask = s.isna().to_numpy()
+        if null_mask.any():  # nullable Int64 → mask then hash
+            arr = s.fillna(0).to_numpy(dtype=np.int64)
+        # exact-int domain (token ids, surrogate keys): values that fit
+        # in float64 hash as doubles for cross-type equality; larger
+        # stay exact int64 bits.
+        as_f = arr.astype(np.float64)
+        safe = np.abs(arr) <= (1 << 53)
+        out = np.where(
+            safe, hash_float64(as_f, seed), hash_int64(arr.astype(np.int64), seed)
+        )
+        out[null_mask] = NULL_SENTINEL
+        return out.astype(np.uint64)
+    if pd.api.types.is_float_dtype(s):
+        return hash_float64(s.to_numpy(dtype=np.float64), seed)
+    # strings / objects / categoricals
+    if isinstance(s.dtype, pd.CategoricalDtype):
+        s = s.astype(object)  # hash by level string: factor == character
+    return hash_strings(s, seed)
+
+
+def combine_hashes(parts: list[np.ndarray]) -> np.ndarray:
+    """Order-sensitive combine of per-column hashes into one row hash."""
+    acc = np.full(parts[0].shape, _U64(0x726F77686173686B), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for p in parts:
+            # rotl(acc,23) ^ p, then golden-ratio multiply
+            acc = ((acc << _U64(23)) | (acc >> _U64(41))) ^ p
+            acc *= _GOLDEN
+    return splitmix64(acc)
+
+
+def hash_columns(pdf: pd.DataFrame, cols: list[str], seed: int = 0) -> np.ndarray:
+    """Canonical row hash over ≥1 key columns of an Arrow batch."""
+    if len(cols) == 1:
+        return hash_series(pdf[cols[0]], seed)
+    return combine_hashes([hash_series(pdf[c], seed) for c in cols])
+
+
+def hash_tokens_flat(token_lists: pd.Series, seed: int = 0) -> np.ndarray:
+    """Flatten an array<int32> column (one Arrow batch) and hash every
+    token id — explode-free: one np.concatenate over the list values,
+    no per-row Python. Empty/null lists contribute nothing."""
+    chunks = [np.asarray(t, dtype=np.int64) for t in token_lists if t is not None and len(t)]
+    if not chunks:
+        return np.empty(0, dtype=np.uint64)
+    flat = np.concatenate(chunks)
+    return hash_float64(flat.astype(np.float64), seed)

@@ -1,0 +1,203 @@
+"""Bloom filter sketch — the flagship, generalizing the reference's
+``BloomFilter`` (``/root/reference/src/BloomFilter.h:15-157``,
+``src/BloomFilter.cpp:21-165``) into a mergeable two-phase aggregate.
+
+Parity points (re-derived, not ported — all numpy, no per-row work):
+
+- bit-packed uint64 words, power-of-two size so addressing is a mask,
+  not a modulo (reference ``src/BloomFilter.h:98-100``);
+- Kirsch–Mitzenmacher double hashing: two 64-bit hashes expand to k
+  probe positions, h2 forced odd (``src/BloomFilter.cpp:25-36``,
+  ``src/BloomFilter.h:70``);
+- sizing: ``m = 2^ceil(log2(-n ln p / ln²2))``, ``k = round(m/n · ln2)``,
+  escalate m until the achieved fpr meets the target, hard caps on m
+  and k (``src/BloomFilter.h:81-128``);
+- explicit null tracking: the build side records "saw a null", a null
+  probe matches iff the build had one (``src/BloomFilter.h:148-151``);
+- merge = bitwise OR of equal-shaped filters — insertion order and
+  partition grouping can never change the final bitset.
+
+Scale notes (100 TB / 1000 executors): the filter is built once from
+the *small* side of a join and broadcast; the cap (default 2^33 bits =
+1 GiB) is a broadcast-budget guard, stricter than the reference's 2^40
+because Spark broadcasts must stay well under driver/executor memory.
+The probe is a vectorized gather over the local broadcast copy — no
+shuffle, no Python loop.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+import warnings
+
+import numpy as np
+
+from ..hashing import splitmix64
+from .base import Sketch
+
+_U64 = np.uint64
+_LN2 = math.log(2.0)
+
+#: broadcast-budget cap (bits). 2^33 bits = 1 GiB of filter.
+MAX_BITS = 1 << 33
+MAX_K = 64
+
+_SEED1 = 0xA076_1D64_78BD_642F
+_SEED2 = 0xE703_7ED1_A0B4_28DB
+
+
+def bloom_sizing(n: int, p: float) -> tuple[int, int]:
+    """(m_bits, k) for n expected distinct keys at target fpr p.
+
+    Same closed form + escalation loop as the reference
+    (``src/BloomFilter.h:81-128``): integer-k rounding can overshoot the
+    target, so grow m (power-of-two steps) until the achieved fpr
+    ``(1 - exp(-k n / m))^k`` meets p, stopping at the cap.
+    """
+    if not (0.0 < p < 1.0):
+        raise ValueError(f"fpp must be in (0,1), got {p}")
+    n = max(int(n), 1)
+    m_ideal = -n * math.log(p) / (_LN2 * _LN2)
+    m = 1 << max(6, math.ceil(math.log2(max(m_ideal, 1.0))))
+    m = min(m, MAX_BITS)
+    while True:
+        k = max(1, min(MAX_K, round((m / n) * _LN2)))
+        achieved = (1.0 - math.exp(-k * n / m)) ** k
+        if achieved <= p or m >= MAX_BITS:
+            break
+        m <<= 1
+    if achieved > p:
+        warnings.warn(
+            f"bloom filter cannot reach fpp={p:g} for n={n} under the "
+            f"{MAX_BITS} bit broadcast cap; achieved ≈ {achieved:.3g}",
+            stacklevel=2,
+        )
+    return m, k
+
+
+def bloom_params(n: int, p: float = 0.01) -> dict:
+    """Report (m, k, bytes, bits/key, achieved fpr) — must call the SAME
+    sizing code the filter uses (the reference fixed exactly that drift,
+    ``/root/reference/R/params.R:8-14``)."""
+    m, k = bloom_sizing(n, p)
+    achieved = (1.0 - math.exp(-k * max(n, 1) / m)) ** k
+    return {
+        "n": n,
+        "target_fpr": p,
+        "m_bits": m,
+        "k": k,
+        "size_bytes": m // 8,
+        "bits_per_key": m / max(n, 1),
+        "achieved_fpr": achieved,
+        "target_met": achieved <= p,
+    }
+
+
+_POP8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1)
+
+
+def _popcount(words: np.ndarray) -> int:
+    return int(_POP8[words.view(np.uint8)].sum(dtype=np.int64))
+
+
+def _probe_matrix(h: np.ndarray, k: int, mask: np.uint64) -> np.ndarray:
+    """(len(h), k) uint64 probe positions via KM double hashing."""
+    with np.errstate(over="ignore"):
+        h1 = splitmix64(h ^ _U64(_SEED1))
+        h2 = splitmix64(h ^ _U64(_SEED2)) | _U64(1)  # odd → full-cycle stride
+        ks = np.arange(k, dtype=np.uint64)
+        return (h1[:, None] + ks[None, :] * h2[:, None]) & mask
+
+
+class BloomSketch(Sketch):
+    KIND = b"BLM1"
+
+    def __init__(self, n: int, fpp: float = 0.01, _words: np.ndarray | None = None):
+        self.n_hint = int(n)
+        self.fpp = float(fpp)
+        self.m, self.k = bloom_sizing(n, fpp)
+        self.mask = _U64(self.m - 1)
+        self.words = (
+            _words
+            if _words is not None
+            else np.zeros(self.m // 64, dtype=np.uint64)
+        )
+        self.has_null = False
+        self.n_added = 0
+
+    # -- build ---------------------------------------------------------
+    def update_hashes(self, h: np.ndarray) -> None:
+        """Insert a batch of canonical uint64 hashes (dedup first — the
+        reference sorts+uniques before insert, src/BloomFilter.cpp:111-114)."""
+        if h.size == 0:
+            return
+        h = np.unique(h.astype(np.uint64, copy=False))
+        idx = _probe_matrix(h, self.k, self.mask)
+        word_idx = (idx >> _U64(6)).ravel()
+        bit = (_U64(1) << (idx & _U64(63))).ravel()
+        np.bitwise_or.at(self.words, word_idx, bit)
+        self.n_added += int(h.size)
+
+    def add_null(self) -> None:
+        self.has_null = True
+
+    # -- probe ---------------------------------------------------------
+    def contains_hashes(self, h: np.ndarray) -> np.ndarray:
+        """Vectorized membership: bool array, True = maybe present.
+        AND-reduce over the k probe bits (reference short-circuits per
+        key, src/BloomFilter.cpp:39-51; we batch instead)."""
+        if h.size == 0:
+            return np.empty(0, dtype=bool)
+        idx = _probe_matrix(h.astype(np.uint64, copy=False), self.k, self.mask)
+        bits = (self.words[idx >> _U64(6)] >> (idx & _U64(63))) & _U64(1)
+        return bits.all(axis=1)
+
+    # -- merge ---------------------------------------------------------
+    def merge(self, other: "BloomSketch") -> "BloomSketch":
+        if other.m != self.m or other.k != self.k:
+            raise ValueError("cannot OR-merge differently sized bloom filters")
+        np.bitwise_or(self.words, other.words, out=self.words)
+        self.has_null |= other.has_null
+        self.n_added += other.n_added
+        return self
+
+    # -- introspection ---------------------------------------------------
+    def fill_ratio(self) -> float:
+        return _popcount(self.words) / self.m
+
+    def observed_fpr(self) -> float:
+        """fpr implied by the actual fill ratio: fill^k."""
+        return self.fill_ratio() ** self.k
+
+    # -- serialization ---------------------------------------------------
+    def _payload_bytes(self) -> bytes:
+        head = struct.pack(
+            "<QIdBq", self.m, self.k, self.fpp, int(self.has_null), self.n_added
+        )
+        return head + self.words.tobytes()
+
+    @classmethod
+    def _from_payload(cls, payload: bytes) -> "BloomSketch":
+        m, k, fpp, has_null, n_added = struct.unpack_from("<QIdBq", payload, 0)
+        off = struct.calcsize("<QIdBq")
+        words = np.frombuffer(payload, dtype=np.uint64, offset=off).copy()
+        obj = cls.__new__(cls)
+        obj.n_hint = n_added
+        obj.fpp = fpp
+        obj.m, obj.k = m, k
+        obj.mask = _U64(m - 1)
+        obj.words = words
+        obj.has_null = bool(has_null)
+        obj.n_added = n_added
+        return obj
+
+    @classmethod
+    def empty_like(cls, proto: "BloomSketch") -> "BloomSketch":
+        obj = cls.__new__(cls)
+        obj.n_hint, obj.fpp, obj.m, obj.k = proto.n_hint, proto.fpp, proto.m, proto.k
+        obj.mask = _U64(proto.m - 1)
+        obj.words = np.zeros(proto.m // 64, dtype=np.uint64)
+        obj.has_null = False
+        obj.n_added = 0
+        return obj

@@ -1,0 +1,92 @@
+"""Canonical-hashing tests — strategy ported from the reference's
+test-hash_keys32.R / test-cross-type-keys.R (SURVEY.md §1.2, §5)."""
+
+import numpy as np
+import pandas as pd
+
+from bloomjoin_spark.hashing import (
+    NULL_SENTINEL,
+    combine_hashes,
+    hash_columns,
+    hash_float64,
+    hash_series,
+    hash_tokens_flat,
+    splitmix64,
+)
+
+
+def test_splitmix64_deterministic_and_diffuse():
+    x = np.arange(1000, dtype=np.uint64)
+    a, b = splitmix64(x), splitmix64(x)
+    assert np.array_equal(a, b)
+    assert len(np.unique(a)) == 1000
+    # input untouched
+    assert x[5] == 5
+
+
+def test_negative_zero_equals_positive_zero():
+    h = hash_float64(np.array([-0.0, 0.0]))
+    assert h[0] == h[1]
+
+
+def test_nan_maps_to_null_sentinel():
+    h = hash_float64(np.array([np.nan, float("nan"), 1.0]))
+    assert h[0] == h[1] == NULL_SENTINEL  # pre-splitmix canonicalisation
+    assert h[2] != h[0]
+
+
+def test_int_equals_double_cross_type():
+    # reference invariant src/hash_keys.cpp:58-68: join-equal ⇒ hash-equal
+    ints = hash_series(pd.Series([1, 2, 3], dtype="int64"))
+    dbls = hash_series(pd.Series([1.0, 2.0, 3.0]))
+    assert np.array_equal(ints, dbls)
+    i32 = hash_series(pd.Series([1, 2, 3], dtype="int32"))
+    assert np.array_equal(ints, i32)
+
+
+def test_bool_equals_numeric():
+    b = hash_series(pd.Series([True, False]))
+    n = hash_series(pd.Series([1.0, 0.0]))
+    assert np.array_equal(b, n)
+
+
+def test_categorical_equals_string():
+    c = hash_series(pd.Series(["x", "y", "x"], dtype="category"))
+    s = hash_series(pd.Series(["x", "y", "x"]))
+    assert np.array_equal(c, s)
+
+
+def test_nulls_all_types_collapse_to_sentinel():
+    assert hash_series(pd.Series([None], dtype="object"))[0] == NULL_SENTINEL
+    assert hash_series(pd.Series([np.nan]))[0] == NULL_SENTINEL
+    assert hash_series(pd.Series([pd.NA], dtype="Int64"))[0] == NULL_SENTINEL
+    assert hash_series(pd.Series([pd.NaT], dtype="datetime64[ns]"))[0] == NULL_SENTINEL
+
+
+def test_composite_keys_order_sensitive():
+    a = combine_hashes([np.array([1], dtype=np.uint64), np.array([2], dtype=np.uint64)])
+    b = combine_hashes([np.array([2], dtype=np.uint64), np.array([1], dtype=np.uint64)])
+    assert a[0] != b[0]
+
+
+def test_hash_columns_mixed_types():
+    pdf = pd.DataFrame(
+        {
+            "s": ["a", "b", None, "d"],
+            "i": pd.array([1, None, 3, 4], dtype="Int64"),
+            "f": [0.5, -0.0, np.nan, 2.0],
+        }
+    )
+    h = hash_columns(pdf, ["s", "i", "f"])
+    assert h.dtype == np.uint64 and len(np.unique(h)) == 4
+    # stable across calls
+    assert np.array_equal(h, hash_columns(pdf, ["s", "i", "f"]))
+
+
+def test_hash_tokens_flat():
+    s = pd.Series([np.array([1, 2], dtype=np.int32), None, np.array([], dtype=np.int32), np.array([3], dtype=np.int32)])
+    h = hash_tokens_flat(s)
+    assert h.shape == (3,)
+    # token id 1 hashes like scalar int 1
+    one = hash_series(pd.Series([1], dtype="int32"))
+    assert h[0] == one[0]
