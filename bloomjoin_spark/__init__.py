@@ -9,13 +9,20 @@ commutative two-phase aggregate built with vectorized pandas/Arrow
 UDFs, never per-row Python.
 """
 
+from .aggregate import BuildResult, build_sketch
+from .operators import bloom_join
+from .plans import BloomJoinReport
 from .sketches import BloomSketch, Sketch, bloom_params, bloom_sizing
 
 __version__ = "0.1.0"
 
 __all__ = [
+    "BloomJoinReport",
     "BloomSketch",
+    "BuildResult",
     "Sketch",
+    "bloom_join",
     "bloom_params",
     "bloom_sizing",
+    "build_sketch",
 ]

@@ -1,0 +1,280 @@
+"""bloom_join — Bloom-filter semi-join prefilter in front of a native
+Spark join.  The flagship operator; results are EXACTLY identical to
+``x.join(y, on, how)`` — false positives only waste work, never change
+output (the reference's core contract, ``/root/reference/README.md:52-58``,
+``src/hash_keys.cpp:58-68``).
+
+Spark-first execution (contrast with the reference's single-process
+pipeline, ``R/bloomjoin.R:62-124``):
+
+1. keys are canonicalised with explicit casts (Catalyst's own coercion
+   rules) and hashed JVM-side with ``F.xxhash64`` — whole-stage codegen,
+   nothing leaves the JVM on the hot path;
+2. the build side streams once through ``mapInPandas`` producing one
+   Bloom partial per partition (numpy, Arrow batches), partials
+   tree-merge (OR) — never a flat driver collect;
+3. the merged filter is broadcast; the probe side is filtered by a
+   vectorized pandas UDF BEFORE the join exchange, so dropped rows are
+   never shuffled — that is the whole point at 100 TB: the shuffle is
+   the bottleneck, and the filter costs ~10 bits/key of broadcast
+   instead of shuffling the full probe side;
+4. the surviving rows feed a completely ordinary ``df.join`` — Catalyst
+   still picks broadcast/SMJ/SHJ, AQE still handles skew.
+
+Why not just ``spark.sql.optimizer.runtime.bloomFilter.enabled``?  That
+rule is opaque and heuristic (creation side size thresholds, no fpp
+control, no metrics). This operator is the explicit, inspectable
+version: you choose fpp/side, you get a ``BloomJoinReport`` with the
+filter's actual fill ratio and per-stage row counts (reference metadata
+parity: ``R/bloomjoin.R:266-322``).
+"""
+
+from __future__ import annotations
+
+import warnings
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..aggregate import build_sketch
+from ..plans.planner import (
+    BloomJoinReport,
+    choose_prefilter_target,
+    normalize_how,
+    resolve_join_columns,
+    should_skip_prefilter,
+    spark_how,
+    validate_join_inputs,
+)
+from ..sketches.bloom import BloomSketch
+
+_NUM_RANK = {
+    "tinyint": 0,
+    "byte": 0,
+    "smallint": 1,
+    "short": 1,
+    "int": 2,
+    "integer": 2,
+    "bigint": 3,
+    "long": 3,
+    "float": 4,
+    "double": 5,
+}
+
+
+def _common_cast(tx: str, ty: str) -> str | None:
+    """Cast type so our hash agrees with Catalyst's join equality
+    (= the reference's cross-type invariant, src/hash_keys.cpp:58-68).
+    None = no cast needed."""
+    tx, ty = tx.lower(), ty.lower()
+    if tx == ty:
+        return None
+    if tx.startswith("decimal") or ty.startswith("decimal"):
+        return "double"
+    nx, ny = _NUM_RANK.get(tx), _NUM_RANK.get(ty)
+    if nx is not None and ny is not None:
+        # Spark's findTightestCommonType: higher-rank wins (long+float→float)
+        order = ["byte", "short", "int", "long", "float", "double"]
+        return order[max(nx, ny)]
+    if "string" in (tx, ty) and (nx is not None or ny is not None):
+        return "double"  # Spark compares string vs numeric as double
+    if {"date", "timestamp"} == {tx, ty}:
+        return "timestamp"
+    if "string" in (tx, ty) and ("date" in (tx, ty) or "timestamp" in (tx, ty)):
+        return tx if tx != "string" else ty
+    warnings.warn(
+        f"no canonical cast for join key types ({tx}, {ty}); hashing as string — "
+        "consider casting the keys explicitly",
+        stacklevel=2,
+    )
+    return "string"
+
+
+def _key64(df: DataFrame, cols: list[str], casts: list[str | None]) -> Column:
+    """JVM-side canonical 64-bit key hash (stays in whole-stage codegen)."""
+    exprs = [
+        F.col(c).cast(t) if t is not None else F.col(c) for c, t in zip(cols, casts)
+    ]
+    return F.xxhash64(*exprs)
+
+
+def _make_probe_udf(bc, acc_in=None, acc_out=None):
+    """Vectorized membership probe over the broadcast filter.
+    ``bc.value`` unpickles the BloomSketch once per executor process."""
+
+    @F.pandas_udf("boolean")
+    def probe(h: pd.Series) -> pd.Series:
+        bf: BloomSketch = bc.value
+        arr = h.to_numpy(dtype=np.int64).view(np.uint64)
+        mask = bf.contains_hashes(arr)
+        if acc_in is not None:
+            acc_in.add(len(arr))
+            acc_out.add(int(mask.sum()))
+        return pd.Series(mask)
+
+    return probe
+
+
+def bloom_join(
+    x: DataFrame,
+    y: DataFrame,
+    on=None,
+    how: str = "inner",
+    *,
+    fpp: float = 0.01,
+    engine: str = "auto",
+    prefilter_side: str = "auto",
+    n_hint: int | dict | None = None,
+    force_prefilter: bool = False,
+    collect_metrics: bool = True,
+    fanin: int = 64,
+    checkpoint_dir: str | None = None,
+    return_report: bool = False,
+    verbose: bool = False,
+):
+    """Join ``x`` and ``y`` with an optional Bloom prefilter stage.
+
+    API parity with the reference entry point
+    (``/root/reference/R/bloomjoin.R:62-124``): same join types, same
+    fpp default, same side guard + auto side choice + skip heuristics,
+    same engine dispatch (``"fuse"`` reserved → NotImplementedError,
+    ``R/bloomjoin.R:261-264``), metadata report with the same fields.
+
+    Returns the joined DataFrame (identical to ``x.join(y, on, how)``),
+    or ``(df, BloomJoinReport)`` when ``return_report=True``.
+    """
+    if engine == "fuse":
+        raise NotImplementedError("engine='fuse' is reserved and not implemented")
+    if engine not in ("auto", "bloom"):
+        raise ValueError(f"engine must be 'auto'|'bloom'|'fuse', got {engine!r}")
+    validate_join_inputs(x, y, how, fpp)
+    how = normalize_how(how)
+    pairs = resolve_join_columns(x, y, on)
+    report = BloomJoinReport(join_type=how, engine="bloom", fpr=fpp)
+
+    # ---- side guard (O18) -------------------------------------------
+    target, override = choose_prefilter_target(how, prefilter_side)
+    report.override_requested_side = override
+    n_hints = _normalize_n_hint(n_hint)
+
+    use_prefilter = target is not None
+    skip_reasons: list[str] = []
+    n_build = None
+    if use_prefilter:
+        build_df = y if target == "x" else x
+        build_cols = [p[1] for p in pairs] if target == "x" else [p[0] for p in pairs]
+        probe_df = x if target == "x" else y
+        probe_cols = [p[0] for p in pairs] if target == "x" else [p[1] for p in pairs]
+        build_name = "y" if target == "x" else "x"
+
+        # ---- sizing input: count the BUILD side (cheap: it is the
+        # small side; parquet count is metadata-only) or take the hint.
+        n_build = n_hints.get(build_name)
+        if n_build is None:
+            n_build = build_df.count()
+        report.n_build = n_build
+
+        skip_reasons = should_skip_prefilter(
+            n_probe=n_hints.get("probe"),
+            build_distinct=n_build,
+            expected_reduction=None,
+        )
+        if force_prefilter:
+            skip_reasons = []
+        use_prefilter = not skip_reasons
+
+    if not use_prefilter:
+        report.skip_reasons = skip_reasons
+        if verbose and skip_reasons:
+            print(f"bloom_join: prefilter skipped: {'; '.join(skip_reasons)}")
+        out = _standard_join(x, y, pairs, how)
+        return (out, report) if return_report else out
+
+    report.used_prefilter = True
+    report.prefilter_side = target
+    report.build_side = build_name
+
+    # ---- canonical casts shared by build hash and probe hash --------
+    xt, yt = dict(x.dtypes), dict(y.dtypes)
+    casts = []
+    for xc, yc in pairs:
+        casts.append(_common_cast(xt[xc], yt[yc]))
+
+    # ---- distributed build: one pass, partial per partition, OR-merge
+    build_keyed = build_df.select(
+        _key64(build_df, build_cols, casts).alias("__bj_key64")
+    )
+    result = build_sketch(
+        build_keyed,
+        factory=lambda n=n_build, p=fpp: BloomSketch(n, p),
+        cols=["__bj_key64"],
+        prehashed=True,
+        fanin=fanin,
+        checkpoint_dir=checkpoint_dir,
+    )
+    sketch: BloomSketch = result.sketch
+    report.build_partitions = result.n_partitions
+    report.merge_rounds = result.merge_rounds
+    report.filter_bits = sketch.m
+    report.filter_hashes = sketch.k
+    fill = sketch.fill_ratio()
+    report.filter_fill_ratio = fill
+    # distinct estimate by inverting the fill ratio: d ≈ -(m/k)·ln(1-fill)
+    if 0.0 < fill < 1.0:
+        report.build_distinct_estimate = int(-(sketch.m / sketch.k) * np.log1p(-fill))
+
+    spark = x.sparkSession
+    sc = spark.sparkContext
+    bc = sc.broadcast(sketch)
+    acc_in = sc.accumulator(0) if collect_metrics else None
+    acc_out = sc.accumulator(0) if collect_metrics else None
+    probe_udf = _make_probe_udf(bc, acc_in, acc_out)
+
+    probe_hash = _key64(probe_df, probe_cols, casts)
+    filtered = probe_df.filter(probe_udf(probe_hash))
+    if collect_metrics:
+        report._acc_in, report._acc_out = acc_in, acc_out  # read after an action
+
+    if target == "x":
+        out = _standard_join(filtered, y, pairs, how)
+    else:
+        out = _standard_join(x, filtered, pairs, how)
+    if verbose:
+        print(
+            f"bloom_join: prefiltering {target} with m={sketch.m} bits k={sketch.k} "
+            f"fill={fill:.3f} (build n={n_build}, {result.n_partitions} partials, "
+            f"{result.merge_rounds} merge rounds)"
+        )
+    return (out, report) if return_report else out
+
+
+def _standard_join(x: DataFrame, y: DataFrame, pairs, how: str) -> DataFrame:
+    """The exact-identity fallback/final join (reference
+    perform_standard_join, R/bloomjoin.R:458-474): a completely native
+    Spark join so Catalyst/AQE own the physical strategy."""
+    sh = spark_how(how)
+    if all(xc == yc for xc, yc in pairs):
+        return x.join(y, on=[xc for xc, _ in pairs], how=sh)
+    cond = None
+    for xc, yc in pairs:
+        c = x[xc] == y[yc]
+        cond = c if cond is None else (cond & c)
+    return x.join(y, on=cond, how=sh)
+
+
+def _normalize_n_hint(n_hint) -> dict:
+    """Port of normalize_n_hint (R/bloomjoin.R:192-221)."""
+    if n_hint is None:
+        return {}
+    if isinstance(n_hint, (int, float)):
+        return {"x": int(n_hint), "y": int(n_hint)}
+    if isinstance(n_hint, dict):
+        out = {}
+        for k, v in n_hint.items():
+            if k not in ("x", "y", "probe"):
+                raise ValueError(f"n_hint keys must be 'x'/'y'/'probe', got {k!r}")
+            out[k] = int(v)
+        return out
+    raise ValueError(f"unsupported n_hint: {n_hint!r}")

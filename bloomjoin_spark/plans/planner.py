@@ -1,0 +1,248 @@
+"""bloom_join planning: join-spec resolution, side guard, cost model.
+
+Ports the reference's *decision tables* (not its code) —
+``/root/reference/R/bloomjoin.R:126-393`` — re-tuned for Spark:
+
+- join-semantics side guard (``R/bloomjoin.R:326-363``): never filter a
+  row-preserving side. full → no filter; left/semi/anti → filter y
+  only; right → filter x only; inner → either.
+- auto side choice (``R/bloomjoin.R:367-376``): filter the denser side,
+  density = n_side / max(1, distinct_other).
+- cost-based skip (``R/bloomjoin.R:379-393``): skip when the expected
+  reduction is tiny, the probe side is already small, the build side is
+  too small to bother, or a side is empty. Spark re-tuning: row
+  thresholds become larger (a Spark job has fixed overhead per stage),
+  and a build side under the broadcast-join threshold is better served
+  by letting Catalyst broadcast-hash-join directly.
+"""
+
+from __future__ import annotations
+
+import warnings
+from dataclasses import dataclass, field
+
+VALID_TYPES = ("inner", "left", "right", "full", "semi", "anti")
+
+_HOW_ALIASES = {
+    "inner": "inner",
+    "left": "left",
+    "left_outer": "left",
+    "leftouter": "left",
+    "right": "right",
+    "right_outer": "right",
+    "rightouter": "right",
+    "full": "full",
+    "outer": "full",
+    "full_outer": "full",
+    "fullouter": "full",
+    "semi": "semi",
+    "left_semi": "semi",
+    "leftsemi": "semi",
+    "anti": "anti",
+    "left_anti": "anti",
+    "leftanti": "anti",
+}
+
+_SPARK_HOW = {
+    "inner": "inner",
+    "left": "left",
+    "right": "right",
+    "full": "full",
+    "semi": "left_semi",
+    "anti": "left_anti",
+}
+
+# probe sides whose rows may be dropped, per join type (reference
+# R/bloomjoin.R:326-363). Value: allowed filter targets.
+_SAFE_TARGETS = {
+    "inner": ("x", "y"),
+    "left": ("y",),
+    "semi": ("y",),
+    "anti": ("y",),
+    "right": ("x",),
+    "full": (),
+}
+
+# Spark-tuned skip thresholds (reference values in comments)
+MIN_PROBE_ROWS = 100_000  # ref: 1024 (R/bloomjoin.R:385-387)
+MIN_BUILD_DISTINCT = 16  # ref: 16  (R/bloomjoin.R:389-391)
+MIN_EXPECTED_REDUCTION = 0.02  # ref: 0.02 (R/bloomjoin.R:303-311)
+
+
+def normalize_how(how: str) -> str:
+    h = _HOW_ALIASES.get(how.lower().strip())
+    if h is None:
+        raise ValueError(f"join type must be one of {VALID_TYPES}, got {how!r}")
+    return h
+
+
+def spark_how(how: str) -> str:
+    return _SPARK_HOW[normalize_how(how)]
+
+
+def validate_join_inputs(x, y, how: str, fpp: float) -> None:
+    """Port of validate_join_inputs (R/bloomjoin.R:126-143)."""
+    from pyspark.sql import DataFrame
+
+    for name, df in (("x", x), ("y", y)):
+        if not isinstance(df, DataFrame):
+            raise TypeError(f"{name} must be a Spark DataFrame, got {type(df).__name__}")
+        if len(df.columns) < 1:
+            raise ValueError(f"{name} must have at least one column")
+    normalize_how(how)
+    if not (0.0 < fpp < 1.0):
+        raise ValueError(f"fpp must be in (0, 1), got {fpp}")
+
+
+def resolve_join_columns(x, y, on) -> list[tuple[str, str]]:
+    """dplyr-style `by` resolution (R/bloomjoin.R:145-183) → list of
+    (x_col, y_col) pairs. Accepts: None (natural join on common cols,
+    with message), str, list[str], dict {x_col: y_col}, and the mixed
+    list form ["k", ("a", "b")]."""
+    if on is None:
+        common = [c for c in x.columns if c in set(y.columns)]
+        if not common:
+            raise ValueError("no common columns to auto-join on; pass `on=`")
+        pairs = [(c, c) for c in common]
+    elif isinstance(on, str):
+        pairs = [(on, on)]
+    elif isinstance(on, dict):
+        pairs = list(on.items())
+    elif isinstance(on, (list, tuple)):
+        pairs = []
+        for item in on:
+            if isinstance(item, str):
+                pairs.append((item, item))
+            elif isinstance(item, (list, tuple)) and len(item) == 2:
+                pairs.append((item[0], item[1]))
+            else:
+                raise ValueError(f"unsupported on= element: {item!r}")
+    else:
+        raise ValueError(f"unsupported on= spec: {on!r}")
+    for xc, yc in pairs:
+        if xc not in x.columns:
+            raise ValueError(f"join column {xc!r} not in x ({x.columns})")
+        if yc not in y.columns:
+            raise ValueError(f"join column {yc!r} not in y ({y.columns})")
+    return pairs
+
+
+def choose_prefilter_target(
+    how: str,
+    requested: str = "auto",
+    n_x: int | None = None,
+    n_y: int | None = None,
+    distinct_x: int | None = None,
+    distinct_y: int | None = None,
+) -> tuple[str | None, bool]:
+    """(target side to FILTER or None, override_requested_side).
+
+    The filter is always BUILT from the opposite side's keys.
+    Decision table ported from choose_prefilter_target
+    (R/bloomjoin.R:326-377)."""
+    how = normalize_how(how)
+    safe = _SAFE_TARGETS[how]
+    override = False
+    if not safe:
+        if requested in ("x", "y"):
+            warnings.warn(
+                f"prefilter_side={requested!r} is unsafe for a {how} join "
+                "(both sides preserved); prefilter disabled",
+                stacklevel=2,
+            )
+            override = True
+        return None, override
+    if requested in ("x", "y"):
+        if requested in safe:
+            return requested, False
+        warnings.warn(
+            f"prefilter_side={requested!r} is unsafe for a {how} join; "
+            f"using {safe[0]!r} instead",
+            stacklevel=2,
+        )
+        return safe[0], True
+    if len(safe) == 1:
+        return safe[0], False
+    # inner + auto: filter the denser side (rows per opposite distinct key)
+    if n_x is not None and n_y is not None:
+        dx = n_x / max(1, distinct_y if distinct_y is not None else n_y)
+        dy = n_y / max(1, distinct_x if distinct_x is not None else n_x)
+        return ("x", False) if dx >= dy else ("y", False)
+    return "x", False  # default: filter the left/probe side
+
+
+def should_skip_prefilter(
+    n_probe: int | None,
+    build_distinct: int | None,
+    expected_reduction: float | None,
+    build_bytes_estimate: int | None = None,
+    broadcast_threshold: int | None = None,
+) -> list[str]:
+    """Returns skip reasons (empty = proceed). Port of
+    should_skip_prefilter (R/bloomjoin.R:379-393) + Spark-specific
+    broadcast-wins gate."""
+    reasons = []
+    if n_probe is not None and n_probe == 0:
+        reasons.append("probe side empty")
+    if build_distinct is not None and build_distinct == 0:
+        reasons.append("build side empty")
+    if n_probe is not None and 0 < n_probe < MIN_PROBE_ROWS:
+        reasons.append(f"probe side too small ({n_probe} < {MIN_PROBE_ROWS})")
+    if build_distinct is not None and 0 < build_distinct < MIN_BUILD_DISTINCT:
+        reasons.append(
+            f"build side too few distinct keys ({build_distinct} < {MIN_BUILD_DISTINCT})"
+        )
+    if expected_reduction is not None and expected_reduction <= MIN_EXPECTED_REDUCTION:
+        reasons.append(
+            f"expected reduction {expected_reduction:.3f} ≤ {MIN_EXPECTED_REDUCTION}"
+        )
+    if (
+        build_bytes_estimate is not None
+        and broadcast_threshold is not None
+        and 0 < build_bytes_estimate <= broadcast_threshold
+    ):
+        reasons.append(
+            "build side under autoBroadcastJoinThreshold — Catalyst "
+            "broadcast-hash-join already avoids the probe shuffle"
+        )
+    return reasons
+
+
+@dataclass
+class BloomJoinPlan:
+    how: str
+    pairs: list[tuple[str, str]]
+    use_prefilter: bool
+    target: str | None  # side being filtered ("x"/"y") or None
+    build_side: str | None  # opposite side, filter built from its keys
+    fpp: float
+    expected_elements: int | None
+    skip_reasons: list[str] = field(default_factory=list)
+    override_requested_side: bool = False
+
+
+@dataclass
+class BloomJoinReport:
+    """Result metadata — field set mirrors the reference's
+    bloom_metadata (R/bloomjoin.R:266-322,395-433) so tests can pin it."""
+
+    join_type: str = "inner"
+    engine: str = "bloom"
+    used_prefilter: bool = False
+    prefilter_side: str | None = None
+    build_side: str | None = None
+    fpr: float = 0.01
+    n_build: int | None = None
+    build_distinct_estimate: int | None = None
+    selectivity_estimate: float | None = None
+    expected_reduction: float | None = None
+    filter_bits: int | None = None
+    filter_hashes: int | None = None
+    filter_fill_ratio: float | None = None
+    build_partitions: int | None = None
+    merge_rounds: int | None = None
+    probe_rows_before: int | None = None
+    probe_rows_after: int | None = None
+    reduction_ratio: float | None = None
+    skip_reasons: list[str] = field(default_factory=list)
+    override_requested_side: bool = False

@@ -1,0 +1,88 @@
+"""Two-phase aggregation harness tests: partial/merge equivalence,
+tree-merge depth, checkpointed resume (north rule: per-partition
+lineage + resumability)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bloomjoin_spark import BloomSketch, build_sketch
+from bloomjoin_spark.hashing import hash_int64
+
+
+def test_distributed_build_equals_local(spark):
+    n = 20_000
+    df = spark.range(0, n).repartition(8).select(F.col("id").cast("long").alias("k"))
+    res = build_sketch(df, factory=lambda: BloomSketch(n, 0.01), cols=["k"])
+    assert res.n_rows == n
+    assert res.n_partitions == 8
+    # zero false negatives through the distributed path
+    import pandas as pd
+
+    from bloomjoin_spark.hashing import hash_series
+
+    h = hash_series(pd.Series(np.arange(n, dtype=np.int64)))
+    assert res.sketch.contains_hashes(h).all()
+    # disjoint probes mostly rejected
+    h2 = hash_series(pd.Series(np.arange(n, 2 * n, dtype=np.int64)))
+    assert res.sketch.contains_hashes(h2).mean() < 0.02 + 0.01
+
+
+def test_tree_merge_multiple_rounds(spark):
+    n = 5000
+    df = spark.range(0, n).repartition(40).select(F.col("id").alias("k"))
+    res = build_sketch(df, factory=lambda: BloomSketch(n, 0.01), cols=["k"], fanin=8)
+    assert res.n_partitions == 40
+    assert res.merge_rounds >= 1
+    # same bits as a flat build
+    flat = build_sketch(
+        df.coalesce(1), factory=lambda: BloomSketch(n, 0.01), cols=["k"], fanin=64
+    )
+    assert np.array_equal(res.sketch.words, flat.sketch.words)
+
+
+def test_merge_order_invariance(spark):
+    # different partitionings → identical final bitset
+    n = 10_000
+    base = spark.range(0, n).select(F.col("id").alias("k"))
+    a = build_sketch(base.repartition(3), lambda: BloomSketch(n, 0.01), cols=["k"])
+    b = build_sketch(base.repartition(17), lambda: BloomSketch(n, 0.01), cols=["k"], fanin=4)
+    assert np.array_equal(a.sketch.words, b.sketch.words)
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    n = 8000
+    ckpt = str(tmp_path / "sketch_ckpt")
+    df = spark.range(0, n).repartition(6).select(F.col("id").alias("k"))
+    r1 = build_sketch(df, lambda: BloomSketch(n, 0.01), cols=["k"], checkpoint_dir=ckpt)
+    # resume: all partitions done → no recompute, same sketch
+    r2 = build_sketch(df, lambda: BloomSketch(n, 0.01), cols=["k"], checkpoint_dir=ckpt)
+    assert np.array_equal(r1.sketch.words, r2.sketch.words)
+    assert r2.n_rows == n
+    # lineage rows exist per partition
+    lineage = spark.read.parquet(ckpt)
+    assert lineage.select("partition_id").distinct().count() == 6
+    assert set(lineage.columns) >= {"partition_id", "n_rows", "fingerprint", "blob"}
+
+
+def test_token_array_ingestion(spark):
+    # build over exploded-free array<int> column
+    rows = [(i, list(range(i % 5))) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    res = build_sketch(df, lambda: BloomSketch(10, 0.01), token_col="tokens")
+    # token ids 0..3 present, 4+ absent
+    import pandas as pd
+
+    from bloomjoin_spark.hashing import hash_series
+
+    present = hash_series(pd.Series([0, 1, 2, 3], dtype="int32"))
+    assert res.sketch.contains_hashes(present).all()
+
+
+def test_null_keys_tracked_not_inserted(spark):
+    df = spark.createDataFrame(
+        [(None,), ("a",), ("b",), (None,)], "k string"
+    )
+    res = build_sketch(df, lambda: BloomSketch(4, 0.01), cols=["k"])
+    assert res.sketch.has_null
+    assert res.sketch.n_added == 2

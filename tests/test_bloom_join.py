@@ -1,0 +1,233 @@
+"""Differential bloom_join tests — every behavioral case compares
+bloom_join output against the plain Spark join on the same inputs (the
+reference's exact-join-oracle pattern, tests/testthat/test-bloom_join.R)."""
+
+import warnings
+
+import pytest
+from pyspark.sql import functions as F
+
+from bloomjoin_spark import bloom_join
+
+from conftest import assert_df_equal
+
+
+@pytest.fixture(scope="module")
+def xy(spark):
+    # F1 fixture: partial overlap (ids 1..100 vs 50..150)
+    x = spark.range(1, 101).select(
+        F.col("id"), (F.col("id") * 1.5).alias("value_x")
+    )
+    y = spark.range(50, 151).select(
+        F.col("id"), (F.col("id") * 2.0).alias("value_y")
+    )
+    return x, y
+
+
+HOWS = ["inner", "left", "right", "full", "semi", "anti"]
+
+
+@pytest.mark.parametrize("how", HOWS)
+def test_identical_to_plain_join(spark, xy, how):
+    x, y = xy
+    got = bloom_join(x, y, on="id", how=how, force_prefilter=True)
+    exp = x.join(y, on="id", how={"semi": "left_semi", "anti": "left_anti"}.get(how, how))
+    assert_df_equal(got, exp)
+
+
+@pytest.mark.parametrize("how", ["inner", "semi", "anti", "left"])
+def test_zero_overlap(spark, how):
+    x = spark.range(0, 200).withColumn("vx", F.col("id") + 1)
+    y = spark.range(500, 700).select(F.col("id"), (F.col("id") - 1).alias("vy"))
+    got = bloom_join(x, y, on="id", how=how, force_prefilter=True)
+    exp = x.join(y, on="id", how={"semi": "left_semi", "anti": "left_anti"}.get(how, how))
+    assert_df_equal(got, exp)
+
+
+def test_full_overlap(spark):
+    x = spark.range(0, 300).withColumn("vx", F.lit("a"))
+    y = spark.range(0, 300).withColumn("vy", F.lit("b"))
+    got, rep = bloom_join(x, y, on="id", how="inner", force_prefilter=True, return_report=True)
+    assert_df_equal(got, x.join(y, "id", "inner"))
+    assert rep.used_prefilter
+
+
+def test_duplicate_keys_cartesian(spark):
+    # reference test-bloom_join.R:181-202 — 6×6 duplicate key ⇒ 36 rows
+    x = spark.createDataFrame([(1, i) for i in range(6)], "id int, vx int")
+    y = spark.createDataFrame([(1, i) for i in range(6)], "id int, vy int")
+    got = bloom_join(x, y, on="id", how="inner", force_prefilter=True)
+    assert got.count() == 36
+
+
+def test_string_keys(spark):
+    x = spark.createDataFrame(
+        [(f"k{i}", i) for i in range(200)] + [("été", -1), ("naïve☃", -2)],
+        "k string, vx int",
+    )
+    y = spark.createDataFrame(
+        [(f"k{i}", i * 10) for i in range(100, 300)] + [("été", -10)],
+        "k string, vy int",
+    )
+    got = bloom_join(x, y, on="k", how="inner", force_prefilter=True)
+    assert_df_equal(got, x.join(y, "k", "inner"))
+
+
+def test_composite_keys(spark):
+    rows = [(i % 10, f"s{i % 7}", i) for i in range(500)]
+    x = spark.createDataFrame(rows, "a int, b string, vx int")
+    y = spark.createDataFrame(
+        [(i % 10, f"s{i % 5}", i * 2) for i in range(100)], "a int, b string, vy int"
+    )
+    got = bloom_join(x, y, on=["a", "b"], how="inner", force_prefilter=True)
+    assert_df_equal(got, x.join(y, ["a", "b"], "inner"))
+
+
+def test_renamed_keys(spark):
+    # by = c("id_x" = "id_y")
+    x = spark.createDataFrame([(i, i * 2) for i in range(100)], "id_x int, vx int")
+    y = spark.createDataFrame([(i, i * 3) for i in range(50, 150)], "id_y int, vy int")
+    got = bloom_join(x, y, on={"id_x": "id_y"}, how="inner", force_prefilter=True)
+    exp = x.join(y, on=x["id_x"] == y["id_y"], how="inner")
+    assert_df_equal(got, exp)
+
+
+def test_cross_type_keys_int_vs_double(spark):
+    # reference test-cross-type-keys.R:16-44 — join-equal must survive
+    # the prefilter even when storage types differ
+    x = spark.range(0, 3000).select(F.col("id").cast("int").alias("k"), F.col("id").alias("vx"))
+    y = spark.range(1500, 4500).select(
+        F.col("id").cast("double").alias("k"), (F.col("id") * 2).alias("vy")
+    )
+    for how in ["inner", "left", "semi", "anti"]:
+        got = bloom_join(x, y, on="k", how=how, force_prefilter=True)
+        exp = x.join(y, on=x["k"] == y["k"], how={"semi": "left_semi", "anti": "left_anti"}.get(how, how))
+        if how in ("semi", "anti"):
+            exp = x.join(y, on=x["k"] == y["k"], how={"semi": "left_semi", "anti": "left_anti"}[how])
+        assert got.count() == exp.count()
+
+
+def test_cross_type_long_vs_float(spark):
+    # long+float joins compare as float in Spark; hash must agree
+    x = spark.range(0, 2000).select(F.col("id").alias("k"), F.lit(1).alias("vx"))
+    y = spark.range(1000, 3000).select(F.col("id").cast("float").alias("k"), F.lit(2).alias("vy"))
+    got = bloom_join(x, y, on={"k": "k"}, how="inner", force_prefilter=True)
+    exp = x.join(y, on=x["k"] == y["k"], how="inner")
+    assert got.count() == exp.count()
+
+
+def test_null_keys_all_join_types(spark):
+    # nulls never match in Spark joins; prefilter must not change that
+    x = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (None, "c"), (None, "d"), (5, "e")], "id int, vx string"
+    )
+    y = spark.createDataFrame(
+        [(1, "p"), (None, "q"), (5, "r"), (7, "s")], "id int, vy string"
+    )
+    for how in HOWS:
+        got = bloom_join(x, y, on="id", how=how, force_prefilter=True)
+        exp = x.join(y, "id", {"semi": "left_semi", "anti": "left_anti"}.get(how, how))
+        assert_df_equal(got, exp)
+
+
+def test_fpr_invariance_of_results(spark, xy):
+    # reference test-bloom_join.R:253-272: result identical for any fpr
+    x, y = xy
+    exp = x.join(y, "id", "inner")
+    for fpp in [1e-4, 0.01, 0.5]:
+        got = bloom_join(x, y, on="id", how="inner", fpp=fpp, force_prefilter=True)
+        assert_df_equal(got, exp)
+
+
+def test_auto_by_detection(spark, xy):
+    x, y = xy
+    got = bloom_join(x, y, how="inner", force_prefilter=True)  # on=None → common col "id"
+    assert_df_equal(got, x.join(y, "id", "inner"))
+
+
+def test_empty_inputs(spark):
+    x = spark.createDataFrame([], "id int, vx int")
+    y = spark.createDataFrame([(1, 2)], "id int, vy int")
+    assert bloom_join(x, y, on="id", how="inner").count() == 0
+    assert bloom_join(y, x, on="id", how="inner").count() == 0
+    assert bloom_join(y, x, on="id", how="left").count() == 1
+
+
+def test_unsafe_side_warns_and_overrides(spark, xy):
+    # reference test-edge-cases.R:8-44
+    x, y = xy
+    with pytest.warns(UserWarning, match="unsafe"):
+        got, rep = bloom_join(
+            x, y, on="id", how="left", prefilter_side="x",
+            force_prefilter=True, return_report=True,
+        )
+    assert rep.override_requested_side
+    assert rep.prefilter_side == "y"
+    assert_df_equal(got, x.join(y, "id", "left"))
+
+
+def test_full_join_never_prefiltered(spark, xy):
+    x, y = xy
+    got, rep = bloom_join(x, y, on="id", how="full", force_prefilter=True, return_report=True)
+    assert not rep.used_prefilter
+    assert_df_equal(got, x.join(y, "id", "full"))
+
+
+def test_skip_gates_small_build(spark):
+    x = spark.range(0, 50).withColumn("vx", F.lit(1))
+    y = spark.range(0, 5).withColumn("vy", F.lit(2))  # 5 < MIN_BUILD_DISTINCT
+    got, rep = bloom_join(x, y, on="id", how="inner", return_report=True)
+    assert not rep.used_prefilter
+    assert any("too few distinct" in r for r in rep.skip_reasons)
+    assert_df_equal(got, x.join(y, "id", "inner"))
+
+
+def test_engine_dispatch(spark, xy):
+    x, y = xy
+    with pytest.raises(NotImplementedError):
+        bloom_join(x, y, on="id", engine="fuse")
+    with pytest.raises(ValueError):
+        bloom_join(x, y, on="id", engine="nope")
+
+
+def test_validation_errors(spark, xy):
+    x, y = xy
+    with pytest.raises(ValueError, match="fpp"):
+        bloom_join(x, y, on="id", fpp=1.5)
+    with pytest.raises(ValueError, match="join type"):
+        bloom_join(x, y, on="id", how="sideways")
+    with pytest.raises(ValueError, match="not in x"):
+        bloom_join(x, y, on="nope")
+    with pytest.raises(TypeError):
+        bloom_join("not a df", y, on="id")
+
+
+def test_report_metadata(spark):
+    x = spark.range(0, 5000).withColumn("vx", F.col("id") * 2)
+    y = spark.range(0, 500).withColumn("vy", F.col("id") * 3)
+    got, rep = bloom_join(x, y, on="id", how="inner", force_prefilter=True, return_report=True)
+    n = got.count()  # action → accumulators populated
+    assert n == 500
+    assert rep.used_prefilter and rep.prefilter_side == "x" and rep.build_side == "y"
+    assert rep.filter_bits and rep.filter_bits & (rep.filter_bits - 1) == 0
+    assert rep.n_build == 500
+    assert rep.build_partitions >= 1
+    # accumulators are task-level telemetry: the plan may re-evaluate
+    # the probe UDF (AQE re-execution, predicate duplication), so they
+    # bound, not equal, the logical row counts
+    assert rep._acc_in.value >= 5000
+    ratio = rep._acc_out.value / rep._acc_in.value
+    assert ratio <= 0.25  # ≥75% of probe traffic filtered before the join
+
+
+def test_prefilter_actually_reduces(spark):
+    # sparse join: reduction must exceed 0.95
+    # (reference test-memory-performance.R:276-301)
+    x = spark.range(0, 50_000).withColumn("vx", F.lit(1))
+    y = spark.range(0, 50).withColumn("vy", F.lit(2))
+    got, rep = bloom_join(
+        x, y, on="id", how="inner", force_prefilter=True, return_report=True
+    )
+    assert got.count() == 50
+    reduction = 1 - rep._acc_out.value / rep._acc_in.value
+    assert reduction > 0.95
