@@ -12,7 +12,17 @@ UDFs, never per-row Python.
 from .aggregate import BuildResult, build_sketch
 from .operators import bloom_join
 from .plans import BloomJoinReport
-from .sketches import BloomSketch, Sketch, bloom_params, bloom_sizing
+from .sketches import (
+    BloomSketch,
+    CmsSketch,
+    HllSketch,
+    KllSketch,
+    Sketch,
+    TDigestSketch,
+    bloom_params,
+    bloom_sizing,
+    cms_params,
+)
 
 __version__ = "0.1.0"
 
@@ -20,9 +30,14 @@ __all__ = [
     "BloomJoinReport",
     "BloomSketch",
     "BuildResult",
+    "CmsSketch",
+    "HllSketch",
+    "KllSketch",
     "Sketch",
+    "TDigestSketch",
     "bloom_join",
     "bloom_params",
     "bloom_sizing",
     "build_sketch",
+    "cms_params",
 ]

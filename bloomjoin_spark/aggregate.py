@@ -57,6 +57,18 @@ def _extract_hashes(pdf: pd.DataFrame, cols, token_col, prehashed) -> np.ndarray
     return hash_columns(pdf, list(cols))
 
 
+def _extract_values(pdf: pd.DataFrame, cols, token_col) -> np.ndarray:
+    """float64 value array for quantile sketches (NaN = null)."""
+    if token_col is not None:
+        chunks = [
+            np.asarray(t, dtype=np.float64)
+            for t in pdf[token_col]
+            if t is not None and len(t)
+        ]
+        return np.concatenate(chunks) if chunks else np.empty(0, dtype=np.float64)
+    return pdf[cols[0]].to_numpy(dtype=np.float64, na_value=np.nan)
+
+
 def make_partial_fn(
     factory: Callable[[], Sketch],
     cols: list[str] | None = None,
@@ -75,10 +87,23 @@ def make_partial_fn(
             # resume fast-path: yield nothing, never consume the scan
             return
         sk = factory()
+        consumes = getattr(sk, "CONSUMES", "hashes")
         n = 0
         fp = np.uint64(0)
         for pdf in it:
             if len(pdf) == 0:
+                continue
+            if consumes == "values":
+                v = _extract_values(pdf, cols, token_col)
+                nan_mask = np.isnan(v)
+                if nan_mask.any():
+                    if hasattr(sk, "add_null"):
+                        sk.add_null()
+                    v = v[~nan_mask]
+                with np.errstate(over="ignore"):
+                    fp += v.view(np.uint64).sum(dtype=np.uint64)
+                sk.update_values(v)
+                n += len(pdf)
                 continue
             h = _extract_hashes(pdf, cols, token_col, prehashed)
             if drop_nulls and not prehashed:

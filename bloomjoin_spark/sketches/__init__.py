@@ -1,4 +1,18 @@
 from .base import Sketch
 from .bloom import BloomSketch, bloom_params, bloom_sizing
+from .cms import CmsSketch, cms_params
+from .hll import HllSketch
+from .kll import KllSketch
+from .tdigest import TDigestSketch
 
-__all__ = ["Sketch", "BloomSketch", "bloom_params", "bloom_sizing"]
+__all__ = [
+    "BloomSketch",
+    "CmsSketch",
+    "HllSketch",
+    "KllSketch",
+    "Sketch",
+    "TDigestSketch",
+    "bloom_params",
+    "bloom_sizing",
+    "cms_params",
+]

@@ -1,0 +1,124 @@
+"""Count–min sketch (Cormode & Muthukrishnan 2005) — per-key frequency
+over massive streams; here: per-token frequency over ``tokens`` arrays.
+
+d×w int64 counter matrix; update adds (optionally weighted) counts at
+one position per row, merge = elementwise add (associative/commutative),
+point query = min over the d rows.
+
+Guarantee: est ≥ true, and est ≤ true + εN with probability ≥ 1−δ
+for w = ⌈e/ε⌉, d = ⌈ln(1/δ)⌉ (N = total added weight).
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+
+from ..hashing import splitmix64
+from .base import Sketch
+
+_U64 = np.uint64
+_ROW_SEED = 0x5851F42D4C957F2D
+
+
+def cms_params(eps: float, delta: float) -> tuple[int, int]:
+    if not (0 < eps < 1) or not (0 < delta < 1):
+        raise ValueError("eps and delta must be in (0,1)")
+    w = math.ceil(math.e / eps)
+    d = math.ceil(math.log(1.0 / delta))
+    return d, w
+
+
+class CmsSketch(Sketch):
+    KIND = b"CMS1"
+    CONSUMES = "hashes"
+
+    def __init__(
+        self,
+        eps: float = 1e-4,
+        delta: float = 1e-3,
+        _table: np.ndarray | None = None,
+    ):
+        self.eps = float(eps)
+        self.delta = float(delta)
+        self.d, self.w = cms_params(eps, delta)
+        self.table = (
+            _table if _table is not None else np.zeros((self.d, self.w), dtype=np.int64)
+        )
+        self.total = 0  # N: total added weight
+        self.has_null = False
+
+    # -- row-position hashing (shared by update and query) -------------
+    def _positions(self, h: np.ndarray) -> np.ndarray:
+        """(d, len(h)) int64 column positions."""
+        h = h.astype(np.uint64, copy=False)
+        out = np.empty((self.d, h.size), dtype=np.int64)
+        for i in range(self.d):
+            seed = _U64((_ROW_SEED * (i + 1)) & 0xFFFFFFFFFFFFFFFF)
+            out[i] = (splitmix64(h ^ seed) % _U64(self.w)).astype(np.int64)
+        return out
+
+    # -- build ---------------------------------------------------------
+    def update_hashes(self, h: np.ndarray, weights: np.ndarray | None = None) -> None:
+        if h.size == 0:
+            return
+        pos = self._positions(h)
+        if weights is None:
+            for i in range(self.d):
+                np.add.at(self.table[i], pos[i], 1)
+            self.total += int(h.size)
+        else:
+            w = weights.astype(np.int64, copy=False)
+            for i in range(self.d):
+                np.add.at(self.table[i], pos[i], w)
+            self.total += int(w.sum())
+
+    def add_null(self) -> None:
+        self.has_null = True
+
+    # -- merge ---------------------------------------------------------
+    def merge(self, other: "CmsSketch") -> "CmsSketch":
+        if (self.d, self.w) != (other.d, other.w):
+            raise ValueError("cannot merge CMS of different shapes")
+        self.table += other.table
+        self.total += other.total
+        self.has_null |= other.has_null
+        return self
+
+    # -- query ---------------------------------------------------------
+    def query_hashes(self, h: np.ndarray) -> np.ndarray:
+        """Point-query estimates (int64) for a batch of key hashes."""
+        if h.size == 0:
+            return np.empty(0, dtype=np.int64)
+        pos = self._positions(h)
+        ests = np.empty((self.d, h.size), dtype=np.int64)
+        for i in range(self.d):
+            ests[i] = self.table[i][pos[i]]
+        return ests.min(axis=0)
+
+    def error_bound(self) -> float:
+        """εN — the additive overcount bound (prob ≥ 1−δ)."""
+        return self.eps * self.total
+
+    # -- serialization ---------------------------------------------------
+    def _payload_bytes(self) -> bytes:
+        head = struct.pack(
+            "<ddqB", self.eps, self.delta, self.total, int(self.has_null)
+        )
+        return head + self.table.tobytes()
+
+    @classmethod
+    def _from_payload(cls, payload: bytes) -> "CmsSketch":
+        eps, delta, total, has_null = struct.unpack_from("<ddqB", payload, 0)
+        off = struct.calcsize("<ddqB")
+        obj = cls(eps, delta)
+        obj.table = (
+            np.frombuffer(payload, dtype=np.int64, offset=off)
+            .reshape(obj.d, obj.w)
+            .copy()
+        )
+        obj.total = total
+        obj.has_null = bool(has_null)
+        return obj

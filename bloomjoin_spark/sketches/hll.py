@@ -1,0 +1,111 @@
+"""HyperLogLog — distinct-count sketch (Flajolet et al. 2007, with the
+64-bit-hash variant of Heule et al. 2013 so no large-range correction
+is needed).
+
+Generalizes the reference's sampling distinct-count estimator
+(``/root/reference/R/bloomjoin.R:223-238``) into a mergeable aggregate:
+m = 2^p byte registers, update = max(register, rank), merge =
+elementwise max — associative, commutative, idempotent, so the merged
+estimate is bit-identical under any merge ordering.
+
+Error: relative std error ≈ 1.04/√m (p=14 → m=16384 → 0.81%).
+All register math is vectorized numpy over uint64 hash batches.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+
+from .base import Sketch
+
+_U64 = np.uint64
+
+
+def _floor_log2(x: np.ndarray) -> np.ndarray:
+    """Exact vectorized floor(log2(x)) for uint64 (0 → 0)."""
+    out = np.zeros(x.shape, dtype=np.uint64)
+    y = x.copy()
+    for s in (32, 16, 8, 4, 2, 1):
+        s = _U64(s)
+        gt = (y >> s) != 0
+        out[gt] += s
+        y[gt] >>= s
+    return out
+
+
+def _alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+class HllSketch(Sketch):
+    KIND = b"HLL1"
+    CONSUMES = "hashes"
+
+    def __init__(self, p: int = 14, _regs: np.ndarray | None = None):
+        if not (4 <= p <= 18):
+            raise ValueError(f"hll precision p must be in [4,18], got {p}")
+        self.p = p
+        self.m = 1 << p
+        self.regs = _regs if _regs is not None else np.zeros(self.m, dtype=np.uint8)
+        self.has_null = False
+
+    @property
+    def rel_std_error(self) -> float:
+        return 1.04 / math.sqrt(self.m)
+
+    # -- build ---------------------------------------------------------
+    def update_hashes(self, h: np.ndarray) -> None:
+        if h.size == 0:
+            return
+        h = h.astype(np.uint64, copy=False)
+        idx = (h >> _U64(64 - self.p)).astype(np.int64)
+        rest = h << _U64(self.p)  # low 64-p bits shifted up
+        # rank = leading zeros of rest + 1, capped at 64-p+1 (rest==0)
+        nlz = np.where(rest == 0, _U64(64 - self.p), _U64(63) - _floor_log2(rest))
+        rank = (nlz + _U64(1)).astype(np.uint8)
+        np.maximum.at(self.regs, idx, rank)
+
+    def add_null(self) -> None:
+        self.has_null = True
+
+    # -- merge ---------------------------------------------------------
+    def merge(self, other: "HllSketch") -> "HllSketch":
+        if other.p != self.p:
+            raise ValueError("cannot merge HLL sketches of different precision")
+        np.maximum(self.regs, other.regs, out=self.regs)
+        self.has_null |= other.has_null
+        return self
+
+    # -- estimate --------------------------------------------------------
+    def estimate(self) -> float:
+        regs = self.regs.astype(np.float64)
+        e = _alpha(self.m) * self.m * self.m / np.sum(np.exp2(-regs))
+        zeros = int(np.count_nonzero(self.regs == 0))
+        if e <= 2.5 * self.m and zeros > 0:
+            return self.m * math.log(self.m / zeros)  # linear counting
+        return float(e)
+
+    def cardinality(self) -> int:
+        return int(round(self.estimate()))
+
+    # -- serialization ---------------------------------------------------
+    def _payload_bytes(self) -> bytes:
+        return struct.pack("<IB", self.p, int(self.has_null)) + self.regs.tobytes()
+
+    @classmethod
+    def _from_payload(cls, payload: bytes) -> "HllSketch":
+        p, has_null = struct.unpack_from("<IB", payload, 0)
+        off = struct.calcsize("<IB")
+        regs = np.frombuffer(payload, dtype=np.uint8, offset=off).copy()
+        obj = cls(p, _regs=regs)
+        obj.has_null = bool(has_null)
+        return obj
