@@ -223,6 +223,132 @@ def _bloom_fpr_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# training-data pipeline operators
+# ---------------------------------------------------------------------------
+
+def _docs_with_planted_dups(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    dups = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    return docs, docs.unionByName(dups)
+
+
+def _exact_dedup_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bloomjoin_spark.operators import exact_dedup
+
+    _, union = _docs_with_planted_dups(spark, sf_dir)
+    return exact_dedup(union).select("doc_id", "source")
+
+
+def _minhash_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicates are guaranteed LSH candidates (identical
+    signatures) — every planted pair must be found and verify at
+    jaccard 1.0."""
+    from bloomjoin_spark.operators import minhash_dedup_pairs
+
+    docs, union = _docs_with_planted_dups(spark, sf_dir)
+    pairs = minhash_dedup_pairs(
+        union, "text", "doc_id", n=3, num_perm=64, bands=8, threshold=0.99
+    )
+    planted = docs.filter(F.col("doc_id") % 5 == 0).count()
+    found = pairs.filter(F.col("id_b") - F.col("id_a") == 1_000_000).count()
+    all_verified = pairs.filter(F.col("jaccard") < 0.99).count() == 0
+    return spark.createDataFrame(
+        [(int(planted), int(found == planted), bool(all_verified))],
+        "planted bigint, all_found int, all_verified boolean",
+    )
+
+
+def _text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bloomjoin_spark.operators import add_text_stats, bpe_ish_token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    st = bpe_ish_token_count(add_text_stats(docs))
+    return st.select("doc_id", "n_tokens", "n_chars_measured", "n_tokens_bpe_ish")
+
+
+def _lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bloomjoin_spark.operators import add_lang_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return add_lang_id(docs).select("doc_id", "lang_pred")
+
+
+def _fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bloomjoin_spark.operators import add_fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return add_fingerprint(docs).select("doc_id", "content_fp")
+
+
+def _ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bloomjoin_spark.operators import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 200 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk(emb, queries_df, k=10).select(
+        "query_id", "vec_id", "rank", "sim"
+    )
+
+
+def _embedding_near_dup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bloomjoin_spark.operators import embedding_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dup = emb.filter(F.col("vec_id") % 50 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 1_000_000
+    )
+    both = emb.unionByName(dup)
+    planted = emb.filter(F.col("vec_id") % 50 == 0).count()
+    pairs = embedding_near_dup_pairs(both, threshold=0.999)
+    found = pairs.filter(F.col("id_b") - F.col("id_a") == 1_000_000).count()
+    return spark.createDataFrame(
+        [(int(planted), int(found == planted))], "planted bigint, all_found int"
+    )
+
+
+def _salted_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bloomjoin_spark.operators import salted_join
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    dim = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("src_total"))
+    )
+    j = salted_join(docs, dim, on="source", how="inner", salts=8)
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"), F.max("src_total").alias("src_total")
+    )
+
+
+def _multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bloomjoin_spark.operators import synthesize_media
+
+    docs = _t(spark, sf_dir, "documents")
+    media = synthesize_media(docs, "doc_id", "text")
+    return media.select("media_id", "modality", "n_bytes")
+
+
+def _streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bloomjoin_spark.streaming import events_stream, windowed_counts
+    from bloomjoin_spark.streaming.sketch_stream import run_stream_to_memory
+
+    agg = windowed_counts(events_stream(spark, sf_dir), window="1 hour")
+    name = run_stream_to_memory(agg, "q_win_counts")
+    # value_sum is float (rounding drift across engines) — compare the
+    # exact columns only
+    return spark.table(name).select(
+        F.unix_timestamp("window_start").alias("window_epoch"),
+        "event_type",
+        "n",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bloom_inner_join": _bloom_inner,
@@ -236,6 +362,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdigest_quantiles_price": _tdigest_quantiles_price,
         "kll_quantiles_nchars": _kll_quantiles_nchars,
         "bloom_fpr_check": _bloom_fpr_check,
+        "exact_dedup_union": _exact_dedup_union,
+        "minhash_dedup_planted": _minhash_dedup_planted,
+        "text_stats": _text_stats,
+        "lang_id": _lang_id,
+        "fingerprints": _fingerprints,
+        "ann_cosine_topk": _ann_cosine_topk,
+        "embedding_near_dup_planted": _embedding_near_dup_planted,
+        "salted_join_counts": _salted_join_counts,
+        "multimodal_meta": _multimodal_meta,
+        "streaming_windowed_counts": _streaming_windowed_counts,
     }
 
 
@@ -293,5 +429,101 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bloom_fpr_check": """
             SELECT TRUE AS fpr_within_target, 0 AS false_negatives
+        """,
+        "exact_dedup_union": """
+            WITH u AS (
+              SELECT doc_id, text, source FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, text, source FROM documents WHERE doc_id % 5 = 0
+            ),
+            k AS (
+              SELECT md5(lower(trim(text))) AS fp, min(doc_id) AS doc_id
+              FROM u GROUP BY 1
+            )
+            SELECT u.doc_id, u.source FROM u JOIN k USING (doc_id)
+        """,
+        "minhash_dedup_planted": """
+            SELECT count(*) AS planted, 1 AS all_found, TRUE AS all_verified
+            FROM documents WHERE doc_id % 5 = 0
+        """,
+        "text_stats": """
+            SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+                   length(text) AS n_chars_measured,
+                   (CASE WHEN length(trim(text)) = 0 THEN 0
+                         ELSE len(string_split_regex(trim(text), '\\s+')) END
+                    + length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g'))
+                    + len(list_filter(string_split_regex(text, '[^0-9]+'),
+                                      x -> len(x) > 0))
+                   )::INTEGER AS n_tokens_bpe_ish
+            FROM documents
+        """,
+        "lang_id": """
+            WITH h AS (
+              SELECT doc_id,
+                toks AS t,
+                len(list_filter(toks, x -> list_contains(['the','and','of','to','is'], x))) AS he,
+                len(list_filter(toks, x -> list_contains(['der','die','und','das','ist'], x))) AS hd,
+                len(list_filter(toks, x -> list_contains(['le','la','et','les','est'], x))) AS hf,
+                len(list_filter(toks, x -> list_contains(['el','la','los','es','una'], x))) AS hs,
+                len(list_filter(toks, x -> list_contains(['的','是','了','在','我'], x))) AS hz
+              FROM (SELECT doc_id,
+                           string_split_regex(lower(trim(text)), '\\s+') AS toks
+                    FROM documents)
+            )
+            SELECT doc_id,
+                   CASE WHEN greatest(he,hd,hf,hs,hz) = 0 THEN 'und'
+                        WHEN he = greatest(he,hd,hf,hs,hz) THEN 'en'
+                        WHEN hd = greatest(he,hd,hf,hs,hz) THEN 'de'
+                        WHEN hf = greatest(he,hd,hf,hs,hz) THEN 'fr'
+                        WHEN hs = greatest(he,hd,hf,hs,hz) THEN 'es'
+                        ELSE 'zh' END AS lang_pred
+            FROM h
+        """,
+        "fingerprints": """
+            SELECT doc_id, md5(lower(trim(text))) AS content_fp FROM documents
+        """,
+        "ann_cosine_topk": """
+            WITH q AS (
+              SELECT vec_id AS qid, embedding AS qv FROM embeddings
+              WHERE vec_id % 200 = 0
+            ),
+            s AS (
+              SELECT q.qid AS query_id, e.vec_id,
+                     round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                  q.qv::DOUBLE[]), 6) AS sim
+              FROM embeddings e CROSS JOIN q
+            ),
+            r AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY sim DESC, vec_id
+              )::INTEGER AS rank FROM s
+            )
+            SELECT query_id, vec_id, rank, sim FROM r WHERE rank <= 10
+        """,
+        "embedding_near_dup_planted": """
+            SELECT count(*) AS planted, 1 AS all_found
+            FROM embeddings WHERE vec_id % 50 = 0
+        """,
+        "salted_join_counts": """
+            SELECT d.source, count(*) AS n, max(g.src_total) AS src_total
+            FROM documents d
+            JOIN (SELECT source, count(*) AS src_total
+                  FROM documents GROUP BY source) g USING (source)
+            GROUP BY d.source
+        """,
+        "multimodal_meta": """
+            SELECT doc_id AS media_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 'image'
+                        WHEN doc_id % 3 = 1 THEN 'audio'
+                        ELSE 'video' END AS modality,
+                   octet_length(encode(text))::INTEGER AS n_bytes
+            FROM documents
+        """,
+        "streaming_windowed_counts": """
+            SELECT epoch(time_bucket(INTERVAL '1 hour', ts))::BIGINT AS window_epoch,
+                   event_type, count(*) AS n
+            FROM events GROUP BY 1, 2
         """,
     }

@@ -1,0 +1,258 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS]:
+
+- bloom_join vs naive join on a high-selectivity key (the reference's
+  headline scenario: big probe side, small build side, low overlap —
+  README.md:17-20 grid), on both the TPC-H-ish tables and the
+  synthesized north-rule token table;
+- every sketch build (HLL / CMS / t-digest / KLL) over the token table;
+- dedup / similarity / text pipelines.
+
+Scaling protocol (BASELINE.json: ≥0.8 efficiency N→4N executors; in
+this sandbox: same job, same input, local[N] vs local[4N], pinned
+partition counts so parallelism is the only variable). Run with
+SPARK_GRAFT_BENCH_SCALING=1 to include it (adds ~2 session restarts).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+RUN_SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") not in ("0", "false")
+TOKEN_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_TOKEN_ROWS", "300000"))
+SF = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
+SHUFFLE_STATS: dict = {}
+
+
+def make_spark(cores: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(f"bloomjoin_bench_{cores}")
+        .config("spark.sql.shuffle.partitions", str(max(cores, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def timed(fn):
+    t0 = time.time()
+    out = fn()
+    return time.time() - t0, out
+
+
+def build_token_df(spark, n_rows, partitions):
+    from bloomjoin_spark.datagen import token_table
+
+    return token_table(
+        spark, n_rows, vocab=50_000, max_tok=128, num_partitions=partitions
+    )
+
+
+def flagship_job(spark, n_rows: int, partitions: int) -> int:
+    """The scaling-efficiency job: synthesize the token table, bloom-join
+    it against a 1%-overlap lookup side, count survivors. Partition
+    count pinned; parallelism is the only variable."""
+    from pyspark.sql import functions as F
+
+    from bloomjoin_spark import bloom_join
+    from bloomjoin_spark.datagen import lookup_table
+
+    toks = build_token_df(spark, n_rows, partitions)
+    lk = lookup_table(spark, n_rows, n_rows // 50, overlap=0.5,
+                      num_partitions=max(2, partitions // 4))
+    j = bloom_join(
+        toks, lk, on="doc_id", how="inner", force_prefilter=True,
+        collect_metrics=False,
+    )
+    return j.select(F.sum("n_tok")).first()[0] or 0
+
+
+def run_headline(spark) -> dict[str, float]:
+    from pyspark.sql import functions as F
+
+    from bloomjoin_spark import (
+        BloomSketch,
+        CmsSketch,
+        HllSketch,
+        KllSketch,
+        TDigestSketch,
+        bloom_join,
+        build_sketch,
+    )
+    from bloomjoin_spark.datagen import lookup_table
+    from bloomjoin_spark.operators import (
+        cosine_topk,
+        exact_dedup,
+        minhash_dedup_pairs,
+        add_text_stats,
+    )
+
+    qs: dict[str, float] = {}
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    part = spark.read.parquet(f"{SF_DIR}/part.parquet")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+    # --- bloom_join vs naive on TPC-H-ish tables (1-in-10 part subset)
+    part_sub = part.filter(F.col("p_partkey") % 10 == 0).select("p_partkey", "p_name")
+    li2 = li.select("l_orderkey", "l_partkey", "l_quantity")
+    qs["bloom_join_lineitem"], _ = timed(
+        lambda: bloom_join(
+            li2, part_sub, on={"l_partkey": "p_partkey"}, how="inner",
+            force_prefilter=True, collect_metrics=False,
+        ).count()
+    )
+    qs["naive_join_lineitem"], _ = timed(
+        lambda: li2.join(part_sub, li2.l_partkey == part_sub.p_partkey).count()
+    )
+
+    # --- token table pipeline (north-rule input shape). The lookup
+    # side carries a fat payload so the naive plan is a genuine shuffle
+    # join (the regime the prefilter targets: build side too big to
+    # broadcast, its Bloom filter is not), at 1% overlap.
+    toks = build_token_df(spark, TOKEN_ROWS, CPUS * 2).persist()
+    toks.count()  # materialize once; gen cost excluded below
+    lk = (
+        lookup_table(spark, TOKEN_ROWS, TOKEN_ROWS // 3, overlap=0.01,
+                     num_partitions=max(2, CPUS // 2))
+        .withColumn("payload", F.repeat(F.md5(F.col("doc_id")), 16))
+        .persist()
+    )
+    lk.count()
+    qs["bloom_join_tokens"], _ = timed(
+        lambda: bloom_join(
+            toks, lk, on="doc_id", how="inner", force_prefilter=True,
+            collect_metrics=False,
+        ).count()
+    )
+    qs["naive_join_tokens"], _ = timed(
+        lambda: toks.join(lk, "doc_id", "inner").count()
+    )
+    # Spark's own runtime bloom-filter rule as a third baseline
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    qs["native_runtime_bloom_tokens"], _ = timed(
+        lambda: toks.join(lk, "doc_id", "inner").count()
+    )
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+    # shuffle-volume proxy (the 100 TB-relevant number): probe rows that
+    # reach the join exchange with vs without the prefilter
+    global SHUFFLE_STATS
+    matching = toks.join(lk.select("doc_id"), "doc_id", "left_semi").count()
+    total = toks.count()
+    SHUFFLE_STATS = {
+        "probe_rows_total": int(total),
+        "probe_rows_surviving_prefilter_approx": int(matching),
+        "prefilter_shuffle_row_reduction": round(1 - matching / max(total, 1), 4),
+    }
+    qs["hll_distinct_tokens"], hll = timed(
+        lambda: build_sketch(toks, lambda: HllSketch(14), token_col="tokens")
+    )
+    qs["cms_token_freq"], _ = timed(
+        lambda: build_sketch(
+            toks, lambda: CmsSketch(eps=1e-4, delta=1e-3), token_col="tokens"
+        )
+    )
+    qs["tdigest_ntok"], _ = timed(
+        lambda: build_sketch(toks, lambda: TDigestSketch(200), cols=["n_tok"])
+    )
+    qs["kll_ntok"], _ = timed(
+        lambda: build_sketch(toks, lambda: KllSketch(200), cols=["n_tok"])
+    )
+    qs["bloom_build_docids"], _ = timed(
+        lambda: build_sketch(
+            toks, lambda: BloomSketch(TOKEN_ROWS, 0.01), cols=["doc_id"]
+        )
+    )
+
+    # --- pipeline operators
+    qs["exact_dedup_docs"], _ = timed(lambda: exact_dedup(docs).count())
+    qs["minhash_pairs_docs"], _ = timed(
+        lambda: minhash_dedup_pairs(
+            docs, "text", "doc_id", num_perm=64, bands=8, threshold=0.8
+        ).count()
+    )
+    qs["text_stats_docs"], _ = timed(
+        lambda: add_text_stats(docs).agg(F.sum("n_tokens")).first()
+    )
+    queries_df = emb.filter(F.col("vec_id") % 500 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    qs["ann_cosine_topk"], _ = timed(lambda: cosine_topk(emb, queries_df, k=10).count())
+    toks.unpersist()
+    lk.unpersist()
+    return qs
+
+
+def run_scaling(n_small: int, n_big: int, token_rows: int) -> dict:
+    """Same job, same input, pinned partitions, two parallelism levels."""
+    partitions = n_big * 2
+    out = {}
+    for cores in (n_small, n_big):
+        spark = make_spark(cores)
+        try:
+            # warm the JVM/python workers once, then measure
+            flagship_job(spark, max(10_000, token_rows // 20), partitions)
+            t, _ = timed(lambda: flagship_job(spark, token_rows, partitions))
+            out[cores] = t
+        finally:
+            spark.stop()
+    eff = (out[n_small] / out[n_big]) / (n_big / n_small)
+    return {
+        "cores_small": n_small,
+        "cores_big": n_big,
+        "token_rows": token_rows,
+        "sec_small": round(out[n_small], 3),
+        "sec_big": round(out[n_big], 3),
+        "rows_per_sec_small": round(token_rows / out[n_small]),
+        "rows_per_sec_big": round(token_rows / out[n_big]),
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+def main():
+    t_total0 = time.time()
+    spark = make_spark(CPUS)
+    try:
+        qs = run_headline(spark)
+    finally:
+        spark.stop()
+    scaling = None
+    if RUN_SCALING:
+        scaling = run_scaling(max(2, CPUS // 4), CPUS, TOKEN_ROWS)
+    total = time.time() - t_total0
+    speedup = qs["naive_join_tokens"] / max(qs["bloom_join_tokens"], 1e-9)
+    result = {
+        "metric": "bloomjoin_spark headline suite wall time",
+        "value": round(sum(qs.values()), 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in qs.items()},
+        "sf": SF,
+        "cpus": CPUS,
+        "token_rows": TOKEN_ROWS,
+        "bloom_vs_naive_speedup_tokens": round(speedup, 3),
+        "shuffle": SHUFFLE_STATS,
+        "scaling": scaling,
+        "harness_total_sec": round(total, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -168,8 +168,11 @@ def sketch_partials(
 
 def tree_merge(partials: DataFrame, fanin: int = 64) -> tuple[Sketch, int, int, int]:
     """Phase 2. Returns (sketch, n_partitions, n_rows, rounds)."""
-    cur = partials
-    # first action: also the only full pass over the input
+    # persist the partial blobs: the count action below and the final
+    # collect/merge must share ONE pass over the input (a partial is
+    # tiny — one row per partition — but its lineage is the full scan)
+    cur = partials.persist()
+    first = cur
     n_parts = cur.count()
     orig_parts = n_parts
     rounds = 0
@@ -184,6 +187,7 @@ def tree_merge(partials: DataFrame, fanin: int = 64) -> tuple[Sketch, int, int, 
         n_parts = ngroups
         rounds += 1
     rows = cur.collect()
+    first.unpersist()
     if not rows:
         raise ValueError("no partials produced (empty input with 0 partitions?)")
     acc: Sketch | None = None

@@ -1,3 +1,61 @@
 from .bloom_join import bloom_join
+from .dedup import (
+    add_minhash_signature,
+    add_simhash,
+    dedup_clusters,
+    exact_dedup,
+    jaccard_col,
+    lsh_candidate_pairs,
+    minhash_dedup,
+    minhash_dedup_pairs,
+    simhash_near_dup_pairs,
+    with_shingle_hashes,
+)
+from .multimodal import (
+    extract_features,
+    frame_sample_plan,
+    synthesize_media,
+)
+from .similarity import (
+    add_lsh_signature,
+    ann_lsh_topk,
+    cosine_sim_col,
+    cosine_topk,
+    embedding_near_dup_pairs,
+)
+from .skew import salted_join, skewed_keys, split_hot_join
+from .text import (
+    add_fingerprint,
+    add_lang_id,
+    add_text_stats,
+    bpe_ish_token_count,
+)
 
-__all__ = ["bloom_join"]
+__all__ = [
+    "add_fingerprint",
+    "add_lang_id",
+    "add_lsh_signature",
+    "add_minhash_signature",
+    "add_simhash",
+    "add_text_stats",
+    "ann_lsh_topk",
+    "bloom_join",
+    "bpe_ish_token_count",
+    "cosine_sim_col",
+    "cosine_topk",
+    "dedup_clusters",
+    "embedding_near_dup_pairs",
+    "exact_dedup",
+    "extract_features",
+    "frame_sample_plan",
+    "jaccard_col",
+    "lsh_candidate_pairs",
+    "minhash_dedup",
+    "minhash_dedup_pairs",
+    "salted_join",
+    "simhash_near_dup_pairs",
+    "skewed_keys",
+    "split_hot_join",
+    "synthesize_media",
+    "with_shingle_hashes",
+]

@@ -114,7 +114,11 @@ def _make_probe_udf(bc, acc_in=None, acc_out=None):
             acc_out.add(int(mask.sum()))
         return pd.Series(mask)
 
-    return probe
+    # nondeterministic stops Catalyst's constraint propagation from
+    # copying the probe onto the BUILD side through the join condition —
+    # the filter was built from those very keys, so it passes 100% there
+    # and is pure wasted Python time
+    return probe.asNondeterministic()
 
 
 def bloom_join(
@@ -169,11 +173,23 @@ def bloom_join(
         probe_cols = [p[0] for p in pairs] if target == "x" else [p[1] for p in pairs]
         build_name = "y" if target == "x" else "x"
 
-        # ---- sizing input: count the BUILD side (cheap: it is the
-        # small side; parquet count is metadata-only) or take the hint.
+        # ---- canonical casts shared by build hash and probe hash
+        xt, yt = dict(x.dtypes), dict(y.dtypes)
+        casts = [_common_cast(xt[xc], yt[yc]) for xc, yc in pairs]
+
+        # ---- sizing input: count the BUILD side or take the hint. The
+        # hashed key projection is persisted so the sizing count and the
+        # sketch build share ONE evaluation of the build side's lineage
+        # (8 bytes/row — negligible memory even for big dims).
+        build_keyed = build_df.select(
+            _key64(build_df, build_cols, casts).alias("__bj_key64")
+        )
         n_build = n_hints.get(build_name)
+        persisted = False
         if n_build is None:
-            n_build = build_df.count()
+            build_keyed = build_keyed.persist()
+            persisted = True
+            n_build = build_keyed.count()
         report.n_build = n_build
 
         skip_reasons = should_skip_prefilter(
@@ -196,16 +212,7 @@ def bloom_join(
     report.prefilter_side = target
     report.build_side = build_name
 
-    # ---- canonical casts shared by build hash and probe hash --------
-    xt, yt = dict(x.dtypes), dict(y.dtypes)
-    casts = []
-    for xc, yc in pairs:
-        casts.append(_common_cast(xt[xc], yt[yc]))
-
     # ---- distributed build: one pass, partial per partition, OR-merge
-    build_keyed = build_df.select(
-        _key64(build_df, build_cols, casts).alias("__bj_key64")
-    )
     result = build_sketch(
         build_keyed,
         factory=lambda n=n_build, p=fpp: BloomSketch(n, p),
@@ -225,6 +232,8 @@ def bloom_join(
     if 0.0 < fill < 1.0:
         report.build_distinct_estimate = int(-(sketch.m / sketch.k) * np.log1p(-fill))
 
+    if persisted:
+        build_keyed.unpersist()
     spark = x.sparkSession
     sc = spark.sparkContext
     bc = sc.broadcast(sketch)

@@ -1,0 +1,155 @@
+"""Structured Streaming surface: windowed exact aggregates and
+streaming sketch collection.
+
+Two layers:
+
+- ``windowed_counts``: ordinary watermark + tumbling-window aggregation
+  (pure built-ins) — the exact-answer streaming baseline.
+- ``StreamingSketchCollector``: ``foreachBatch`` + the same two-phase
+  partial/merge harness used for batch. Each micro-batch contributes
+  per-partition partials; the collector merges them into one running
+  sketch per group key. Because every sketch is an associative,
+  commutative merge, batch boundaries and retries cannot change the
+  final estimate — the streaming answer equals the batch answer on the
+  same rows. Lineage (batch_id, n_rows, blob) is retained for resume
+  parity with the batch checkpoint store.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1):
+    """File-source stream over the events table (for tests/demos; a
+    production job swaps in kafka with the same downstream graph).
+    The file source requires a directory, so the single parquet file is
+    exposed through a temp dir symlink."""
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="bj_events_stream_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{d}/events-000.parquet")
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(d)
+    )
+
+
+def windowed_counts(
+    stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "1 day",
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Tumbling-window exact counts + value sums per group."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), F.col(group_col))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("value_sum"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col(group_col),
+            "n",
+            "value_sum",
+        )
+    )
+
+
+def run_stream_to_memory(df: DataFrame, name: str, output_mode: str = "complete"):
+    """Drive a bounded file stream to completion synchronously; returns
+    the in-memory table name."""
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return name
+
+
+class StreamingSketchCollector:
+    """Merge sketch partials from every micro-batch into running
+    sketches, optionally keyed by a group column.
+
+    Usage::
+
+        coll = StreamingSketchCollector(lambda: HllSketch(14), cols=["user_id"])
+        q = coll.attach(stream).start()
+        q.processAllAvailable(); q.stop()
+        coll.sketch().estimate()
+    """
+
+    def __init__(
+        self,
+        factory: Callable,
+        cols: list[str] | None = None,
+        token_col: str | None = None,
+        group_col: str | None = None,
+    ):
+        self.factory = factory
+        self.cols = cols
+        self.token_col = token_col
+        self.group_col = group_col
+        self.sketches: dict = {}
+        self.lineage: list[dict] = []
+
+    def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from ..aggregate import sketch_partials
+
+        keys = [None]
+        if self.group_col is not None:
+            keys = [
+                r[0]
+                for r in batch_df.select(self.group_col).distinct().collect()
+            ]
+        for key in keys:
+            part = (
+                batch_df
+                if key is None
+                else batch_df.filter(F.col(self.group_col) == key)
+            )
+            partials = sketch_partials(
+                part, self.factory, cols=self.cols, token_col=self.token_col
+            ).collect()
+            from ..sketches.base import Sketch
+
+            for row in partials:
+                sk = Sketch.from_bytes(bytes(row["blob"]))
+                if key in self.sketches:
+                    self.sketches[key] = self.sketches[key].merge(sk)
+                else:
+                    self.sketches[key] = sk
+                self.lineage.append(
+                    {
+                        "batch_id": batch_id,
+                        "key": key,
+                        "partition_id": row["partition_id"],
+                        "n_rows": row["n_rows"],
+                        "fingerprint": row["fingerprint"],
+                    }
+                )
+
+    def attach(self, stream: DataFrame):
+        """Returns a writeStream ready to ``.start()``."""
+        return stream.writeStream.foreachBatch(self._process_batch).outputMode(
+            "append"
+        )
+
+    def sketch(self, key=None):
+        return self.sketches.get(key)

@@ -1,0 +1,100 @@
+"""Multimodal plumbing + skew-handling tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bloomjoin_spark.datagen import token_table
+from bloomjoin_spark.operators import (
+    extract_features,
+    frame_sample_plan,
+    salted_join,
+    skewed_keys,
+    split_hot_join,
+    synthesize_media,
+)
+from bloomjoin_spark.operators.multimodal import decode_image
+
+
+@pytest.fixture(scope="module")
+def media(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return synthesize_media(docs, "doc_id", "text")
+
+
+class TestMultimodal:
+    def test_schema(self, media):
+        assert dict(media.dtypes) == {
+            "media_id": "bigint",
+            "payload": "binary",
+            "modality": "string",
+            "n_bytes": "int",
+            "declared_width": "int",
+            "declared_height": "int",
+        }
+
+    def test_feature_extraction_batch_shape(self, media):
+        feats = extract_features(media, n_features=8)
+        rows = feats.limit(10).collect()
+        assert all(len(r["features"]) == 8 for r in rows)
+        assert all(0.0 <= v <= 1.0 for r in rows for v in r["features"])
+        # n_bytes measured from the payload must match the declared size
+        joined = feats.join(media, "media_id")
+        bad = joined.filter(F.col("n_bytes_measured") != F.col("n_bytes")).count()
+        assert bad == 0
+
+    def test_features_deterministic(self, media):
+        a = sorted(map(str, extract_features(media).collect()))
+        b = sorted(map(str, extract_features(media).collect()))
+        assert a == b
+
+    def test_real_decode_is_stubbed(self):
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            decode_image(b"\x89PNG fake")
+
+    def test_frame_sample_plan(self, media):
+        plan = frame_sample_plan(media, every_n=10, max_frames=4)
+        rows = plan.limit(20).collect()
+        assert all(len(r["frame_indices"]) <= 4 for r in rows)
+        for r in rows:
+            assert list(r["frame_indices"]) == sorted(set(r["frame_indices"]))
+
+
+class TestSkew:
+    @pytest.fixture(scope="class")
+    def skewed(self, spark):
+        df = token_table(spark, 20_000, vocab=500, max_tok=8, num_partitions=8)
+        return df.select("doc_id", "source").persist()
+
+    def test_skewed_keys_detects_hot_source(self, skewed):
+        hot = skewed_keys(skewed, "source", min_share=0.2)
+        assert hot == ["source_00"]
+
+    def test_salted_join_identical_result(self, spark, skewed):
+        dim = spark.createDataFrame(
+            [(f"source_{i:02d}", f"name{i}") for i in range(20)],
+            "source string, src_name string",
+        )
+        plain = skewed.join(dim, "source", "inner")
+        salted = salted_join(skewed, dim, on="source", how="inner", salts=8)
+        assert salted.count() == plain.count()
+        assert (
+            salted.groupBy("source").count().exceptAll(
+                plain.groupBy("source").count()
+            ).count()
+            == 0
+        )
+
+    def test_salted_join_rejects_right(self, spark, skewed):
+        dim = spark.createDataFrame([("source_00", "x")], "source string, v string")
+        with pytest.raises(ValueError):
+            salted_join(skewed, dim, on="source", how="right")
+
+    def test_split_hot_join_identical(self, spark, skewed):
+        dim = spark.createDataFrame(
+            [(f"source_{i:02d}", i) for i in range(20)],
+            "source string, src_rank int",
+        )
+        plain = skewed.join(dim, "source", "inner")
+        split = split_hot_join(skewed, dim, on="source", how="inner", min_share=0.2)
+        assert split.count() == plain.count()
+        assert split.exceptAll(plain).count() == 0

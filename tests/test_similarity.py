@@ -1,0 +1,69 @@
+"""Similarity search tests (embeddings table)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bloomjoin_spark.operators import (
+    ann_lsh_topk,
+    cosine_topk,
+    embedding_near_dup_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet").persist()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+@pytest.fixture(scope="module")
+def queries(emb):
+    return emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+def test_bruteforce_topk_matches_numpy(spark, emb, queries):
+    got = cosine_topk(emb, queries, k=5).toPandas()
+    # numpy oracle
+    pdf = emb.toPandas()
+    V = np.stack(pdf["embedding"].map(np.asarray))
+    ids = pdf["vec_id"].to_numpy()
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    qdf = queries.toPandas()
+    for _, qrow in qdf.iterrows():
+        qv = np.asarray(qrow["embedding"], dtype=np.float64)
+        sims = Vn @ (qv / np.linalg.norm(qv))
+        order = np.lexsort((ids, -np.round(sims, 6)))[:5]
+        expect = list(ids[order])
+        mine = got[got.query_id == qrow["query_id"]].sort_values("rank")["vec_id"].tolist()
+        assert mine == expect
+
+
+def test_topk_self_match_first(emb, queries):
+    got = cosine_topk(emb, queries, k=1).toPandas()
+    assert (got["vec_id"] == got["query_id"]).all()
+    assert (got["sim"] >= 0.999999).all()
+
+
+def test_ann_lsh_recall(emb, queries):
+    exact = cosine_topk(emb, queries, k=10).select("query_id", "vec_id")
+    approx = ann_lsh_topk(emb, queries, k=10, bands=16, nbits=64).select(
+        "query_id", "vec_id"
+    )
+    inter = exact.intersect(approx).count()
+    recall = inter / exact.count()
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_embedding_near_dup_pairs(spark, emb):
+    # plant near-identical vectors
+    dup = emb.limit(5).withColumn("vec_id", F.col("vec_id") + 1_000_000)
+    both = emb.unionByName(dup)
+    pairs = embedding_near_dup_pairs(both, threshold=0.999)
+    found = pairs.filter(F.col("id_b") - F.col("id_a") == 1_000_000).count()
+    assert found == 5
+    assert pairs.filter(F.col("sim") < 0.999).count() == 0

@@ -1,0 +1,64 @@
+"""Streaming: windowed exact aggregation and sketch collection over the
+events file stream — streaming answers must equal batch answers."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bloomjoin_spark import HllSketch
+from bloomjoin_spark.streaming import (
+    StreamingSketchCollector,
+    events_stream,
+    windowed_counts,
+)
+from bloomjoin_spark.streaming.sketch_stream import run_stream_to_memory
+
+
+def test_windowed_counts_match_batch(spark, sf_dir):
+    stream = events_stream(spark, sf_dir)
+    agg = windowed_counts(stream, window="1 hour")
+    run_stream_to_memory(agg, "win_counts")
+    got = spark.table("win_counts")
+
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    exp = (
+        batch.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("value_sum"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "value_sum")
+    )
+    assert got.count() == exp.count()
+    assert got.exceptAll(exp).count() == 0
+
+
+def test_streaming_hll_equals_batch_estimate(spark, sf_dir):
+    stream = events_stream(spark, sf_dir)
+    coll = StreamingSketchCollector(lambda: HllSketch(p=13), cols=["user_id"])
+    q = coll.attach(stream).start()
+    q.processAllAvailable()
+    q.stop()
+    sk = coll.sketch()
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    exact = batch.select(F.countDistinct("user_id")).first()[0]
+    assert abs(sk.estimate() - exact) / exact <= 4 * sk.rel_std_error
+    assert coll.lineage  # per-batch lineage retained
+    assert sum(r["n_rows"] for r in coll.lineage) == batch.count()
+
+
+def test_streaming_grouped_sketches(spark, sf_dir):
+    stream = events_stream(spark, sf_dir)
+    coll = StreamingSketchCollector(
+        lambda: HllSketch(p=12), cols=["user_id"], group_col="event_type"
+    )
+    q = coll.attach(stream).start()
+    q.processAllAvailable()
+    q.stop()
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    per_type = {
+        r["event_type"]: r["d"]
+        for r in batch.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("d"))
+        .collect()
+    }
+    assert set(coll.sketches) == set(per_type)
+    for k, exact in per_type.items():
+        est = coll.sketch(k).estimate()
+        assert abs(est - exact) / max(exact, 1) <= 4 * coll.sketch(k).rel_std_error
