@@ -1,3 +1,17 @@
-from .api import approx_distinct, approx_quantiles, token_frequencies
+from .api import (
+    approx_distinct,
+    approx_quantiles,
+    hash_keys32,
+    hash_keys64,
+    hash_keys_pandas,
+    token_frequencies,
+)
 
-__all__ = ["approx_distinct", "approx_quantiles", "token_frequencies"]
+__all__ = [
+    "approx_distinct",
+    "approx_quantiles",
+    "hash_keys32",
+    "hash_keys64",
+    "hash_keys_pandas",
+    "token_frequencies",
+]

@@ -72,3 +72,43 @@ def token_frequencies(
     s = pd.Series(keys)
     est = res.sketch.query_hashes(hash_series(s))
     return dict(zip(list(keys), [int(e) for e in est]))
+
+
+def hash_keys64(df: DataFrame, cols: list[str] | str, out_col: str = "key_hash64") -> DataFrame:
+    """Stable 64-bit composite-key row hash, computed JVM-side inside
+    whole-stage codegen (``xxhash64``). Public parity with the
+    reference's exported ``hash_keys32`` (``/root/reference/R/hash_keys.R:13-62``,
+    ``NAMESPACE:5-7``) — same role (one shared, deterministic key hash
+    for joins and sketch ingestion), Spark-idiomatic implementation.
+    """
+    from pyspark.sql import functions as F
+
+    if isinstance(cols, str):
+        cols = [cols]
+    return df.withColumn(out_col, F.xxhash64(*[F.col(c) for c in cols]))
+
+
+def hash_keys32(df: DataFrame, cols: list[str] | str, out_col: str = "key_hash32") -> DataFrame:
+    """32-bit variant: xor-fold of the 64-bit hash (the reference folds
+    its 64-bit accumulator the same way, src/hash_keys.cpp:247-253)."""
+    from pyspark.sql import functions as F
+
+    if isinstance(cols, str):
+        cols = [cols]
+    h = F.xxhash64(*[F.col(c) for c in cols])
+    folded = F.shiftrightunsigned(h, 32).bitwiseXOR(
+        h.bitwiseAND(F.lit(0xFFFFFFFF))
+    )
+    return df.withColumn(out_col, folded.cast("int"))
+
+
+def hash_keys_pandas(pdf: pd.DataFrame, cols: list[str] | str) -> np.ndarray:
+    """Python-side canonical row hash over a pandas frame — the exact
+    pipeline sketch ingestion uses (cross-type canonicalisation of
+    §1.2: int 5 == double 5.0, -0 == +0, every null → one sentinel).
+    uint64 output; xor-fold to 32 bits yourself if needed."""
+    from ..hashing import hash_columns
+
+    if isinstance(cols, str):
+        cols = [cols]
+    return hash_columns(pdf, list(cols))

@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 
 from ..aggregate import build_sketch
 from ..plans.planner import (
+    MIN_EXPECTED_REDUCTION,
     BloomJoinReport,
     choose_prefilter_target,
     normalize_how,
@@ -49,6 +50,10 @@ from ..plans.planner import (
     validate_join_inputs,
 )
 from ..sketches.bloom import BloomSketch
+
+#: probe-side sample size for the selectivity estimate — the reference's
+#: probe_limit (R/bloomjoin.R:240-257 uses 5000)
+_SELECTIVITY_SAMPLE = 5000
 
 _NUM_RANK = {
     "tinyint": 0,
@@ -132,6 +137,7 @@ def bloom_join(
     prefilter_side: str = "auto",
     n_hint: int | dict | None = None,
     force_prefilter: bool = False,
+    selectivity_check: bool = True,
     collect_metrics: bool = True,
     fanin: int = 64,
     checkpoint_dir: str | None = None,
@@ -177,10 +183,15 @@ def bloom_join(
         xt, yt = dict(x.dtypes), dict(y.dtypes)
         casts = [_common_cast(xt[xc], yt[yc]) for xc, yc in pairs]
 
-        # ---- sizing input: count the BUILD side or take the hint. The
-        # hashed key projection is persisted so the sizing count and the
-        # sketch build share ONE evaluation of the build side's lineage
-        # (8 bytes/row — negligible memory even for big dims).
+        # ---- sizing input: one aggregation over the BUILD side yields
+        # both the row count and an approximate distinct-key count
+        # (partial-aggregated JVM-side HLL — no wide shuffle). The filter
+        # is sized by DISTINCT keys, the reference's right-sizing step
+        # (src/BloomFilter.cpp:102-118 shrinks to exact unique count):
+        # sizing by raw rows over-allocates m and bloats the broadcast
+        # when the build side repeats keys. The hashed key projection is
+        # persisted so sizing and sketch build share ONE evaluation of
+        # the build side's lineage (8 bytes/row).
         build_keyed = build_df.select(
             _key64(build_df, build_cols, casts).alias("__bj_key64")
         )
@@ -189,12 +200,22 @@ def bloom_join(
         if n_build is None:
             build_keyed = build_keyed.persist()
             persisted = True
-            n_build = build_keyed.count()
-        report.n_build = n_build
+            stats = build_keyed.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.approx_count_distinct("__bj_key64", 0.02).alias("d"),
+            ).first()
+            report.n_build = int(stats["n"])
+            build_distinct = int(stats["d"])
+            report.build_distinct_estimate = build_distinct
+            # 1.05 margin absorbs the ±2% rsd so the fpp target holds
+            n_build = max(16, int(build_distinct * 1.05))
+        else:
+            report.n_build = n_build
+            build_distinct = n_build
 
         skip_reasons = should_skip_prefilter(
             n_probe=n_hints.get("probe"),
-            build_distinct=n_build,
+            build_distinct=build_distinct,
             expected_reduction=None,
         )
         if force_prefilter:
@@ -229,11 +250,47 @@ def bloom_join(
     fill = sketch.fill_ratio()
     report.filter_fill_ratio = fill
     # distinct estimate by inverting the fill ratio: d ≈ -(m/k)·ln(1-fill)
-    if 0.0 < fill < 1.0:
+    if report.build_distinct_estimate is None and 0.0 < fill < 1.0:
         report.build_distinct_estimate = int(-(sketch.m / sketch.k) * np.log1p(-fill))
 
     if persisted:
         build_keyed.unpersist()
+
+    probe_hash = _key64(probe_df, probe_cols, casts)
+
+    # ---- sampled selectivity (O16, estimate_selectivity
+    # R/bloomjoin.R:240-257) + cost-based skip (O17, :300-311): probe a
+    # driver-side sample against the just-built filter; the measured
+    # pass rate IS s + (1−s)·fpr, the reference's expected_pass formula.
+    if selectivity_check and not force_prefilter:
+        sample = (
+            probe_df.select(probe_hash.alias("h"))
+            .limit(_SELECTIVITY_SAMPLE)
+            .toPandas()
+        )
+        if len(sample):
+            hs = sample["h"].to_numpy(dtype=np.int64).view(np.uint64)
+            pass_rate = float(sketch.contains_hashes(hs).mean())
+            report.selectivity_estimate = max(
+                0.0, min(1.0, (pass_rate - fpp) / max(1.0 - fpp, 1e-12))
+            )
+            report.expected_reduction = 1.0 - pass_rate
+            if report.expected_reduction <= MIN_EXPECTED_REDUCTION:
+                report.used_prefilter = False
+                report.prefilter_side = None
+                report.skip_reasons = [
+                    f"expected reduction {report.expected_reduction:.3f} "
+                    f"≤ {MIN_EXPECTED_REDUCTION} (sampled pass rate "
+                    f"{pass_rate:.3f})"
+                ]
+                if verbose:
+                    print(
+                        "bloom_join: prefilter skipped after sampling: "
+                        + report.skip_reasons[0]
+                    )
+                out = _standard_join(x, y, pairs, how)
+                return (out, report) if return_report else out
+
     spark = x.sparkSession
     sc = spark.sparkContext
     bc = sc.broadcast(sketch)
@@ -241,7 +298,6 @@ def bloom_join(
     acc_out = sc.accumulator(0) if collect_metrics else None
     probe_udf = _make_probe_udf(bc, acc_in, acc_out)
 
-    probe_hash = _key64(probe_df, probe_cols, casts)
     filtered = probe_df.filter(probe_udf(probe_hash))
     if collect_metrics:
         report._acc_in, report._acc_out = acc_in, acc_out  # read after an action

@@ -231,3 +231,43 @@ def test_prefilter_actually_reduces(spark):
     assert got.count() == 50
     reduction = 1 - rep._acc_out.value / rep._acc_in.value
     assert reduction > 0.95
+
+
+def test_sizing_uses_distinct_not_rows(spark):
+    """Build side with heavy key duplication must size the filter by
+    distinct keys (the reference right-sizes to exact unique count,
+    src/BloomFilter.cpp:102-118) — m for 100k rows over 100 distinct
+    keys must be far below m for 100k distinct keys."""
+    x = spark.range(0, 5000).withColumn("vx", F.col("id"))
+    y = spark.range(0, 100_000).select((F.col("id") % 100).alias("id"))
+    _, rep = bloom_join(
+        x, y, on="id", how="inner", force_prefilter=True, return_report=True
+    )
+    assert rep.n_build == 100_000
+    assert rep.build_distinct_estimate is not None
+    assert rep.build_distinct_estimate < 200
+    # 100-ish distinct keys at fpp=0.01 needs ~1000 bits, not ~1M
+    assert rep.filter_bits < 16_384
+
+
+def test_selectivity_skip_high_overlap(spark):
+    """Full-overlap join: sampled pass rate ≈ 1 ⇒ prefilter skipped,
+    result still identical to the plain join (reference cost gate,
+    R/bloomjoin.R:300-311)."""
+    x = spark.range(0, 20_000).withColumn("vx", F.col("id") * 2)
+    y = spark.range(0, 20_000).withColumn("vy", F.col("id") * 3)
+    got, rep = bloom_join(x, y, on="id", how="inner", return_report=True)
+    assert not rep.used_prefilter
+    assert rep.expected_reduction is not None and rep.expected_reduction <= 0.02
+    assert any("expected reduction" in r for r in rep.skip_reasons)
+    assert_df_equal(got, x.join(y, "id", "inner"))
+
+
+def test_selectivity_proceeds_low_overlap(spark):
+    """1% overlap: the sampled gate must NOT skip."""
+    x = spark.range(0, 50_000).withColumn("vx", F.col("id"))
+    y = spark.range(0, 500).withColumn("vy", F.col("id"))
+    got, rep = bloom_join(x, y, on="id", how="inner", return_report=True)
+    assert rep.used_prefilter
+    assert rep.expected_reduction is None or rep.expected_reduction > 0.02
+    assert_df_equal(got, x.join(y, "id", "inner"))

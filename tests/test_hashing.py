@@ -90,3 +90,22 @@ def test_hash_tokens_flat():
     # token id 1 hashes like scalar int 1
     one = hash_series(pd.Series([1], dtype="int32"))
     assert h[0] == one[0]
+
+
+def test_hash_keys32_public_api(spark):
+    """Public hash_keys32/64 parity surface (reference NAMESPACE:5-7):
+    deterministic, composite-key, JVM-side."""
+    import pandas as pd
+
+    from bloomjoin_spark.functions import hash_keys32, hash_keys64, hash_keys_pandas
+
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (1, "a")], "k int, s string")
+    h64 = [r["key_hash64"] for r in hash_keys64(df, ["k", "s"]).collect()]
+    h32 = [r["key_hash32"] for r in hash_keys32(df, ["k", "s"]).collect()]
+    assert h64[0] == h64[2] and h64[0] != h64[1]
+    assert h32[0] == h32[2] and h32[0] != h32[1]
+    assert all(-(2**31) <= v < 2**31 for v in h32)
+    # pandas-side canonical hash: cross-type equality int == double
+    pa = hash_keys_pandas(pd.DataFrame({"k": [1, 2]}), "k")
+    pb = hash_keys_pandas(pd.DataFrame({"k": [1.0, 2.0]}), "k")
+    assert (pa == pb).all()
