@@ -334,6 +334,93 @@ def _multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.select("media_id", "modality", "n_bytes")
 
 
+# ---------------------------------------------------------------------------
+# north-rule F0 token-table queries (input_hint shape: doc_id string,
+# tokens array<int32>, n_tok int, source string) — synthesized
+# deterministically via datagen; the exactness checks run Spark-side
+# against exact computation, the oracle pins the booleans
+# ---------------------------------------------------------------------------
+
+def _f0(spark: SparkSession, n: int = 50_000):
+    from bloomjoin_spark.datagen import token_table
+
+    return token_table(spark, n, vocab=5_000, max_tok=64, num_partitions=8)
+
+
+def _bloom_join_tokens_f0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship invariant on the north-rule table: bloom_join output is
+    row-identical to the exact join INCLUDING the token arrays
+    (BASELINE.json: 'per-row token-array equality ... preserved through
+    all filter/join stages')."""
+    from bloomjoin_spark import bloom_join
+    from bloomjoin_spark.datagen import lookup_table
+
+    toks = _f0(spark)
+    lk = lookup_table(spark, 50_000, 2_000, overlap=0.3, num_partitions=4)
+    got = bloom_join(toks, lk, on="doc_id", how="inner", force_prefilter=True)
+    exact = toks.join(lk, "doc_id", "inner")
+    diff = got.exceptAll(exact).count() + exact.exceptAll(got).count()
+    return spark.createDataFrame(
+        [(int(exact.count()), bool(diff == 0))],
+        "exact_rows bigint, rows_and_token_arrays_identical boolean",
+    )
+
+
+def _hll_distinct_tokens_f0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode-free HLL over every token id of the F0 table vs the exact
+    explode+countDistinct, within 4σ of 1.04/√m."""
+    from bloomjoin_spark import HllSketch, build_sketch
+
+    toks = _f0(spark)
+    res = build_sketch(toks, lambda: HllSketch(p=14), token_col="tokens")
+    exact = toks.select(F.explode("tokens").alias("t")).agg(
+        F.countDistinct("t").alias("d")
+    ).first()["d"]
+    ok = abs(res.sketch.estimate() - exact) / max(exact, 1) <= 4 * res.sketch.rel_std_error
+    return spark.createDataFrame(
+        [(bool(ok),)], "hll_within_bound boolean"
+    )
+
+
+def _cms_hot_tokens_f0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS point queries for the 20 hottest token ids vs exact counts:
+    never undercounts, overcount ≤ εN."""
+    import numpy as np
+
+    from bloomjoin_spark import CmsSketch, build_sketch
+    from bloomjoin_spark.hashing import hash_float64
+
+    toks = _f0(spark)
+    res = build_sketch(
+        toks, lambda: CmsSketch(eps=1e-4, delta=1e-3), token_col="tokens"
+    )
+    sk = res.sketch
+    exact = (
+        toks.select(F.explode("tokens").alias("t"))
+        .groupBy("t").count().orderBy(F.desc("count"), "t").limit(20).toPandas()
+    )
+    h = hash_float64(exact["t"].to_numpy(dtype=np.float64))
+    est = sk.query_hashes(h)
+    truth = exact["count"].to_numpy()
+    ok = bool(((est >= truth) & (est - truth <= sk.error_bound())).all())
+    return spark.createDataFrame([(ok,)], "cms_within_bound boolean")
+
+
+def _salted_source_join_f0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew handling on the F0 table's hot 'source' key (50% of rows):
+    salted join result count == plain join count."""
+    from bloomjoin_spark.operators import salted_join
+
+    toks = _f0(spark)
+    dim = toks.groupBy("source").agg(F.count(F.lit(1)).alias("src_total"))
+    salted = salted_join(toks.select("doc_id", "source"), dim, on="source",
+                         how="inner", salts=8).count()
+    plain = toks.select("doc_id", "source").join(dim, "source", "inner").count()
+    return spark.createDataFrame(
+        [(bool(salted == plain),)], "salted_equals_plain boolean"
+    )
+
+
 def _streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bloomjoin_spark.streaming import events_stream, windowed_counts
     from bloomjoin_spark.streaming.sketch_stream import run_stream_to_memory
@@ -372,6 +459,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join_counts": _salted_join_counts,
         "multimodal_meta": _multimodal_meta,
         "streaming_windowed_counts": _streaming_windowed_counts,
+        "bloom_join_tokens_f0": _bloom_join_tokens_f0,
+        "hll_distinct_tokens_f0": _hll_distinct_tokens_f0,
+        "cms_hot_tokens_f0": _cms_hot_tokens_f0,
+        "salted_source_join_f0": _salted_source_join_f0,
     }
 
 
@@ -525,5 +616,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT epoch(time_bucket(INTERVAL '1 hour', ts))::BIGINT AS window_epoch,
                    event_type, count(*) AS n
             FROM events GROUP BY 1, 2
+        """,
+        # F0 queries: inputs are synthesized deterministically (counter-based
+        # splitmix64 datagen — identical on every machine/partitioning), so
+        # the oracle pins the exact deterministic values.
+        "bloom_join_tokens_f0": """
+            SELECT 618 AS exact_rows, TRUE AS rows_and_token_arrays_identical
+        """,
+        "hll_distinct_tokens_f0": """
+            SELECT TRUE AS hll_within_bound
+        """,
+        "cms_hot_tokens_f0": """
+            SELECT TRUE AS cms_within_bound
+        """,
+        "salted_source_join_f0": """
+            SELECT TRUE AS salted_equals_plain
         """,
     }

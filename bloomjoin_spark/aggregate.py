@@ -37,7 +37,9 @@ from pyspark.sql import functions as F
 from .hashing import NULL_SENTINEL, hash_columns, hash_tokens_flat
 from .sketches.base import Sketch
 
-PARTIAL_SCHEMA = "partition_id long, n_rows long, fingerprint long, blob binary"
+PARTIAL_SCHEMA = (
+    "partition_id long, n_partials long, n_rows long, fingerprint long, blob binary"
+)
 
 
 @dataclass
@@ -114,11 +116,21 @@ def make_partial_fn(
                     h = h[~null_mask]
             with np.errstate(over="ignore"):
                 fp += h.sum(dtype=np.uint64)
-            sk.update_hashes(h)
+            # pre-aggregate the batch: one shared sort replaces the
+            # unbuffered per-element scatter inside the sketch — on
+            # zipf-ish token streams uniques ≪ raw count (vocab-bound)
+            if getattr(sk, "SET_SEMANTICS", False):
+                sk.update_hashes(np.unique(h))
+            elif getattr(sk, "SUPPORTS_WEIGHTS", False):
+                hu, hc = np.unique(h, return_counts=True)
+                sk.update_hashes(hu, weights=hc)
+            else:
+                sk.update_hashes(h)
             n += len(pdf)
         yield pd.DataFrame(
             {
                 "partition_id": [pid],
+                "n_partials": [1],
                 "n_rows": [n],
                 "fingerprint": [np.int64(fp.astype(np.int64))],
                 "blob": [sk.to_bytes()],
@@ -140,6 +152,7 @@ def _merge_group_fn(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(
         {
             "partition_id": [int(pdf["partition_id"].min())],
+            "n_partials": [int(pdf["n_partials"].sum())],
             "n_rows": [int(pdf["n_rows"].sum())],
             "fingerprint": [np.int64(fp.astype(np.int64))],
             "blob": [acc.to_bytes()],
@@ -167,14 +180,15 @@ def sketch_partials(
 
 
 def tree_merge(partials: DataFrame, fanin: int = 64) -> tuple[Sketch, int, int, int]:
-    """Phase 2. Returns (sketch, n_partitions, n_rows, rounds)."""
-    # persist the partial blobs: the count action below and the final
-    # collect/merge must share ONE pass over the input (a partial is
-    # tiny — one row per partition — but its lineage is the full scan)
-    cur = partials.persist()
-    first = cur
-    n_parts = cur.count()
-    orig_parts = n_parts
+    """Phase 2. Returns (sketch, n_partitions, n_rows, rounds).
+
+    The round count is planned from PARTITION METADATA (one partial row
+    per input partition), not a count() action — the whole merge tree
+    plus the final collect executes as ONE Spark job, so the input is
+    scanned exactly once and no persist of the partials is needed.
+    Exact partial accounting rides in the ``n_partials`` column."""
+    n_parts = max(1, partials.rdd.getNumPartitions())  # metadata, no job
+    cur = partials
     rounds = 0
     while n_parts > fanin:
         ngroups = math.ceil(n_parts / fanin)
@@ -187,15 +201,16 @@ def tree_merge(partials: DataFrame, fanin: int = 64) -> tuple[Sketch, int, int, 
         n_parts = ngroups
         rounds += 1
     rows = cur.collect()
-    first.unpersist()
     if not rows:
         raise ValueError("no partials produced (empty input with 0 partitions?)")
     acc: Sketch | None = None
     n_rows = 0
+    orig_parts = 0
     for r in rows:
         s = Sketch.from_bytes(bytes(r["blob"]))
         acc = s if acc is None else acc.merge(s)
         n_rows += r["n_rows"]
+        orig_parts += r["n_partials"]
     return acc, orig_parts, n_rows, rounds
 
 

@@ -99,7 +99,9 @@ def hash_keys32(df: DataFrame, cols: list[str] | str, out_col: str = "key_hash32
     folded = F.shiftrightunsigned(h, 32).bitwiseXOR(
         h.bitwiseAND(F.lit(0xFFFFFFFF))
     )
-    return df.withColumn(out_col, folded.cast("int"))
+    # reinterpret the unsigned 32-bit fold as signed int32 (ANSI-safe)
+    signed = F.pmod(folded + F.lit(2**31), F.lit(2**32)) - F.lit(2**31)
+    return df.withColumn(out_col, signed.cast("int"))
 
 
 def hash_keys_pandas(pdf: pd.DataFrame, cols: list[str] | str) -> np.ndarray:

@@ -179,6 +179,28 @@ def bloom_join(
         probe_cols = [p[0] for p in pairs] if target == "x" else [p[1] for p in pairs]
         build_name = "y" if target == "x" else "x"
 
+        # ---- Spark-specific gate: if Catalyst would broadcast the build
+        # side anyway, a broadcast-hash join already avoids the probe
+        # shuffle and the prefilter only adds passes (SURVEY.md §4.1
+        # "cost-based skip" re-tuned for Spark). Plan-stats sizeInBytes
+        # is free (parquet footers), no job runs.
+        if not force_prefilter:
+            bytes_est = _plan_size_bytes(build_df)
+            thr = _broadcast_threshold(x.sparkSession)
+            gate = should_skip_prefilter(
+                n_probe=None,
+                build_distinct=None,
+                expected_reduction=None,
+                build_bytes_estimate=bytes_est,
+                broadcast_threshold=thr,
+            )
+            if gate:
+                report.skip_reasons = gate
+                if verbose:
+                    print(f"bloom_join: prefilter skipped: {'; '.join(gate)}")
+                out = _standard_join(x, y, pairs, how)
+                return (out, report) if return_report else out
+
         # ---- canonical casts shared by build hash and probe hash
         xt, yt = dict(x.dtypes), dict(y.dtypes)
         casts = [_common_cast(xt[xc], yt[yc]) for xc, yc in pairs]
@@ -327,6 +349,26 @@ def _standard_join(x: DataFrame, y: DataFrame, pairs, how: str) -> DataFrame:
         c = x[xc] == y[yc]
         cond = c if cond is None else (cond & c)
     return x.join(y, on=cond, how=sh)
+
+
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst plan-stats size estimate (bytes); None if unavailable."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return None
+
+
+def _broadcast_threshold(spark) -> int | None:
+    """autoBroadcastJoinThreshold in bytes; None when disabled (-1)."""
+    try:
+        raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        thr = int(
+            spark.sparkContext._jvm.org.apache.spark.util.Utils.byteStringAsBytes(raw)
+        )
+        return thr if thr > 0 else None
+    except Exception:
+        return None
 
 
 def _normalize_n_hint(n_hint) -> dict:

@@ -189,8 +189,11 @@ def minhash_dedup_pairs(
     threshold: float = 0.7,
 ) -> DataFrame:
     """Near-dup pairs with exact-Jaccard verification:
-    (id_a, id_b, jaccard) where jaccard ≥ threshold."""
-    sh = with_shingle_hashes(df, text_col, n).select(id_col, "shingles")
+    (id_a, id_b, jaccard) where jaccard ≥ threshold.
+
+    The shingle table feeds three consumers (signatures + both sides of
+    the verification join) — persist it so shingling runs once."""
+    sh = with_shingle_hashes(df, text_col, n).select(id_col, "shingles").persist()
     sigs = add_minhash_signature(sh.select(id_col, "shingles"), "shingles", num_perm)
     cand = lsh_candidate_pairs(sigs, id_col, "minhash", bands)
     sa = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))

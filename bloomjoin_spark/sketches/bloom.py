@@ -113,6 +113,8 @@ def _probe_matrix(h: np.ndarray, k: int, mask: np.uint64) -> np.ndarray:
 class BloomSketch(Sketch):
     KIND = b"BLM1"
     CONSUMES = "hashes"
+    #: membership insert is idempotent (update_hashes dedups anyway)
+    SET_SEMANTICS = True
 
     def __init__(self, n: int, fpp: float = 0.01, _words: np.ndarray | None = None):
         self.n_hint = int(n)

@@ -34,6 +34,10 @@ def cms_params(eps: float, delta: float) -> tuple[int, int]:
 class CmsSketch(Sketch):
     KIND = b"CMS1"
     CONSUMES = "hashes"
+    #: the aggregation harness may pre-aggregate a batch to
+    #: (unique hash, count) and call update_hashes(u, weights=c) —
+    #: far less scatter work on zipf-ish token streams
+    SUPPORTS_WEIGHTS = True
 
     def __init__(
         self,
@@ -65,14 +69,18 @@ class CmsSketch(Sketch):
         if h.size == 0:
             return
         pos = self._positions(h)
+        # bincount (buffered, contiguous) beats np.add.at (unbuffered
+        # scatter) by ~10× at these widths; w*8B is a few hundred KB
         if weights is None:
             for i in range(self.d):
-                np.add.at(self.table[i], pos[i], 1)
+                self.table[i] += np.bincount(pos[i], minlength=self.w)
             self.total += int(h.size)
         else:
-            w = weights.astype(np.int64, copy=False)
+            w = weights.astype(np.float64, copy=False)
             for i in range(self.d):
-                np.add.at(self.table[i], pos[i], w)
+                self.table[i] += np.bincount(
+                    pos[i], weights=w, minlength=self.w
+                ).astype(np.int64)
             self.total += int(w.sum())
 
     def add_null(self) -> None:

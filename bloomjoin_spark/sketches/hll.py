@@ -49,6 +49,9 @@ def _alpha(m: int) -> float:
 class HllSketch(Sketch):
     KIND = b"HLL1"
     CONSUMES = "hashes"
+    #: register update is max ⇒ idempotent: the aggregation harness may
+    #: dedup each batch before calling update_hashes
+    SET_SEMANTICS = True
 
     def __init__(self, p: int = 14, _regs: np.ndarray | None = None):
         if not (4 <= p <= 18):

@@ -176,7 +176,8 @@ def test_full_join_never_prefiltered(spark, xy):
 def test_skip_gates_small_build(spark):
     x = spark.range(0, 50).withColumn("vx", F.lit(1))
     y = spark.range(0, 5).withColumn("vy", F.lit(2))  # 5 < MIN_BUILD_DISTINCT
-    got, rep = bloom_join(x, y, on="id", how="inner", return_report=True)
+    with _no_broadcast_gate(spark):
+        got, rep = bloom_join(x, y, on="id", how="inner", return_report=True)
     assert not rep.used_prefilter
     assert any("too few distinct" in r for r in rep.skip_reasons)
     assert_df_equal(got, x.join(y, "id", "inner"))
@@ -233,6 +234,36 @@ def test_prefilter_actually_reduces(spark):
     assert reduction > 0.95
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _no_broadcast_gate(spark):
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_broadcast_gate_skips_small_build(spark):
+    """A build side under autoBroadcastJoinThreshold skips the prefilter
+    in auto mode — Catalyst's broadcast-hash join already avoids the
+    probe-side shuffle, so the filter passes are pure overhead."""
+    x = spark.range(0, 200_000).withColumn("vx", F.col("id"))
+    y = spark.range(0, 1000).withColumn("vy", F.col("id"))
+    got, rep = bloom_join(x, y, on="id", how="inner", return_report=True)
+    assert not rep.used_prefilter
+    assert any("autoBroadcastJoinThreshold" in r for r in rep.skip_reasons)
+    assert_df_equal(got, x.join(y, "id", "inner"))
+    # force_prefilter overrides the gate
+    _, rep2 = bloom_join(
+        x, y, on="id", how="inner", force_prefilter=True, return_report=True
+    )
+    assert rep2.used_prefilter
+
+
 def test_sizing_uses_distinct_not_rows(spark):
     """Build side with heavy key duplication must size the filter by
     distinct keys (the reference right-sizes to exact unique count,
@@ -253,10 +284,12 @@ def test_sizing_uses_distinct_not_rows(spark):
 def test_selectivity_skip_high_overlap(spark):
     """Full-overlap join: sampled pass rate ≈ 1 ⇒ prefilter skipped,
     result still identical to the plain join (reference cost gate,
-    R/bloomjoin.R:300-311)."""
+    R/bloomjoin.R:300-311). Broadcast gate disabled so the SAMPLED gate
+    is what fires."""
     x = spark.range(0, 20_000).withColumn("vx", F.col("id") * 2)
     y = spark.range(0, 20_000).withColumn("vy", F.col("id") * 3)
-    got, rep = bloom_join(x, y, on="id", how="inner", return_report=True)
+    with _no_broadcast_gate(spark):
+        got, rep = bloom_join(x, y, on="id", how="inner", return_report=True)
     assert not rep.used_prefilter
     assert rep.expected_reduction is not None and rep.expected_reduction <= 0.02
     assert any("expected reduction" in r for r in rep.skip_reasons)
@@ -267,7 +300,8 @@ def test_selectivity_proceeds_low_overlap(spark):
     """1% overlap: the sampled gate must NOT skip."""
     x = spark.range(0, 50_000).withColumn("vx", F.col("id"))
     y = spark.range(0, 500).withColumn("vy", F.col("id"))
-    got, rep = bloom_join(x, y, on="id", how="inner", return_report=True)
+    with _no_broadcast_gate(spark):
+        got, rep = bloom_join(x, y, on="id", how="inner", return_report=True)
     assert rep.used_prefilter
     assert rep.expected_reduction is None or rep.expected_reduction > 0.02
     assert_df_equal(got, x.join(y, "id", "inner"))
