@@ -9,7 +9,7 @@ commutative two-phase aggregate built with vectorized pandas/Arrow
 UDFs, never per-row Python.
 """
 
-from .aggregate import BuildResult, build_sketch
+from .aggregate import BuildResult, build_sketch, build_sketches
 from .operators import bloom_join
 from .plans import BloomJoinReport
 from .sketches import (
@@ -39,5 +39,6 @@ __all__ = [
     "bloom_params",
     "bloom_sizing",
     "build_sketch",
+    "build_sketches",
     "cms_params",
 ]

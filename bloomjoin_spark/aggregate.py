@@ -34,12 +34,24 @@ from pyspark import TaskContext
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .hashing import NULL_SENTINEL, hash_columns, hash_tokens_flat
+from .hashing import NULL_SENTINEL, hash_columns, hash_float64, hash_tokens_flat
 from .sketches.base import Sketch
 
 PARTIAL_SCHEMA = (
     "partition_id long, n_partials long, n_rows long, fingerprint long, blob binary"
 )
+
+#: bincount pre-aggregation bound for non-negative int token ids
+#: (typical LLM vocabs are ≤ a few hundred thousand)
+_BINCOUNT_MAX = 1 << 22
+
+#: single-column dtypes eligible for the Arrow fast path (canonical
+#: double hashing matches hash_series for |v| ≤ 2^53 — the same primary
+#: path pandas ingestion takes)
+_ARROW_NUMERIC = {
+    "tinyint", "smallint", "int", "integer", "bigint", "long",
+    "float", "double", "short", "byte",
+}
 
 
 @dataclass
@@ -108,24 +120,9 @@ def make_partial_fn(
                 n += len(pdf)
                 continue
             h = _extract_hashes(pdf, cols, token_col, prehashed)
-            if drop_nulls and not prehashed:
-                null_mask = h == NULL_SENTINEL
-                if null_mask.any():
-                    if hasattr(sk, "add_null"):
-                        sk.add_null()
-                    h = h[~null_mask]
             with np.errstate(over="ignore"):
                 fp += h.sum(dtype=np.uint64)
-            # pre-aggregate the batch: one shared sort replaces the
-            # unbuffered per-element scatter inside the sketch — on
-            # zipf-ish token streams uniques ≪ raw count (vocab-bound)
-            if getattr(sk, "SET_SEMANTICS", False):
-                sk.update_hashes(np.unique(h))
-            elif getattr(sk, "SUPPORTS_WEIGHTS", False):
-                hu, hc = np.unique(h, return_counts=True)
-                sk.update_hashes(hu, weights=hc)
-            else:
-                sk.update_hashes(h)
+            _ingest_hashes(sk, h, drop_nulls=drop_nulls and not prehashed)
             n += len(pdf)
         yield pd.DataFrame(
             {
@@ -138,6 +135,244 @@ def make_partial_fn(
         )
 
     return partial_fn
+
+
+def _ingest_hashes(sk: Sketch, h: np.ndarray, drop_nulls: bool = True) -> None:
+    """Shared batch-ingest for hash-consuming sketches: null handling +
+    set/weighted pre-aggregation (one sort replaces unbuffered scatter)."""
+    if drop_nulls:
+        null_mask = h == NULL_SENTINEL
+        if null_mask.any():
+            if hasattr(sk, "add_null"):
+                sk.add_null()
+            h = h[~null_mask]
+    if getattr(sk, "SET_SEMANTICS", False):
+        sk.update_hashes(np.unique(h))
+    elif getattr(sk, "SUPPORTS_WEIGHTS", False):
+        hu, hc = np.unique(h, return_counts=True)
+        sk.update_hashes(hu, weights=hc)
+    else:
+        sk.update_hashes(h)
+
+
+def make_partial_fn_arrow(
+    factory: Callable[[], Sketch],
+    token_col: str | None = None,
+    prehashed: bool = False,
+    done_ids: frozenset[int] = frozenset(),
+):
+    """Arrow-native partial builder (``mapInArrow``) for the hot cases:
+    prehashed int64 keys, ``array<int>`` token columns, single numeric
+    columns.  An Arrow list column is ONE flat values buffer + offsets —
+    flattening it is zero-copy, versus the Arrow→pandas conversion that
+    materializes a numpy object per ROW (millions of small allocations
+    per batch; measured 85-94% kernel time from allocator churn at 32
+    concurrent workers)."""
+    import pyarrow as pa
+
+    def partial_fn(it):
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else -1
+        if pid in done_ids:
+            return
+        sk = factory()
+        consumes = getattr(sk, "CONSUMES", "hashes")
+        n = 0
+        fp = np.uint64(0)
+        for batch in it:
+            if batch.num_rows == 0:
+                continue
+            col = batch.column(0)
+            if token_col is not None:
+                flat = col.flatten()  # zero-copy: list values trimmed to batch
+                arr = flat.to_numpy(zero_copy_only=False)
+            else:
+                if col.null_count:
+                    if hasattr(sk, "add_null"):
+                        sk.add_null()
+                    col = col.drop_null()
+                arr = col.to_numpy(zero_copy_only=False)
+            if consumes == "values":
+                v = arr.astype(np.float64, copy=False)
+                nan_mask = np.isnan(v)
+                if nan_mask.any():
+                    if hasattr(sk, "add_null"):
+                        sk.add_null()
+                    v = v[~nan_mask]
+                with np.errstate(over="ignore"):
+                    fp += v.view(np.uint64).sum(dtype=np.uint64)
+                sk.update_values(v)
+            else:
+                if prehashed:
+                    h = arr.astype(np.int64, copy=False).view(np.uint64)
+                elif (
+                    token_col is not None
+                    and arr.dtype.kind in "iu"
+                    and arr.size
+                    and 0 <= arr.min() and arr.max() < _BINCOUNT_MAX
+                ):
+                    # token-id fast path: one sequential bincount collapses
+                    # millions of token instances to ≤vocab uniques BEFORE
+                    # hashing — the pass becomes O(n) reads + O(vocab) hashes
+                    cnt = np.bincount(arr)
+                    vals = np.nonzero(cnt)[0]
+                    h = hash_float64(vals.astype(np.float64))
+                    with np.errstate(over="ignore"):
+                        fp += h.sum(dtype=np.uint64)
+                    if getattr(sk, "SET_SEMANTICS", False):
+                        sk.update_hashes(h)
+                    elif getattr(sk, "SUPPORTS_WEIGHTS", False):
+                        sk.update_hashes(h, weights=cnt[vals])
+                    else:
+                        sk.update_hashes(np.repeat(h, cnt[vals]))
+                    n += batch.num_rows
+                    continue
+                else:
+                    # canonical numeric hash (int == double cross-type)
+                    h = hash_float64(arr.astype(np.float64, copy=False))
+                with np.errstate(over="ignore"):
+                    fp += h.sum(dtype=np.uint64)
+                _ingest_hashes(sk, h, drop_nulls=not prehashed)
+            n += batch.num_rows
+        yield pa.RecordBatch.from_pydict(
+            {
+                "partition_id": pa.array([pid], pa.int64()),
+                "n_partials": pa.array([1], pa.int64()),
+                "n_rows": pa.array([n], pa.int64()),
+                "fingerprint": pa.array(
+                    [int(np.int64(fp.astype(np.int64)))], pa.int64()
+                ),
+                "blob": pa.array([sk.to_bytes()], pa.binary()),
+            }
+        )
+
+    return partial_fn
+
+
+MULTI_PARTIAL_SCHEMA = (
+    "name string, partition_id long, n_partials long, n_rows long, "
+    "fingerprint long, blob binary"
+)
+
+
+def make_multi_partial_fn_arrow(
+    factories: dict[str, Callable[[], Sketch]],
+    token_col: str,
+    done_ids: frozenset[int] = frozenset(),
+):
+    """One pass, MANY sketches (mapInArrow): the token column is
+    flattened once, bincount-preaggregated once, and every sketch
+    updates from the shared arrays.  At scale this is the difference
+    between K scans of the table and one — the scan (not the sketch
+    math) dominates a 100 TB build."""
+    import pyarrow as pa
+
+    def partial_fn(it):
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else -1
+        if pid in done_ids:
+            return
+        sks = {name: f() for name, f in factories.items()}
+        n = 0
+        fp = np.uint64(0)
+        for batch in it:
+            if batch.num_rows == 0:
+                continue
+            arr = batch.column(0).flatten().to_numpy(zero_copy_only=False)
+            n += batch.num_rows
+            vals = cnt = h = None
+            if arr.dtype.kind in "iu" and arr.size and 0 <= arr.min() and arr.max() < _BINCOUNT_MAX:
+                cnt_full = np.bincount(arr)
+                vals = np.nonzero(cnt_full)[0]
+                cnt = cnt_full[vals]
+                h = hash_float64(vals.astype(np.float64))
+            with np.errstate(over="ignore"):
+                fp += (
+                    h.sum(dtype=np.uint64)
+                    if h is not None
+                    else np.uint64(arr.size)
+                )
+            for sk in sks.values():
+                consumes = getattr(sk, "CONSUMES", "hashes")
+                if consumes == "values":
+                    v = arr.astype(np.float64, copy=False)
+                    nan_mask = np.isnan(v)
+                    if nan_mask.any():
+                        if hasattr(sk, "add_null"):
+                            sk.add_null()
+                        v = v[~nan_mask]
+                    sk.update_values(v)
+                elif h is not None:
+                    if getattr(sk, "SET_SEMANTICS", False):
+                        sk.update_hashes(h)
+                    elif getattr(sk, "SUPPORTS_WEIGHTS", False):
+                        sk.update_hashes(h, weights=cnt)
+                    else:
+                        sk.update_hashes(np.repeat(h, cnt))
+                else:
+                    _ingest_hashes(sk, hash_float64(arr.astype(np.float64)))
+        names = list(sks)
+        yield pa.RecordBatch.from_pydict(
+            {
+                "name": pa.array(names, pa.string()),
+                "partition_id": pa.array([pid] * len(names), pa.int64()),
+                "n_partials": pa.array([1] * len(names), pa.int64()),
+                "n_rows": pa.array([n] * len(names), pa.int64()),
+                "fingerprint": pa.array(
+                    [int(np.int64(fp.astype(np.int64)))] * len(names), pa.int64()
+                ),
+                "blob": pa.array([sks[nm].to_bytes() for nm in names], pa.binary()),
+            }
+        )
+
+    return partial_fn
+
+
+def _merge_group_multi_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+    out = _merge_group_fn(pdf.drop(columns=["name"]))
+    out.insert(0, "name", pdf["name"].iloc[0])
+    return out
+
+
+def build_sketches(
+    df: DataFrame,
+    factories: dict[str, Callable[[], Sketch]],
+    token_col: str,
+    fanin: int = 64,
+) -> dict[str, BuildResult]:
+    """Build several sketches over one token column in a SINGLE pass.
+    Returns {name: BuildResult}."""
+    fn = make_multi_partial_fn_arrow(factories, token_col)
+    partials = df.select(token_col).mapInArrow(fn, schema=MULTI_PARTIAL_SCHEMA)
+    n_parts = max(1, partials.rdd.getNumPartitions())
+    cur = partials
+    rounds = 0
+    while n_parts > fanin:
+        ngroups = math.ceil(n_parts / fanin)
+        cur = (
+            cur.withColumn("g", F.pmod(F.col("partition_id"), F.lit(ngroups)))
+            .groupBy("name", "g")
+            .applyInPandas(_merge_group_multi_fn, schema=MULTI_PARTIAL_SCHEMA)
+        )
+        n_parts = ngroups
+        rounds += 1
+    out: dict[str, BuildResult] = {}
+    acc: dict[str, list] = {}
+    for r in cur.collect():
+        acc.setdefault(r["name"], []).append(r)
+    for name, rows in acc.items():
+        sk = None
+        n_rows = 0
+        orig = 0
+        for r in rows:
+            s = Sketch.from_bytes(bytes(r["blob"]))
+            sk = s if sk is None else sk.merge(s)
+            n_rows += r["n_rows"]
+            orig += r["n_partials"]
+        out[name] = BuildResult(
+            sketch=sk, n_partitions=orig, n_rows=n_rows, merge_rounds=rounds
+        )
+    return out
 
 
 def _merge_group_fn(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -171,10 +406,25 @@ def sketch_partials(
     """Phase 1: DataFrame of one partial row per input partition.
 
     Projects to only the key/token columns first so the parquet scan
-    stays pruned (check ``ReadSchema`` in .explain)."""
+    stays pruned (check ``ReadSchema`` in .explain).  Hot cases
+    (prehashed keys, token arrays, one numeric column) run on the
+    Arrow-native path — flat buffers, no per-row materialization."""
     if isinstance(cols, str):
         cols = [cols]
     keep = list(cols) if cols else [token_col]
+    dtypes = dict(df.dtypes)
+    arrow_ok = (
+        prehashed
+        or token_col is not None
+        or (
+            cols is not None
+            and len(cols) == 1
+            and dtypes.get(cols[0], "").lower() in _ARROW_NUMERIC
+        )
+    )
+    if arrow_ok:
+        afn = make_partial_fn_arrow(factory, token_col, prehashed, done_ids)
+        return df.select(*keep).mapInArrow(afn, schema=PARTIAL_SCHEMA)
     fn = make_partial_fn(factory, cols, token_col, prehashed, done_ids)
     return df.select(*keep).mapInPandas(fn, schema=PARTIAL_SCHEMA)
 

@@ -86,3 +86,42 @@ def test_null_keys_tracked_not_inserted(spark):
     res = build_sketch(df, lambda: BloomSketch(4, 0.01), cols=["k"])
     assert res.sketch.has_null
     assert res.sketch.n_added == 2
+
+
+def test_build_sketches_single_pass_matches_individual(spark):
+    """Multi-sketch one-pass build == per-sketch builds (same estimates),
+    covering all four consumer types over one token column."""
+    from bloomjoin_spark import (
+        CmsSketch,
+        HllSketch,
+        KllSketch,
+        TDigestSketch,
+        build_sketch,
+        build_sketches,
+    )
+    from bloomjoin_spark.datagen import token_table
+
+    toks = token_table(spark, 20_000, vocab=2_000, max_tok=32, num_partitions=8)
+    multi = build_sketches(
+        toks,
+        {
+            "hll": lambda: HllSketch(12),
+            "cms": lambda: CmsSketch(eps=1e-3, delta=1e-3),
+            "td": lambda: TDigestSketch(200),
+            "kll": lambda: KllSketch(200),
+        },
+        token_col="tokens",
+    )
+    single_hll = build_sketch(toks, lambda: HllSketch(12), token_col="tokens")
+    single_cms = build_sketch(
+        toks, lambda: CmsSketch(eps=1e-3, delta=1e-3), token_col="tokens"
+    )
+    assert multi["hll"].sketch.estimate() == single_hll.sketch.estimate()
+    assert (multi["cms"].sketch.table == single_cms.sketch.table).all()
+    assert multi["hll"].n_partitions == 8
+    # quantiles of the zipf token distribution: q50 must be small, q ordering holds
+    qs = multi["td"].sketch.quantile([0.1, 0.5, 0.9])
+    assert qs[0] <= qs[1] <= qs[2]
+    kq = multi["kll"].sketch.quantile([0.1, 0.5, 0.9])
+    assert kq[0] <= kq[1] <= kq[2]
+    assert multi["td"].n_rows == single_hll.n_rows
