@@ -334,6 +334,75 @@ def _multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.select("media_id", "modality", "n_bytes")
 
 
+def _minhash_full_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup dedup: planted exact dups (higher ids) must
+    all be removed and nothing else — survivors == original doc_ids."""
+    from bloomjoin_spark.operators import minhash_dedup
+
+    _, union = _docs_with_planted_dups(spark, sf_dir)
+    kept = minhash_dedup(
+        union, "text", "doc_id", n=3, num_perm=64, bands=8, threshold=0.99
+    )
+    return kept.select("doc_id", "source")
+
+
+def _simhash_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup detection: identical texts have hamming 0, so
+    every planted dup pair must surface at max_hamming=3."""
+    from bloomjoin_spark.operators import add_simhash, simhash_near_dup_pairs
+
+    docs, union = _docs_with_planted_dups(spark, sf_dir)
+    sh = add_simhash(union.select("doc_id", "text"))
+    pairs = simhash_near_dup_pairs(sh, "doc_id", max_hamming=3)
+    planted = docs.filter(F.col("doc_id") % 5 == 0).count()
+    found = pairs.filter(
+        (F.col("id_b") - F.col("id_a") == 1_000_000) & (F.col("hamming") == 0)
+    ).count()
+    return spark.createDataFrame(
+        [(int(planted), bool(found == planted))],
+        "planted bigint, all_found boolean",
+    )
+
+
+def _ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH ANN vs brute-force cosine: recall@10 ≥ 0.5 on the sf corpus
+    (random-hyperplane buckets + exact re-rank)."""
+    from bloomjoin_spark.operators import ann_lsh_topk, cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 200 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(emb, queries_df, k=10).select("query_id", "vec_id")
+    approx = ann_lsh_topk(emb, queries_df, k=10, nbits=64, bands=16).select(
+        "query_id", "vec_id"
+    )
+    hit = exact.join(approx, ["query_id", "vec_id"], "left_semi").count()
+    total = exact.count()
+    recall = hit / max(total, 1)
+    return spark.createDataFrame(
+        [(bool(recall >= 0.5),)], "recall_at_least_half boolean"
+    )
+
+
+def _cms_event_type_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS per-event-type counts vs exact: never undercounts, within εN."""
+    from bloomjoin_spark import CmsSketch, build_sketch
+    from bloomjoin_spark.hashing import hash_series
+
+    ev = _t(spark, sf_dir, "events")
+    res = build_sketch(ev, lambda: CmsSketch(eps=1e-4, delta=1e-3), cols=["event_type"])
+    exact = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("exact_cnt")).toPandas()
+    est = res.sketch.query_hashes(hash_series(exact["event_type"]))
+    ok = (est >= exact["exact_cnt"].to_numpy()) & (
+        est - exact["exact_cnt"].to_numpy() <= res.sketch.error_bound()
+    )
+    out = exact.assign(within_bound=ok)
+    return spark.createDataFrame(
+        out, "event_type string, exact_cnt bigint, within_bound boolean"
+    )
+
+
 # ---------------------------------------------------------------------------
 # north-rule F0 token-table queries (input_hint shape: doc_id string,
 # tokens array<int32>, n_tok int, source string) — synthesized
@@ -459,6 +528,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join_counts": _salted_join_counts,
         "multimodal_meta": _multimodal_meta,
         "streaming_windowed_counts": _streaming_windowed_counts,
+        "minhash_full_dedup": _minhash_full_dedup,
+        "simhash_planted": _simhash_planted,
+        "ann_lsh_recall": _ann_lsh_recall,
+        "cms_event_type_freq": _cms_event_type_freq,
         "bloom_join_tokens_f0": _bloom_join_tokens_f0,
         "hll_distinct_tokens_f0": _hll_distinct_tokens_f0,
         "cms_hot_tokens_f0": _cms_hot_tokens_f0,
@@ -616,6 +689,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT epoch(time_bucket(INTERVAL '1 hour', ts))::BIGINT AS window_epoch,
                    event_type, count(*) AS n
             FROM events GROUP BY 1, 2
+        """,
+        "minhash_full_dedup": """
+            SELECT doc_id, source FROM documents
+        """,
+        "simhash_planted": """
+            SELECT count(*) AS planted, TRUE AS all_found
+            FROM documents WHERE doc_id % 5 = 0
+        """,
+        "ann_lsh_recall": """
+            SELECT TRUE AS recall_at_least_half
+        """,
+        "cms_event_type_freq": """
+            SELECT event_type, count(*) AS exact_cnt, TRUE AS within_bound
+            FROM events GROUP BY event_type
         """,
         # F0 queries: inputs are synthesized deterministically (counter-based
         # splitmix64 datagen — identical on every machine/partitioning), so

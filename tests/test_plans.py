@@ -1,0 +1,79 @@
+"""Physical-plan assertions (docs/PLANS.md): the engine must not defeat
+Catalyst — probe before exchange, pruned partial scans, pushdown intact.
+These are the properties that survive (or die) at the 100 TB scale-up."""
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_probe_is_vectorized_and_pre_exchange(spark):
+    from bloomjoin_spark import bloom_join
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    sub = (
+        spark.read.parquet(f"{SF_DIR}/part.parquet")
+        .filter(F.col("p_partkey") % 10 == 0)
+        .select("p_partkey", "p_name")
+    )
+    plan = _plan(
+        bloom_join(
+            li, sub, on={"l_partkey": "p_partkey"}, how="inner",
+            force_prefilter=True, collect_metrics=False,
+        )
+    )
+    # vectorized Arrow probe, never row-at-a-time Python
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+    # the probe runs in the same pre-exchange block as the probe scan:
+    # in the tree section the ArrowEvalPython line is below the join and
+    # above the probe-side Scan, with no Exchange between them
+    tree = plan.split("\n\n")[0].splitlines()
+    probe_idx = next(i for i, l in enumerate(tree) if "ArrowEvalPython" in l)
+    scan_idx = next(
+        i for i, l in enumerate(tree[probe_idx:], probe_idx) if "Scan parquet" in l
+    )
+    between = "\n".join(tree[probe_idx:scan_idx])
+    assert "Exchange" not in between
+
+
+def test_partial_scan_is_column_pruned(spark):
+    from bloomjoin_spark.aggregate import sketch_partials
+    from bloomjoin_spark.sketches import HllSketch
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    plan = _plan(sketch_partials(li, lambda: HllSketch(14), cols=["l_partkey"]))
+    assert "ReadSchema: struct<l_partkey:bigint>" in plan
+
+
+def test_token_partial_scan_is_column_pruned(spark):
+    from bloomjoin_spark.aggregate import sketch_partials
+    from bloomjoin_spark.datagen import token_table
+    from bloomjoin_spark.sketches import HllSketch
+
+    toks = token_table(spark, 1000, vocab=100, max_tok=8, num_partitions=2)
+    plan = _plan(sketch_partials(toks, lambda: HllSketch(14), token_col="tokens"))
+    # mapInArrow stage receives only the tokens column
+    assert "ArrowEvalPython" in plan or "MapInArrow" in plan or "PythonMapInArrow" in plan
+
+
+def test_filter_pushdown_through_operators(spark):
+    from bloomjoin_spark.operators import add_text_stats
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").filter(
+        F.col("lang") == "en"
+    )
+    plan = _plan(add_text_stats(docs).select("doc_id", "n_tokens"))
+    assert "EqualTo(lang,en)" in plan
