@@ -339,11 +339,28 @@ def build_sketches(
     factories: dict[str, Callable[[], Sketch]],
     token_col: str,
     fanin: int = 64,
+    checkpoint_dir: str | None = None,
 ) -> dict[str, BuildResult]:
     """Build several sketches over one token column in a SINGLE pass.
-    Returns {name: BuildResult}."""
-    fn = make_multi_partial_fn_arrow(factories, token_col)
+    Returns {name: BuildResult}.  With ``checkpoint_dir``, partials for
+    all sketches persist as lineage rows keyed by (name, partition_id);
+    a killed job recomputes only missing partitions."""
+    spark = df.sparkSession
+    done_ids: frozenset[int] = frozenset()
+    if checkpoint_dir and _checkpoint_exists(spark, checkpoint_dir):
+        existing = spark.read.parquet(checkpoint_dir)
+        done_ids = frozenset(
+            r[0] for r in existing.select("partition_id").distinct().collect()
+        )
+    fn = make_multi_partial_fn_arrow(factories, token_col, done_ids)
     partials = df.select(token_col).mapInArrow(fn, schema=MULTI_PARTIAL_SCHEMA)
+    if checkpoint_dir:
+        partials.write.mode("append" if done_ids else "overwrite").parquet(
+            checkpoint_dir
+        )
+        partials = spark.read.parquet(checkpoint_dir).dropDuplicates(
+            ["name", "partition_id"]
+        )
     n_parts = max(1, partials.rdd.getNumPartitions())
     cur = partials
     rounds = 0

@@ -1,5 +1,6 @@
 from .api import (
     approx_distinct,
+    token_profile,
     approx_quantiles,
     hash_keys32,
     hash_keys64,
@@ -9,6 +10,7 @@ from .api import (
 
 __all__ = [
     "approx_distinct",
+    "token_profile",
     "approx_quantiles",
     "hash_keys32",
     "hash_keys64",

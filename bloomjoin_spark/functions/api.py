@@ -114,3 +114,50 @@ def hash_keys_pandas(pdf: pd.DataFrame, cols: list[str] | str) -> np.ndarray:
     if isinstance(cols, str):
         cols = [cols]
     return hash_columns(pdf, list(cols))
+
+
+def token_profile(
+    df: DataFrame,
+    token_col: str = "tokens",
+    hll_p: int = 14,
+    cms_eps: float = 1e-4,
+    cms_delta: float = 1e-3,
+    quantiles: list[float] = (0.5, 0.9, 0.99),
+    top_tokens=None,
+) -> dict:
+    """One-pass corpus profile of a token column (the 100 TB shape —
+    one scan feeds all four sketches via ``build_sketches``):
+    distinct token count, token-id quantiles (t-digest + KLL), total
+    tokens, and optional CMS frequencies for ``top_tokens``."""
+    from ..aggregate import build_sketches
+    from ..sketches import HllSketch, KllSketch, TDigestSketch
+
+    res = build_sketches(
+        df,
+        {
+            "hll": lambda: HllSketch(hll_p),
+            "cms": lambda: CmsSketch(cms_eps, cms_delta),
+            "tdigest": lambda: TDigestSketch(200.0),
+            "kll": lambda: KllSketch(200),
+        },
+        token_col=token_col,
+    )
+    out = {
+        "distinct_tokens": res["hll"].sketch.cardinality(),
+        "total_tokens": res["cms"].sketch.total,
+        "rows": res["hll"].n_rows,
+        "partitions": res["hll"].n_partitions,
+        "token_quantiles_tdigest": [
+            float(v) for v in np.atleast_1d(res["tdigest"].sketch.quantile(list(quantiles)))
+        ],
+        "token_quantiles_kll": [
+            float(v) for v in np.atleast_1d(res["kll"].sketch.quantile(list(quantiles)))
+        ],
+    }
+    if top_tokens is not None:
+        from ..hashing import hash_float64
+
+        h = hash_float64(np.asarray(list(top_tokens), dtype=np.float64))
+        est = res["cms"].sketch.query_hashes(h)
+        out["token_frequencies"] = dict(zip(list(top_tokens), [int(e) for e in est]))
+    return out

@@ -125,3 +125,47 @@ def test_build_sketches_single_pass_matches_individual(spark):
     kq = multi["kll"].sketch.quantile([0.1, 0.5, 0.9])
     assert kq[0] <= kq[1] <= kq[2]
     assert multi["td"].n_rows == single_hll.n_rows
+
+
+def test_token_profile_one_pass(spark):
+    from bloomjoin_spark.datagen import token_table
+    from bloomjoin_spark.functions import token_profile
+    from pyspark.sql import functions as F
+
+    toks = token_table(spark, 10_000, vocab=500, max_tok=16, num_partitions=4)
+    prof = token_profile(toks, "tokens", top_tokens=[0, 1, 2])
+    exact_distinct = (
+        toks.select(F.explode("tokens").alias("t")).agg(F.countDistinct("t")).first()[0]
+    )
+    assert abs(prof["distinct_tokens"] - exact_distinct) / exact_distinct < 0.05
+    exact_total = toks.agg(F.sum(F.size("tokens"))).first()[0]
+    assert prof["total_tokens"] == exact_total
+    assert prof["rows"] == 10_000
+    q = prof["token_quantiles_tdigest"]
+    assert q[0] <= q[1] <= q[2]
+    exact0 = toks.select(F.explode("tokens").alias("t")).filter(F.col("t") == 0).count()
+    est0 = prof["token_frequencies"][0]
+    assert exact0 <= est0 <= exact0 + 1e-4 * exact_total + 1
+
+
+def test_build_sketches_checkpoint_resume(spark, tmp_path):
+    """Multi-sketch lineage: a second run over a complete checkpoint
+    recomputes nothing (resume fast-path yields no new partials) and
+    returns identical estimates."""
+    from bloomjoin_spark import CmsSketch, HllSketch, build_sketches
+    from bloomjoin_spark.datagen import token_table
+
+    ckpt = str(tmp_path / "multi_ckpt")
+    toks = token_table(spark, 5_000, vocab=300, max_tok=16, num_partitions=4)
+    facts = {
+        "hll": lambda: HllSketch(12),
+        "cms": lambda: CmsSketch(eps=1e-3, delta=1e-3),
+    }
+    first = build_sketches(toks, facts, token_col="tokens", checkpoint_dir=ckpt)
+    second = build_sketches(toks, facts, token_col="tokens", checkpoint_dir=ckpt)
+    assert first["hll"].sketch.estimate() == second["hll"].sketch.estimate()
+    assert (first["cms"].sketch.table == second["cms"].sketch.table).all()
+    assert second["hll"].n_partitions == 4
+    # lineage rows: one per (sketch, partition)
+    rows = spark.read.parquet(ckpt)
+    assert rows.select("name", "partition_id").distinct().count() == 8
