@@ -11,9 +11,10 @@ on local[$SPARK_GRAFT_CPUS]:
 - dedup / similarity / text pipelines.
 
 Scaling protocol (BASELINE.json: ≥0.8 efficiency N→4N executors; in
-this sandbox: same job, same input, local[N] vs local[4N], pinned
-partition counts so parallelism is the only variable). Run with
-SPARK_GRAFT_BENCH_SCALING=1 to include it (adds ~2 session restarts).
+this sandbox: same engine job, same input, local[4] vs local[16] in
+fresh subprocess JVMs, pinned partition counts so parallelism is the
+only variable — see BENCH.md for why 4/16 and the full methodology).
+Disable with SPARK_GRAFT_BENCH_SCALING=0.
 """
 
 from __future__ import annotations
