@@ -305,3 +305,55 @@ def test_selectivity_proceeds_low_overlap(spark):
     assert rep.used_prefilter
     assert rep.expected_reduction is None or rep.expected_reduction > 0.02
     assert_df_equal(got, x.join(y, "id", "inner"))
+
+
+def test_wide_table_50_columns(spark):
+    """Reference test-edge-cases.R:188-213: 50-column tables survive the
+    prefilter with all payload columns intact."""
+    import datetime as _dt
+
+    x = spark.range(0, 300)
+    for i in range(48):
+        x = x.withColumn(f"c{i}", F.col("id") * i)
+    y = spark.range(100, 400).withColumn("vy", F.col("id") + 1)
+    got = bloom_join(x, y, on="id", how="inner", force_prefilter=True)
+    exp = x.join(y, "id", "inner")
+    assert len(got.columns) == 50  # id + 48 payload + vy
+    assert_df_equal(got, exp)
+
+
+def test_unicode_and_collision_prone_string_keys(spark):
+    """Reference test-edge-cases.R:155-186,215-232."""
+    rows = [
+        ("héllo wörld", 1), ("日本語キー", 2), ("emoji🙂key", 3),
+        ("a" * 200, 4), ("a" * 199 + "b", 5), ("", 6),
+        ("key\twith\ttabs", 7), ("key with spaces", 8),
+    ]
+    x = spark.createDataFrame(rows, "k string, vx int")
+    y = spark.createDataFrame(rows[::2], "k string, vy int")
+    got = bloom_join(x, y, on="k", how="inner", force_prefilter=True)
+    assert_df_equal(got, x.join(y, "k", "inner"))
+
+
+@pytest.mark.parametrize("fpp", [1e-4, 0.5])
+def test_extreme_fpp_result_invariance(spark, xy, fpp):
+    """Reference test-edge-cases.R:234-252: results identical at any fpp."""
+    x, y = xy
+    got = bloom_join(x, y, on="id", how="inner", fpp=fpp, force_prefilter=True)
+    assert_df_equal(got, x.join(y, "id", "inner"))
+
+
+def test_date_vs_timestamp_cross_type_key(spark):
+    """Reference test-cross-type-keys.R Date↔POSIXct: joining a date
+    column to a timestamp column must not produce false negatives
+    (the prefilter hashes through the common cast)."""
+    x = spark.sql(
+        "SELECT sequence(to_date('2024-01-01'), to_date('2024-03-10')) AS ds"
+    ).select(F.explode("ds").alias("d")).withColumn("vx", F.dayofyear("d"))
+    y = x.select(F.col("d").cast("timestamp").alias("t")).filter(
+        F.dayofmonth("t") <= 10
+    ).withColumn("vy", F.lit(1))
+    got = bloom_join(x, y, on={"d": "t"}, how="inner", force_prefilter=True)
+    exp = x.join(y, x["d"] == y["t"], "inner")
+    assert_df_equal(got, exp)
+    assert got.count() > 0

@@ -1,0 +1,144 @@
+"""Property-based merge-invariance tests (hypothesis): the load-bearing
+contract of every sketch is that ANY partitioning + merge ordering gives
+the same answer as a single-pass build (SURVEY.md §2.2 — mirrors how
+rcpp_filter_keys yields one global filter regardless of insertion
+order). Pure numpy — no Spark session."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from bloomjoin_spark.hashing import hash_float64, hash_strings, splitmix64
+from bloomjoin_spark.sketches import BloomSketch, CmsSketch, HllSketch, KllSketch, TDigestSketch
+
+
+def _rng_split(data: np.ndarray, seed: int, nparts: int):
+    rng = np.random.default_rng(seed)
+    idx = rng.permutation(len(data))
+    return [data[p] for p in np.array_split(idx, nparts) if len(p) or True]
+
+
+keys = st.lists(st.integers(min_value=-(2**40), max_value=2**40), min_size=0, max_size=400)
+splits = st.integers(min_value=1, max_value=7)
+seeds = st.integers(min_value=0, max_value=2**31)
+
+
+@given(keys, splits, seeds)
+@settings(max_examples=40, deadline=None)
+def test_bloom_merge_bit_identical(vals, nparts, seed):
+    h = hash_float64(np.array(vals, dtype=np.float64))
+    single = BloomSketch(max(len(vals), 16), 0.01)
+    single.update_hashes(h)
+    merged = None
+    for part in _rng_split(h, seed, nparts):
+        s = BloomSketch(max(len(vals), 16), 0.01)
+        s.update_hashes(part)
+        merged = s if merged is None else merged.merge(s)
+    assert (merged.words == single.words).all()
+    # zero false negatives always
+    if len(vals):
+        assert merged.contains_hashes(h).all()
+
+
+@given(keys, splits, seeds)
+@settings(max_examples=40, deadline=None)
+def test_hll_merge_bit_identical(vals, nparts, seed):
+    h = hash_float64(np.array(vals, dtype=np.float64))
+    single = HllSketch(12)
+    single.update_hashes(h)
+    merged = None
+    for part in _rng_split(h, seed, nparts):
+        s = HllSketch(12)
+        s.update_hashes(part)
+        merged = s if merged is None else merged.merge(s)
+    assert (merged.regs == single.regs).all()
+    assert merged.estimate() == single.estimate()
+
+
+@given(keys, splits, seeds)
+@settings(max_examples=40, deadline=None)
+def test_cms_merge_table_identical(vals, nparts, seed):
+    h = hash_float64(np.array(vals, dtype=np.float64))
+    single = CmsSketch(eps=1e-2, delta=1e-2)
+    single.update_hashes(h)
+    merged = None
+    for part in _rng_split(h, seed, nparts):
+        s = CmsSketch(eps=1e-2, delta=1e-2)
+        s.update_hashes(part)
+        merged = s if merged is None else merged.merge(s)
+    assert (merged.table == single.table).all()
+    assert merged.total == single.total
+
+
+@given(
+    st.lists(st.floats(min_value=-1e9, max_value=1e9, allow_nan=False),
+             min_size=1, max_size=500),
+    splits,
+    seeds,
+)
+@settings(max_examples=25, deadline=None)
+def test_kll_rank_bound_under_random_merges(vals, nparts, seed):
+    v = np.array(vals, dtype=np.float64)
+    merged = None
+    for part in _rng_split(v, seed, nparts):
+        s = KllSketch(200)
+        s.update_values(part)
+        merged = s if merged is None else merged.merge(s)
+    eps = 2.296 / 200**0.9
+    srt = np.sort(v)
+    n = len(v)
+    for q in (0.1, 0.5, 0.9):
+        est = float(np.atleast_1d(merged.quantile([q]))[0])
+        lo = max(0.0, (np.searchsorted(srt, est, "left")) / n)
+        hi = (np.searchsorted(srt, est, "right")) / n
+        err = max(0.0, q - hi, lo - q)
+        assert err <= eps + 1.0 / n + 1e-9, (q, est, err)
+
+
+@given(
+    st.lists(st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+             min_size=1, max_size=500),
+    splits,
+    seeds,
+)
+@settings(max_examples=25, deadline=None)
+def test_tdigest_rank_bound_under_random_merges(vals, nparts, seed):
+    v = np.array(vals, dtype=np.float64)
+    merged = None
+    for part in _rng_split(v, seed, nparts):
+        s = TDigestSketch(200.0)
+        s.update_values(part)
+        merged = s if merged is None else merged.merge(s)
+    srt = np.sort(v)
+    n = len(v)
+    for q in (0.1, 0.5, 0.9):
+        est = float(np.atleast_1d(merged.quantile([q]))[0])
+        lo = np.searchsorted(srt, est, "left") / n
+        hi = np.searchsorted(srt, est, "right") / n
+        err = max(0.0, q - hi, lo - q)
+        assert err <= 0.05 + 1.0 / n + 1e-9, (q, est, err)
+
+
+@given(st.lists(st.text(max_size=30), min_size=0, max_size=200))
+@settings(max_examples=30, deadline=None)
+def test_string_hash_deterministic_and_injective_ish(texts):
+    import pandas as pd
+
+    s = pd.Series(texts, dtype=object)
+    h1, h2 = hash_strings(s), hash_strings(s)
+    assert (h1 == h2).all()
+    # distinct strings map to distinct hashes in practice (64-bit)
+    uniq = len(set(texts))
+    assert len(np.unique(h1)) == uniq or uniq > 100
+
+
+@given(st.lists(st.integers(min_value=-(2**52), max_value=2**52), max_size=200))
+@settings(max_examples=30, deadline=None)
+def test_int_double_cross_type_hash_equality(ints):
+    a = hash_float64(np.array(ints, dtype=np.float64))
+    import pandas as pd
+
+    from bloomjoin_spark.hashing import hash_series
+
+    b = hash_series(pd.Series(ints, dtype="int64"))
+    c = hash_series(pd.Series([float(i) for i in ints], dtype="float64"))
+    assert (a == b).all() and (b == c).all()
