@@ -505,6 +505,39 @@ def _streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stateful_hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-event-type running HLL over user_id; exact n_rows pinned by the
+    oracle, estimate pinned to the HLL bound."""
+    from bloomjoin_spark.sketches import HllSketch
+    from bloomjoin_spark.streaming import events_stream
+    from bloomjoin_spark.streaming.sketch_stream import (
+        run_stream_to_memory,
+        stateful_sketch_stream,
+    )
+
+    out = stateful_sketch_stream(
+        events_stream(spark, sf_dir), lambda: HllSketch(14),
+        group_col="event_type", cols=["user_id"],
+    )
+    name = run_stream_to_memory(out, "q_stateful_hll_drv", output_mode="update")
+    last = spark.table(name).groupBy("event_type").agg(
+        F.max("n_rows").alias("n_rows"), F.max("estimate").alias("est")
+    )
+    ev = _t(spark, sf_dir, "events")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("d")
+    )
+    bound = 4 * HllSketch(14).rel_std_error
+    joined = last.join(exact, "event_type")
+    return joined.select(
+        "event_type",
+        "n_rows",
+        (F.abs(F.col("est") - F.col("d")) / F.greatest(F.col("d"), F.lit(1))
+         <= bound).alias("within_bound"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bloom_inner_join": _bloom_inner,
@@ -528,6 +561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join_counts": _salted_join_counts,
         "multimodal_meta": _multimodal_meta,
         "streaming_windowed_counts": _streaming_windowed_counts,
+        "stateful_hll_stream": _stateful_hll_stream,
         "minhash_full_dedup": _minhash_full_dedup,
         "simhash_planted": _simhash_planted,
         "ann_lsh_recall": _ann_lsh_recall,
@@ -689,6 +723,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT epoch(time_bucket(INTERVAL '1 hour', ts))::BIGINT AS window_epoch,
                    event_type, count(*) AS n
             FROM events GROUP BY 1, 2
+        """,
+        "stateful_hll_stream": """
+            SELECT event_type, count(*) AS n_rows, TRUE AS within_bound
+            FROM events GROUP BY event_type
         """,
         "minhash_full_dedup": """
             SELECT doc_id, source FROM documents

@@ -165,7 +165,16 @@ def bloom_join(
     report = BloomJoinReport(join_type=how, engine="bloom", fpr=fpp)
 
     # ---- side guard (O18) -------------------------------------------
-    target, override = choose_prefilter_target(how, prefilter_side)
+    # inner + auto: filter the LARGER side by Catalyst plan stats (free,
+    # no job) — the analog of the reference's density rule
+    # (R/bloomjoin.R:367-376): the big side gains the most from being
+    # filtered, the small side makes the cheapest filter.
+    n_x = n_y = None
+    if how == "inner" and prefilter_side == "auto":
+        bx, by = _plan_size_bytes(x), _plan_size_bytes(y)
+        if bx is not None and by is not None and bx != by:
+            n_x, n_y = bx, by
+    target, override = choose_prefilter_target(how, prefilter_side, n_x=n_x, n_y=n_y)
     report.override_requested_side = override
     n_hints = _normalize_n_hint(n_hint)
 

@@ -153,3 +153,58 @@ class StreamingSketchCollector:
 
     def sketch(self, key=None):
         return self.sketches.get(key)
+
+
+def stateful_sketch_stream(
+    stream: DataFrame,
+    factory: Callable,
+    group_col: str,
+    cols: list[str] | str | None = None,
+    token_col: str | None = None,
+):
+    """Per-key RUNNING sketches as a custom stateful streaming operator
+    (``applyInPandasWithState``): the state for each group key is the
+    serialized sketch; every micro-batch's Arrow batches update it
+    vectorized, and each trigger emits the key's refreshed estimate.
+
+    Because updates are the same associative merge the batch path uses,
+    the running estimate after any prefix of the stream equals the batch
+    build over the same rows — retries/reordering inside a trigger
+    cannot change it.  Output: (group, estimate, n_rows)."""
+    import pandas as pd
+
+    from ..hashing import hash_columns, hash_tokens_flat
+    from ..sketches.base import Sketch
+
+    if isinstance(cols, str):
+        cols = [cols]
+
+    def fn(key, pdf_iter, state):
+        sk = Sketch.from_bytes(bytes(state.get[0])) if state.exists else factory()
+        n = int(state.get[1]) if state.exists else 0
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            h = (
+                hash_tokens_flat(pdf[token_col])
+                if token_col is not None
+                else hash_columns(pdf, cols)
+            )
+            if getattr(sk, "SET_SEMANTICS", False):
+                import numpy as np
+
+                sk.update_hashes(np.unique(h))
+            else:
+                sk.update_hashes(h)
+            n += len(pdf)
+        state.update((sk.to_bytes(), n))
+        est = sk.estimate() if hasattr(sk, "estimate") else float(getattr(sk, "total", 0))
+        yield pd.DataFrame(
+            {group_col: [key[0]], "estimate": [float(est)], "n_rows": [n]}
+        )
+
+    out_schema = f"{group_col} string, estimate double, n_rows long"
+    state_schema = "blob binary, n long"
+    return stream.groupBy(group_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", "NoTimeout"
+    )

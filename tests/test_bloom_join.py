@@ -271,8 +271,10 @@ def test_sizing_uses_distinct_not_rows(spark):
     keys must be far below m for 100k distinct keys."""
     x = spark.range(0, 5000).withColumn("vx", F.col("id"))
     y = spark.range(0, 100_000).select((F.col("id") % 100).alias("id"))
+    # pin the filtered side so the BUILD side is the duplicated one
     _, rep = bloom_join(
-        x, y, on="id", how="inner", force_prefilter=True, return_report=True
+        x, y, on="id", how="inner", force_prefilter=True, return_report=True,
+        prefilter_side="x",
     )
     assert rep.n_build == 100_000
     assert rep.build_distinct_estimate is not None
@@ -357,3 +359,25 @@ def test_date_vs_timestamp_cross_type_key(spark):
     exp = x.join(y, x["d"] == y["t"], "inner")
     assert_df_equal(got, exp)
     assert got.count() > 0
+
+
+def test_auto_side_picks_larger_side(spark):
+    """inner+auto: plan-stats drive the side choice — the larger side is
+    filtered, the smaller side builds the filter (reference density
+    rule, R/bloomjoin.R:367-376)."""
+    small = spark.range(0, 2_000).withColumn("vx", F.col("id"))
+    big = spark.range(0, 500_000).withColumn("vy", F.col("id"))
+    with _no_broadcast_gate(spark):
+        got, rep = bloom_join(
+            small, big, on="id", how="inner", return_report=True,
+            force_prefilter=True,
+        )
+        assert rep.prefilter_side == "y"
+        assert rep.build_side == "x"
+        got2, rep2 = bloom_join(
+            big, small, on="id", how="inner", return_report=True,
+            force_prefilter=True,
+        )
+        assert rep2.prefilter_side == "x"
+        assert rep2.build_side == "y"
+    assert_df_equal(got, small.join(big, "id", "inner"))

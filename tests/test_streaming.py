@@ -62,3 +62,42 @@ def test_streaming_grouped_sketches(spark, sf_dir):
     for k, exact in per_type.items():
         est = coll.sketch(k).estimate()
         assert abs(est - exact) / max(exact, 1) <= 4 * coll.sketch(k).rel_std_error
+
+
+def test_stateful_per_key_hll(spark, sf_dir):
+    """applyInPandasWithState running HLL per event_type: final stream
+    estimates match exact per-key distinct counts within the HLL bound,
+    and n_rows accounting is exact."""
+    from pyspark.sql import functions as F
+
+    from bloomjoin_spark.sketches import HllSketch
+    from bloomjoin_spark.streaming import events_stream
+    from bloomjoin_spark.streaming.sketch_stream import (
+        run_stream_to_memory,
+        stateful_sketch_stream,
+    )
+
+    stream = events_stream(spark, sf_dir)
+    out = stateful_sketch_stream(
+        stream, lambda: HllSketch(14), group_col="event_type", cols=["user_id"]
+    )
+    name = run_stream_to_memory(out, "q_stateful_hll", output_mode="update")
+    # last emitted row per key
+    got = {
+        r["event_type"]: r
+        for r in spark.table(name)
+        .orderBy("n_rows")
+        .collect()
+    }
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    exact = {
+        r["event_type"]: (r["d"], r["n"])
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("d"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    bound = 4 * HllSketch(14).rel_std_error
+    for k, (d, n) in exact.items():
+        row = got[k]
+        assert row["n_rows"] == n
+        assert abs(row["estimate"] - d) / max(d, 1) <= bound
