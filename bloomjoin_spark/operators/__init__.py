@@ -23,7 +23,7 @@ from .similarity import (
     cosine_topk,
     embedding_near_dup_pairs,
 )
-from .skew import salted_join, skewed_keys, split_hot_join
+from .skew import aqe_skew_configs, salted_join, skewed_keys, split_hot_join
 from .text import (
     add_fingerprint,
     add_lang_id,
@@ -39,6 +39,7 @@ __all__ = [
     "add_simhash",
     "add_text_stats",
     "ann_lsh_topk",
+    "aqe_skew_configs",
     "bloom_join",
     "bpe_ish_token_count",
     "cosine_sim_col",

@@ -55,6 +55,9 @@ from ..sketches.bloom import BloomSketch
 #: probe_limit (R/bloomjoin.R:240-257 uses 5000)
 _SELECTIVITY_SAMPLE = 5000
 
+#: practical per-executor broadcast budget for the filter itself
+_BROADCAST_BUDGET_BYTES = 512 << 20
+
 _NUM_RANK = {
     "tinyint": 0,
     "byte": 0,
@@ -274,6 +277,18 @@ def bloom_join(
         checkpoint_dir=checkpoint_dir,
     )
     sketch: BloomSketch = result.sketch
+    # broadcast-budget guard (SURVEY §7 hard parts): the 2^40-bit cap of
+    # the reference becomes a practical broadcast warning — a filter
+    # bigger than ~512 MB should be rethought (higher fpp, or let the
+    # join shuffle), not silently shipped to every executor
+    filter_bytes = sketch.m // 8
+    if filter_bytes > _BROADCAST_BUDGET_BYTES:
+        warnings.warn(
+            f"bloom filter is {filter_bytes >> 20} MiB (n={n_build}, fpp={fpp}) — "
+            f"above the {_BROADCAST_BUDGET_BYTES >> 20} MiB broadcast budget; "
+            "consider a larger fpp, an n_hint, or skipping the prefilter",
+            stacklevel=2,
+        )
     report.build_partitions = result.n_partitions
     report.merge_rounds = result.merge_rounds
     report.filter_bits = sketch.m

@@ -123,7 +123,10 @@ class TDigestSketch(Sketch):
                 out[i] = self.vmax if t >= self.count - w[-1] * 0.5 else m[-1]
             else:
                 frac = (t - cum[j - 1]) / (cum[j] - cum[j - 1])
-                out[i] = m[j - 1] + frac * (m[j] - m[j - 1])
+                # convex form, not m0 + frac*(m1-m0): the latter loses the
+                # small operand to cancellation when |m1-m0| ≫ |m1| and
+                # returns a value outside [m0, m1] at frac≈1
+                out[i] = (1.0 - frac) * m[j - 1] + frac * m[j]
         out = np.clip(out, self.vmin, self.vmax)
         return float(out[0]) if scalar else out
 

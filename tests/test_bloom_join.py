@@ -381,3 +381,18 @@ def test_auto_side_picks_larger_side(spark):
         assert rep2.prefilter_side == "x"
         assert rep2.build_side == "y"
     assert_df_equal(got, small.join(big, "id", "inner"))
+
+
+def test_broadcast_budget_warning(spark, monkeypatch):
+    """A filter over the broadcast budget warns instead of silently
+    shipping (the reference's 2^40-bit cap, src/BloomFilter.h:94-95,
+    as a Spark broadcast concern)."""
+    import importlib
+
+    bj = importlib.import_module("bloomjoin_spark.operators.bloom_join")
+    monkeypatch.setattr(bj, "_BROADCAST_BUDGET_BYTES", 1024)
+    x = spark.range(0, 50_000).withColumn("vx", F.col("id"))
+    y = spark.range(0, 20_000).withColumn("vy", F.col("id"))
+    with pytest.warns(UserWarning, match="broadcast budget"):
+        got = bloom_join(x, y, on="id", how="inner", force_prefilter=True)
+        assert got.count() == 20_000
