@@ -389,6 +389,12 @@ def build_sketches(
         out[name] = BuildResult(
             sketch=sk, n_partitions=orig, n_rows=n_rows, merge_rounds=rounds
         )
+    # an input that produced no partial rows still yields every requested
+    # sketch (empty), never a missing key
+    for name, f in factories.items():
+        if name not in out:
+            out[name] = BuildResult(sketch=f(), n_partitions=0, n_rows=0,
+                                    merge_rounds=rounds)
     return out
 
 

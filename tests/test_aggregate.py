@@ -169,3 +169,14 @@ def test_build_sketches_checkpoint_resume(spark, tmp_path):
     # lineage rows: one per (sketch, partition)
     rows = spark.read.parquet(ckpt)
     assert rows.select("name", "partition_id").distinct().count() == 8
+
+
+def test_build_sketches_empty_input(spark):
+    """Empty input still returns every requested sketch (empty), not a
+    missing key."""
+    from bloomjoin_spark import HllSketch, build_sketches
+
+    empty = spark.createDataFrame([], "doc_id string, tokens array<int>")
+    res = build_sketches(empty, {"hll": lambda: HllSketch(12)}, token_col="tokens")
+    assert res["hll"].n_rows == 0
+    assert res["hll"].sketch.estimate() == 0.0
