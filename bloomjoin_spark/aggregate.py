@@ -34,7 +34,13 @@ from pyspark import TaskContext
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .hashing import NULL_SENTINEL, hash_columns, hash_float64, hash_tokens_flat
+from .hashing import (
+    NULL_SENTINEL,
+    hash_columns,
+    hash_float64,
+    hash_numeric_array,
+    hash_tokens_flat,
+)
 from .sketches.base import Sketch
 
 PARTIAL_SCHEMA = (
@@ -217,8 +223,11 @@ def make_partial_fn_arrow(
                     cnt = np.bincount(arr)
                     vals = np.nonzero(cnt)[0]
                     h = hash_float64(vals.astype(np.float64))
+                    # fingerprint = wrapping sum of per-INSTANCE hashes
+                    # (weight uniques by multiplicity) so the lineage
+                    # fingerprint is identical across ingest paths
                     with np.errstate(over="ignore"):
-                        fp += h.sum(dtype=np.uint64)
+                        fp += (h * cnt[vals].astype(np.uint64)).sum(dtype=np.uint64)
                     if getattr(sk, "SET_SEMANTICS", False):
                         sk.update_hashes(h)
                     elif getattr(sk, "SUPPORTS_WEIGHTS", False):
@@ -228,8 +237,10 @@ def make_partial_fn_arrow(
                     n += batch.num_rows
                     continue
                 else:
-                    # canonical numeric hash (int == double cross-type)
-                    h = hash_float64(arr.astype(np.float64, copy=False))
+                    # canonical numeric hash — hash_numeric_array keeps
+                    # int64 beyond 2^53 exact, matching the query-side
+                    # hash_series dispatch bit for bit
+                    h = hash_numeric_array(arr)
                 with np.errstate(over="ignore"):
                     fp += h.sum(dtype=np.uint64)
                 _ingest_hashes(sk, h, drop_nulls=not prehashed)
@@ -280,17 +291,22 @@ def make_multi_partial_fn_arrow(
                 continue
             arr = batch.column(0).flatten().to_numpy(zero_copy_only=False)
             n += batch.num_rows
-            vals = cnt = h = None
+            vals = cnt = h = h_all = None
             if arr.dtype.kind in "iu" and arr.size and 0 <= arr.min() and arr.max() < _BINCOUNT_MAX:
                 cnt_full = np.bincount(arr)
                 vals = np.nonzero(cnt_full)[0]
                 cnt = cnt_full[vals]
                 h = hash_float64(vals.astype(np.float64))
+            else:
+                # hashed ONCE, shared by every hash-consuming sketch
+                h_all = hash_numeric_array(arr)
+            # fingerprint = wrapping sum of per-instance canonical hashes
+            # on EVERY path, so lineage fingerprints stay comparable
             with np.errstate(over="ignore"):
                 fp += (
-                    h.sum(dtype=np.uint64)
+                    (h * cnt.astype(np.uint64)).sum(dtype=np.uint64)
                     if h is not None
-                    else np.uint64(arr.size)
+                    else h_all.sum(dtype=np.uint64)
                 )
             for sk in sks.values():
                 consumes = getattr(sk, "CONSUMES", "hashes")
@@ -310,7 +326,7 @@ def make_multi_partial_fn_arrow(
                     else:
                         sk.update_hashes(np.repeat(h, cnt))
                 else:
-                    _ingest_hashes(sk, hash_float64(arr.astype(np.float64)))
+                    _ingest_hashes(sk, h_all)
         names = list(sks)
         yield pa.RecordBatch.from_pydict(
             {

@@ -74,6 +74,30 @@ def hash_float64(values: np.ndarray, seed: int = 0) -> np.ndarray:
     return out
 
 
+def hash_numeric_array(arr: np.ndarray, seed: int = 0) -> np.ndarray:
+    """Canonical hash of a numeric numpy array — the ONE dispatch both
+    build (Arrow batches) and query (pandas) must share: values exactly
+    representable in float64 hash as doubles (cross-type: int 5 ==
+    double 5.0), int64 magnitudes beyond 2^53 hash as exact integer
+    bits (Spark joins long==long exactly; rounding them to double would
+    collide distinct keys and break CMS/Bloom/HLL guarantees)."""
+    if arr.dtype.kind in "iu":
+        as_f = arr.astype(np.float64)
+        if arr.dtype.itemsize < 8:
+            return hash_float64(as_f, seed)  # always ≤ 2^53
+        with np.errstate(over="ignore"):
+            if arr.dtype.kind == "u":
+                safe = arr <= np.uint64(1 << 53)
+            else:
+                safe = np.abs(arr) <= (1 << 53)
+        if safe.all():
+            return hash_float64(as_f, seed)
+        return np.where(
+            safe, hash_float64(as_f, seed), hash_int64(arr.astype(np.int64), seed)
+        ).astype(np.uint64)
+    return hash_float64(arr.astype(np.float64, copy=False), seed)
+
+
 def hash_strings(values: pd.Series | np.ndarray, seed: int = 0) -> np.ndarray:
     """Hash a string array to uint64 via pandas' C siphash (vectorized,
     deterministic, PYTHONHASHSEED-independent). Nulls → NULL_SENTINEL."""
@@ -112,16 +136,9 @@ def hash_series(s: pd.Series, seed: int = 0) -> np.ndarray:
         null_mask = s.isna().to_numpy()
         if null_mask.any():  # nullable Int64 → mask then hash
             arr = s.fillna(0).to_numpy(dtype=np.int64)
-        # exact-int domain (token ids, surrogate keys): values that fit
-        # in float64 hash as doubles for cross-type equality; larger
-        # stay exact int64 bits.
-        as_f = arr.astype(np.float64)
-        safe = np.abs(arr) <= (1 << 53)
-        out = np.where(
-            safe, hash_float64(as_f, seed), hash_int64(arr.astype(np.int64), seed)
-        )
+        out = hash_numeric_array(arr, seed).copy()
         out[null_mask] = NULL_SENTINEL
-        return out.astype(np.uint64)
+        return out
     if pd.api.types.is_float_dtype(s):
         return hash_float64(s.to_numpy(dtype=np.float64), seed)
     # strings / objects / categoricals
@@ -156,4 +173,4 @@ def hash_tokens_flat(token_lists: pd.Series, seed: int = 0) -> np.ndarray:
     if not chunks:
         return np.empty(0, dtype=np.uint64)
     flat = np.concatenate(chunks)
-    return hash_float64(flat.astype(np.float64), seed)
+    return hash_numeric_array(flat, seed)

@@ -173,6 +173,7 @@ def stateful_sketch_stream(
     cannot change it.  Output: (group, estimate, n_rows)."""
     import pandas as pd
 
+    from ..aggregate import _ingest_hashes
     from ..hashing import hash_columns, hash_tokens_flat
     from ..sketches.base import Sketch
 
@@ -190,12 +191,9 @@ def stateful_sketch_stream(
                 if token_col is not None
                 else hash_columns(pdf, cols)
             )
-            if getattr(sk, "SET_SEMANTICS", False):
-                import numpy as np
-
-                sk.update_hashes(np.unique(h))
-            else:
-                sk.update_hashes(h)
+            # same ingest as the batch path (aggregate._ingest_hashes):
+            # null keys collapse to add_null, never a phantom distinct
+            _ingest_hashes(sk, h)
             n += len(pdf)
         state.update((sk.to_bytes(), n))
         est = sk.estimate() if hasattr(sk, "estimate") else float(getattr(sk, "total", 0))

@@ -171,6 +171,32 @@ def test_build_sketches_checkpoint_resume(spark, tmp_path):
     assert rows.select("name", "partition_id").distinct().count() == 8
 
 
+def test_big_int64_keys_arrow_path_matches_query(spark):
+    """Regression: the Arrow fast path must hash int64 keys beyond 2^53
+    exactly like the query-side hash_series (exact integer bits, not
+    doubles). Pre-fix, 2^60+i keys all rounded to the same double:
+    CMS point queries returned 0 (undercount-guarantee broken), Bloom
+    produced false negatives, HLL collapsed distinct keys."""
+    import pandas as pd
+
+    from bloomjoin_spark import CmsSketch, HllSketch
+    from bloomjoin_spark.functions import token_frequencies
+    from bloomjoin_spark.hashing import hash_series
+
+    base = 1 << 60  # double ulp here is 256: adjacent ints collide as floats
+    keys = [base + i for i in range(8)]
+    rows = [(k,) for k in keys for _ in range(100)]
+    df = spark.createDataFrame(rows, "k long").repartition(4)
+    freqs = token_frequencies(df, keys, cols=["k"], eps=1e-3, delta=1e-3)
+    for k in keys:
+        assert freqs[k] >= 100, f"CMS undercounted exact-int64 key {k}: {freqs[k]}"
+    res = build_sketch(df, lambda: BloomSketch(8, 0.01), cols=["k"])
+    h = hash_series(pd.Series(keys, dtype="int64"))
+    assert res.sketch.contains_hashes(h).all(), "Bloom false negative on big int64"
+    hres = build_sketch(df, lambda: HllSketch(14), cols=["k"])
+    assert round(hres.sketch.estimate()) == 8
+
+
 def test_build_sketches_empty_input(spark):
     """Empty input still returns every requested sketch (empty), not a
     missing key."""
