@@ -40,6 +40,7 @@ from .hashing import (
     hash_float64,
     hash_numeric_array,
     hash_tokens_flat,
+    hash_utf8_arrow,
 )
 from .sketches.base import Sketch
 
@@ -51,13 +52,14 @@ PARTIAL_SCHEMA = (
 #: (typical LLM vocabs are ≤ a few hundred thousand)
 _BINCOUNT_MAX = 1 << 22
 
-#: single-column dtypes eligible for the Arrow fast path (canonical
-#: double hashing matches hash_series for |v| ≤ 2^53 — the same primary
-#: path pandas ingestion takes)
+#: single-column dtypes eligible for the Arrow fast path — numerics
+#: (hash_numeric_array = the exact hash_series dispatch) and strings
+#: (hash_utf8_arrow over flat utf8 buffers = the hash_strings kernel)
 _ARROW_NUMERIC = {
     "tinyint", "smallint", "int", "integer", "bigint", "long",
     "float", "double", "short", "byte",
 }
+_ARROW_FAST = _ARROW_NUMERIC | {"string"}
 
 
 @dataclass
@@ -197,6 +199,21 @@ def make_partial_fn_arrow(
                     if hasattr(sk, "add_null"):
                         sk.add_null()
                     col = col.drop_null()
+                if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+                    # string keys (doc_id, source — THE common case):
+                    # hash the flat utf8 buffers directly, never an
+                    # object per row
+                    if consumes == "values":
+                        raise TypeError(
+                            "value-consuming sketches need a numeric column, "
+                            f"got string for {type(sk).__name__}"
+                        )
+                    h = hash_utf8_arrow(col)
+                    with np.errstate(over="ignore"):
+                        fp += h.sum(dtype=np.uint64)
+                    _ingest_hashes(sk, h, drop_nulls=False)
+                    n += batch.num_rows
+                    continue
                 arr = col.to_numpy(zero_copy_only=False)
             if consumes == "values":
                 v = arr.astype(np.float64, copy=False)
@@ -458,7 +475,7 @@ def sketch_partials(
         or (
             cols is not None
             and len(cols) == 1
-            and dtypes.get(cols[0], "").lower() in _ARROW_NUMERIC
+            and dtypes.get(cols[0], "").lower() in _ARROW_FAST
         )
     )
     if arrow_ok:

@@ -9,8 +9,9 @@ hash differently on the two sides), re-expressed for Spark:
   own type coercion) and hashed with ``F.xxhash64`` inside whole-stage
   codegen — the hot path never leaves the JVM.
 - Python-side (sketch ingestion inside Arrow batches): numpy
-  splitmix64 over int64/float64 arrays, pandas' C-implemented
-  ``hash_array`` for variable-length strings.  No per-row Python.
+  splitmix64 over int64/float64 arrays; variable-length strings hash
+  via a vectorized byte-polynomial kernel over the flat Arrow utf8
+  buffers (``hash_utf8_arrow``).  No per-row Python.
 
 Canonicalisation rules ported from the reference's invariant
 (``src/hash_keys.cpp:45-68``): two values that are join-equal must hash
@@ -98,21 +99,85 @@ def hash_numeric_array(arr: np.ndarray, seed: int = 0) -> np.ndarray:
     return hash_float64(arr.astype(np.float64, copy=False), seed)
 
 
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+
+def hash_utf8_arrow(arr, seed: int = 0) -> np.ndarray:
+    """Vectorized canonical hash of an Arrow string/binary array —
+    ZERO-COPY over the flat utf8 data buffer (one offsets array + one
+    byte buffer), no per-row object materialization.  This is the
+    canonical string hash: ``hash_strings`` routes pandas input through
+    the same kernel, so sketch build (Arrow batches) and query (pandas)
+    can never disagree.
+
+    Algorithm: splitmix64(length ^ seed) init, FNV-style byte polynomial
+    computed COLUMN-WISE — after a length-descending sort, pass j's
+    active rows are a contiguous prefix, so the total work is O(total
+    bytes) of vectorized gathers in max_len passes — then a splitmix64
+    finalizer.  Nulls → NULL_SENTINEL."""
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    large = pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type)
+    off_dt = np.int64 if large else np.int32
+    null_mask = (
+        np.asarray(arr.is_null()) if arr.null_count else np.zeros(n, dtype=bool)
+    )
+    bufs = arr.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=off_dt, count=arr.offset + n + 1)[
+        arr.offset:
+    ]
+    data = (
+        np.frombuffer(bufs[2], dtype=np.uint8)
+        if bufs[2] is not None
+        else np.empty(0, dtype=np.uint8)
+    )
+    starts = offsets[:-1].astype(np.int64)
+    lens = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    lens = np.where(null_mask, 0, lens)
+    order = np.argsort(-lens, kind="stable")
+    ls, ss = lens[order], starts[order]
+    h = splitmix64(ls.astype(np.uint64) ^ _U64(seed))
+    with np.errstate(over="ignore"):
+        for j in range(int(ls[0]) if ls.size else 0):
+            k = int(np.searchsorted(-ls, -j, side="left"))  # rows with len > j
+            if k == 0:
+                break
+            h[:k] = (h[:k] ^ data[ss[:k] + j].astype(np.uint64)) * _FNV_PRIME
+    h = splitmix64(h)
+    out = np.empty(n, dtype=np.uint64)
+    out[order] = h
+    out[null_mask] = NULL_SENTINEL
+    return out
+
+
 def hash_strings(values: pd.Series | np.ndarray, seed: int = 0) -> np.ndarray:
-    """Hash a string array to uint64 via pandas' C siphash (vectorized,
-    deterministic, PYTHONHASHSEED-independent). Nulls → NULL_SENTINEL."""
+    """Hash a string array to uint64 — same kernel as the Arrow ingest
+    fast path (``hash_utf8_arrow``); the pandas→Arrow conversion is
+    C-speed.  Non-string objects canonicalise via ``str()``.
+    Nulls → NULL_SENTINEL."""
+    import pyarrow as pa
+
     if isinstance(values, pd.Series):
         arr = values.to_numpy(dtype=object)
     else:
         arr = np.asarray(values, dtype=object)
-    null_mask = pd.isna(arr)
-    safe = np.where(null_mask, "", arr)
-    h = pd.util.hash_array(safe.astype(object), categorize=False)
-    if seed:
-        h = splitmix64(h ^ _U64(seed))
-    h = h.copy()
-    h[null_mask] = NULL_SENTINEL
-    return h
+    try:
+        pa_arr = pa.array(arr, type=pa.string(), from_pandas=True)
+    except (pa.ArrowInvalid, pa.ArrowTypeError):
+        null_mask = pd.isna(arr)
+        as_str = np.array(
+            ["" if m else str(v) for v, m in zip(arr, null_mask)], dtype=object
+        )
+        pa_arr = pa.array(as_str, type=pa.string())
+        out = hash_utf8_arrow(pa_arr, seed)
+        out[null_mask] = NULL_SENTINEL
+        return out
+    return hash_utf8_arrow(pa_arr, seed)
 
 
 def hash_series(s: pd.Series, seed: int = 0) -> np.ndarray:

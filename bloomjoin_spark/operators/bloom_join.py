@@ -339,7 +339,7 @@ def bloom_join(
 
     spark = x.sparkSession
     sc = spark.sparkContext
-    bc = sc.broadcast(sketch)
+    bc = sc.broadcast(sketch.seal())
     acc_in = sc.accumulator(0) if collect_metrics else None
     acc_out = sc.accumulator(0) if collect_metrics else None
     probe_udf = _make_probe_udf(bc, acc_in, acc_out)

@@ -121,29 +121,65 @@ class BloomSketch(Sketch):
         self.fpp = float(fpp)
         self.m, self.k = bloom_sizing(n, fpp)
         self.mask = _U64(self.m - 1)
-        self.words = (
+        self._words = (
             _words
             if _words is not None
             else np.zeros(self.m // 64, dtype=np.uint64)
         )
         self.has_null = False
         self.n_added = 0
+        # retained key hashes for SPARSE serialization: a per-partition
+        # partial of a large filter holds few keys relative to m, so
+        # shipping 8·n bytes of hashes beats m/8 bytes of bitmap — at
+        # 100k partitions × a 1 GiB-cap filter that is the difference
+        # between collecting terabytes of partial bitmaps and megabytes
+        # of hash lists. Dropped (None) once past the breakeven n = m/64.
+        self._sparse: list[np.ndarray] | None = []
 
     # -- build ---------------------------------------------------------
+    @property
+    def words(self) -> np.ndarray:
+        """Dense bitmap — densified LAZILY: a sketch deserialized from a
+        sparse partial carries only its hash list until first probed, so
+        tree-merging sparse partials is list concatenation, never a
+        per-partial m/8-byte allocation + scatter."""
+        if self._words is None:
+            self._words = np.zeros(self.m // 64, dtype=np.uint64)
+            if self._sparse:
+                self._set_bits(np.concatenate(self._sparse))
+        return self._words
+
+    def _set_bits(self, h: np.ndarray) -> None:
+        idx = _probe_matrix(h, self.k, self.mask)
+        word_idx = (idx >> _U64(6)).ravel()
+        bit = (_U64(1) << (idx & _U64(63))).ravel()
+        np.bitwise_or.at(self._words, word_idx, bit)
+
     def update_hashes(self, h: np.ndarray) -> None:
         """Insert a batch of canonical uint64 hashes (dedup first — the
         reference sorts+uniques before insert, src/BloomFilter.cpp:111-114)."""
         if h.size == 0:
             return
         h = np.unique(h.astype(np.uint64, copy=False))
-        idx = _probe_matrix(h, self.k, self.mask)
-        word_idx = (idx >> _U64(6)).ravel()
-        bit = (_U64(1) << (idx & _U64(63))).ravel()
-        np.bitwise_or.at(self.words, word_idx, bit)
+        self.words  # ensure dense before scatter
+        self._set_bits(h)
         self.n_added += int(h.size)
+        if self._sparse is not None:
+            if self.n_added <= self.m // 64:
+                self._sparse.append(h)
+            else:
+                self._sparse = None
 
     def add_null(self) -> None:
         self.has_null = True
+
+    def seal(self) -> "BloomSketch":
+        """Densify and drop the retained hash list — call before
+        broadcasting so executors receive only the m/8-byte bitmap,
+        not bitmap + hash list."""
+        self.words
+        self._sparse = None
+        return self
 
     # -- probe ---------------------------------------------------------
     def contains_hashes(self, h: np.ndarray) -> np.ndarray:
@@ -160,9 +196,18 @@ class BloomSketch(Sketch):
     def merge(self, other: "BloomSketch") -> "BloomSketch":
         if other.m != self.m or other.k != self.k:
             raise ValueError("cannot OR-merge differently sized bloom filters")
-        np.bitwise_or(self.words, other.words, out=self.words)
         self.has_null |= other.has_null
         self.n_added += other.n_added
+        both_sparse = self._sparse is not None and other._sparse is not None
+        if both_sparse and self._words is None and other._words is None:
+            # sparse ∪ sparse: pool hash lists; densify only on demand
+            self._sparse = self._sparse + other._sparse
+            return self
+        np.bitwise_or(self.words, other.words, out=self._words)
+        if both_sparse and self.n_added <= self.m // 64:
+            self._sparse = self._sparse + other._sparse
+        else:
+            self._sparse = None
         return self
 
     # -- introspection ---------------------------------------------------
@@ -174,25 +219,44 @@ class BloomSketch(Sketch):
         return self.fill_ratio() ** self.k
 
     # -- serialization ---------------------------------------------------
+    # payload = header + mode byte + body.  mode 0: dense bitmap words
+    # (m/8 bytes); mode 1: sparse unique-hash list (8·n bytes) — chosen
+    # whenever the retained hash list is still under the breakeven
+    # n = m/64, so partial blobs of large filters stay tiny.
     def _payload_bytes(self) -> bytes:
         head = struct.pack(
             "<QIdBq", self.m, self.k, self.fpp, int(self.has_null), self.n_added
         )
-        return head + self.words.tobytes()
+        if self._sparse is not None:
+            hs = (
+                np.unique(np.concatenate(self._sparse))
+                if self._sparse
+                else np.empty(0, dtype=np.uint64)
+            )
+            if hs.size <= self.m // 64:
+                return head + b"\x01" + hs.tobytes()
+        return head + b"\x00" + self.words.tobytes()
 
     @classmethod
     def _from_payload(cls, payload: bytes) -> "BloomSketch":
         m, k, fpp, has_null, n_added = struct.unpack_from("<QIdBq", payload, 0)
         off = struct.calcsize("<QIdBq")
-        words = np.frombuffer(payload, dtype=np.uint64, offset=off).copy()
+        mode = payload[off]
+        off += 1
         obj = cls.__new__(cls)
         obj.n_hint = n_added
         obj.fpp = fpp
         obj.m, obj.k = m, k
         obj.mask = _U64(m - 1)
-        obj.words = words
         obj.has_null = bool(has_null)
         obj.n_added = n_added
+        if mode == 1:
+            h = np.frombuffer(payload, dtype=np.uint64, offset=off).copy()
+            obj._words = None  # lazy: densify on first probe/dense merge
+            obj._sparse = [h] if h.size else []
+        else:
+            obj._words = np.frombuffer(payload, dtype=np.uint64, offset=off).copy()
+            obj._sparse = None
         return obj
 
     @classmethod
@@ -200,7 +264,8 @@ class BloomSketch(Sketch):
         obj = cls.__new__(cls)
         obj.n_hint, obj.fpp, obj.m, obj.k = proto.n_hint, proto.fpp, proto.m, proto.k
         obj.mask = _U64(proto.m - 1)
-        obj.words = np.zeros(proto.m // 64, dtype=np.uint64)
+        obj._words = np.zeros(proto.m // 64, dtype=np.uint64)
         obj.has_null = False
         obj.n_added = 0
+        obj._sparse = []
         return obj

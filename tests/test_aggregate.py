@@ -206,3 +206,27 @@ def test_build_sketches_empty_input(spark):
     res = build_sketches(empty, {"hll": lambda: HllSketch(12)}, token_col="tokens")
     assert res["hll"].n_rows == 0
     assert res["hll"].sketch.estimate() == 0.0
+
+
+def test_string_key_build_arrow_path_matches_query(spark):
+    """String keys ride the Arrow utf8 fast path; membership/frequency
+    queries hashed via hash_series/hash_strings must agree exactly, and
+    nulls are tracked, never inserted."""
+    import pandas as pd
+
+    from bloomjoin_spark import CmsSketch, HllSketch
+    from bloomjoin_spark.hashing import hash_series
+
+    rows = [(f"doc_{i % 500:05d}",) for i in range(5_000)] + [(None,)] * 3
+    df = spark.createDataFrame(rows, "doc_id string").repartition(4)
+    res = build_sketch(df, lambda: BloomSketch(500, 0.01), cols=["doc_id"])
+    assert res.sketch.has_null
+    h = hash_series(pd.Series([f"doc_{i:05d}" for i in range(500)]))
+    assert res.sketch.contains_hashes(h).all()
+    absent = hash_series(pd.Series([f"nope_{i}" for i in range(2_000)]))
+    assert res.sketch.contains_hashes(absent).mean() < 0.03
+    hll = build_sketch(df, lambda: HllSketch(14), cols=["doc_id"])
+    assert abs(hll.sketch.estimate() - 500) / 500 < 0.05
+    cms = build_sketch(df, lambda: CmsSketch(eps=1e-3, delta=1e-3), cols=["doc_id"])
+    est = cms.sketch.query_hashes(h)
+    assert (est >= 10).all()  # every key appears 10 times

@@ -137,3 +137,37 @@ class TestStringHashing:
         from bloomjoin_spark.hashing import NULL_SENTINEL
 
         assert h1[2] == NULL_SENTINEL
+
+
+def test_sparse_partial_serialization_roundtrip():
+    """Partials with few keys relative to m serialize as hash lists
+    (8n bytes), not bitmaps (m/8 bytes); round-trip and merge results
+    are identical either way."""
+    import numpy as np
+
+    from bloomjoin_spark.hashing import hash_int64
+    from bloomjoin_spark.sketches.bloom import BloomSketch
+
+    a = BloomSketch(2_000_000, 0.01)
+    b = BloomSketch(2_000_000, 0.01)
+    ha = hash_int64(np.arange(0, 30_000, dtype=np.int64))
+    hb = hash_int64(np.arange(30_000, 60_000, dtype=np.int64))
+    a.update_hashes(ha)
+    b.update_hashes(hb)
+    blob_a = a.to_bytes()
+    assert len(blob_a) < a.m // 8 // 4, "sparse blob should be far below bitmap size"
+    a2 = BloomSketch.from_bytes(blob_a)
+    assert np.array_equal(a2.words, a.words)
+    assert a2.n_added == a.n_added
+    merged = BloomSketch.from_bytes(blob_a).merge(BloomSketch.from_bytes(b.to_bytes()))
+    dense = BloomSketch(2_000_000, 0.01)
+    dense.update_hashes(np.concatenate([ha, hb]))
+    assert np.array_equal(merged.words, dense.words)
+    # re-serialization of a still-small merge stays sparse
+    assert len(merged.to_bytes()) < merged.m // 8 // 4
+    # past breakeven (n > m/64) it densifies
+    big = BloomSketch(4096, 0.01)
+    big.update_hashes(hash_int64(np.arange(5_000, dtype=np.int64)))
+    assert big._sparse is None
+    rt = BloomSketch.from_bytes(big.to_bytes())
+    assert np.array_equal(rt.words, big.words)

@@ -109,3 +109,35 @@ def test_hash_keys32_public_api(spark):
     pa = hash_keys_pandas(pd.DataFrame({"k": [1, 2]}), "k")
     pb = hash_keys_pandas(pd.DataFrame({"k": [1.0, 2.0]}), "k")
     assert (pa == pb).all()
+
+
+def test_utf8_arrow_kernel_matches_hash_strings():
+    """The Arrow ingest fast path and the pandas query path share ONE
+    string-hash kernel — sliced arrays, large_string, unicode, empties
+    and nulls all agree."""
+    import pyarrow as pa
+
+    from bloomjoin_spark.hashing import (
+        NULL_SENTINEL,
+        hash_strings,
+        hash_utf8_arrow,
+    )
+
+    vals = ["doc_1", "doc_2", "", "a", None, "doc_1", "日本語テキスト", "x" * 500]
+    s = pd.Series(vals, dtype=object)
+    h = hash_strings(s)
+    assert np.array_equal(h, hash_utf8_arrow(pa.array(vals, type=pa.string())))
+    assert np.array_equal(h, hash_utf8_arrow(pa.array(vals, type=pa.large_string())))
+    sliced = pa.array(vals, type=pa.string()).slice(2, 4)
+    assert np.array_equal(hash_utf8_arrow(sliced), h[2:6])
+    assert h[4] == NULL_SENTINEL
+    assert h[0] == h[5] and h[0] != h[1] and h[2] != h[3]
+
+
+def test_utf8_arrow_kernel_no_collisions_bulk():
+    import pyarrow as pa
+
+    from bloomjoin_spark.hashing import hash_utf8_arrow
+
+    big = pa.array([f"doc_{i:08d}" for i in range(200_000)])
+    assert len(np.unique(hash_utf8_arrow(big))) == 200_000
