@@ -92,6 +92,41 @@ def _bloom_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bloom_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right join: y is row-preserving, so the planner filters x only
+    (reference dispatch R/bloomjoin.R:467-468; side guard :326-363)."""
+    from bloomjoin_spark import bloom_join
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % 10 == 0)
+        .select("p_partkey", "p_name")
+    )
+    return bloom_join(
+        li, part, on={"l_partkey": "p_partkey"}, how="right", force_prefilter=True
+    )
+
+
+def _bloom_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full join: both sides row-preserving — the prefilter must never
+    engage (reference guard R/bloomjoin.R:337-340); the result is the
+    plain full outer join."""
+    from bloomjoin_spark import bloom_join
+
+    ords = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 3 == 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 7 == 0)
+        .select("c_custkey", "c_name")
+    )
+    return bloom_join(ords, cust, on={"o_custkey": "c_custkey"}, how="full")
+
+
 def _bloom_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bloomjoin_spark import bloom_join
 
@@ -544,6 +579,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_semi_join": _bloom_semi,
         "bloom_anti_join": _bloom_anti,
         "bloom_left_join": _bloom_left,
+        "bloom_right_join": _bloom_right,
+        "bloom_full_join": _bloom_full,
         "bloom_composite_key_join": _bloom_composite,
         "hll_distinct_docid": _hll_distinct_docid,
         "hll_distinct_partkey": _hll_distinct_partkey,
@@ -595,6 +632,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, c.c_custkey, c.c_name
             FROM orders o
             LEFT JOIN (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 7 = 0) c
+              ON o.o_custkey = c.c_custkey
+        """,
+        "bloom_right_join": """
+            SELECT l.l_orderkey, l.l_partkey, l.l_quantity, p.p_partkey, p.p_name
+            FROM lineitem l
+            RIGHT JOIN (SELECT p_partkey, p_name FROM part WHERE p_partkey % 10 = 0) p
+              ON l.l_partkey = p.p_partkey
+        """,
+        "bloom_full_join": """
+            SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, c.c_custkey, c.c_name
+            FROM (SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+                  WHERE o_orderkey % 3 = 0) o
+            FULL JOIN (SELECT c_custkey, c_name FROM customer
+                       WHERE c_custkey % 7 = 0) c
               ON o.o_custkey = c.c_custkey
         """,
         "bloom_composite_key_join": """
