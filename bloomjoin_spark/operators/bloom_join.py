@@ -255,6 +255,8 @@ def bloom_join(
         if force_prefilter:
             skip_reasons = []
         use_prefilter = not skip_reasons
+        if not use_prefilter and persisted:
+            build_keyed.unpersist()  # skip path must release the cache
 
     if not use_prefilter:
         report.skip_reasons = skip_reasons
@@ -309,13 +311,8 @@ def bloom_join(
     # driver-side sample against the just-built filter; the measured
     # pass rate IS s + (1−s)·fpr, the reference's expected_pass formula.
     if selectivity_check and not force_prefilter:
-        sample = (
-            probe_df.select(probe_hash.alias("h"))
-            .limit(_SELECTIVITY_SAMPLE)
-            .toPandas()
-        )
-        if len(sample):
-            hs = sample["h"].to_numpy(dtype=np.int64).view(np.uint64)
+        hs = _systematic_probe_sample(probe_df, probe_hash, _SELECTIVITY_SAMPLE)
+        if len(hs):
             pass_rate = float(sketch.contains_hashes(hs).mean())
             report.selectivity_estimate = max(
                 0.0, min(1.0, (pass_rate - fpp) / max(1.0 - fpp, 1e-12))
@@ -346,7 +343,8 @@ def bloom_join(
 
     filtered = probe_df.filter(probe_udf(probe_hash))
     if collect_metrics:
-        report._acc_in, report._acc_out = acc_in, acc_out  # read after an action
+        # row metrics land after an action via report.finalize()
+        report._acc_in, report._acc_out = acc_in, acc_out
 
     if target == "x":
         out = _standard_join(filtered, y, pairs, how)
@@ -359,6 +357,32 @@ def bloom_join(
             f"{result.merge_rounds} merge rounds)"
         )
     return (out, report) if return_report else out
+
+
+def _systematic_probe_sample(probe_df: DataFrame, probe_hash: Column, n: int) -> np.ndarray:
+    """Hashed keys of the first ⌈n/P⌉ rows of EVERY partition, as one
+    early-terminating pass (tasks stop pulling batches once satisfied —
+    no full scan).  A ``.limit(n)`` sample collapses to the first
+    partition(s) and is arbitrarily biased when the data is clustered or
+    sorted by the join key; spanning every partition is the reference's
+    systematic-sampling intent (R/bloomjoin.R:240-257) at Spark scale."""
+    keyed = probe_df.select(probe_hash.alias("h"))
+    nparts = max(1, keyed.rdd.getNumPartitions())  # metadata, no job
+    per = max(16, -(-n // nparts))
+
+    def head_fn(it):
+        taken = 0
+        for batch in it:
+            if batch.num_rows == 0:
+                continue
+            take = min(per - taken, batch.num_rows)
+            yield batch.slice(0, take)
+            taken += take
+            if taken >= per:
+                return
+
+    pdf = keyed.mapInArrow(head_fn, schema="h bigint").toPandas()
+    return pdf["h"].to_numpy(dtype=np.int64).view(np.uint64)
 
 
 def _standard_join(x: DataFrame, y: DataFrame, pairs, how: str) -> DataFrame:

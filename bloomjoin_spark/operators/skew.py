@@ -21,10 +21,10 @@ def skewed_keys(
     df: DataFrame, col: str, min_share: float = 0.01, sample_rows: int = 100_000
 ) -> list:
     """Keys holding ≥ min_share of a deterministic sample."""
-    n = min(sample_rows, df.count())
-    if n == 0:
+    n_rows = df.count()  # one job, reused for the sampling fraction
+    if n_rows == 0:
         return []
-    frac = min(1.0, sample_rows / max(df.count(), 1))
+    frac = min(1.0, sample_rows / n_rows)
     sample = df.select(col).sample(fraction=frac, seed=42)
     total = sample.count()
     if total == 0:

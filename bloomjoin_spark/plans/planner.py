@@ -246,3 +246,24 @@ class BloomJoinReport:
     reduction_ratio: float | None = None
     skip_reasons: list[str] = field(default_factory=list)
     override_requested_side: bool = False
+    #: probe accumulators (set by bloom_join when collect_metrics=True);
+    #: read via finalize() after an action
+    _acc_in: object = field(default=None, repr=False, compare=False)
+    _acc_out: object = field(default=None, repr=False, compare=False)
+
+    def finalize(self) -> "BloomJoinReport":
+        """Populate the row metrics (probe_rows_before/after,
+        reduction_ratio — reference bloom_metadata fields
+        ``filtered_rows``/``retained_rows``/``reduction_ratio``,
+        R/bloomjoin.R:410-433) from the probe accumulators.
+
+        Call AFTER an action has materialized the joined DataFrame.
+        Accumulators are task-level telemetry: Spark may re-evaluate the
+        probe (task retries, AQE re-execution), so the counts bound the
+        logical row counts from above; the ratio is still exact under
+        re-evaluation because both counters inflate together."""
+        if self._acc_in is not None and self._acc_in.value:
+            self.probe_rows_before = int(self._acc_in.value)
+            self.probe_rows_after = int(self._acc_out.value)
+            self.reduction_ratio = 1.0 - self.probe_rows_after / self.probe_rows_before
+        return self
