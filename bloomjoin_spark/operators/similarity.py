@@ -93,33 +93,59 @@ def add_lsh_signature(
     nbits: int = 64,
     out_col: str = "lsh_sig",
 ) -> DataFrame:
-    """Pack sign(V·P) into one int64 per row — one numpy matmul per
-    Arrow batch, planes generated deterministically per process."""
+    """Pack sign(V·P) into one int64 per row — Arrow-native: the vector
+    list column is ONE flat float buffer, so the whole batch reshapes
+    zero-copy to (rows, dim) and signs come from a single matmul; no
+    per-row numpy object materialization. Planes are generated
+    deterministically per process."""
 
     def sig(it):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
         planes = None
         powers = (np.uint64(1) << np.arange(nbits, dtype=np.uint64))
-        for pdf in it:
-            vecs = pdf[vec_col]
-            n = len(pdf)
-            out = np.zeros(n, dtype=np.int64)
-            ok = vecs.map(lambda v: v is not None and len(v) > 0).to_numpy(dtype=bool)
-            if ok.any():
-                V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs[ok]])
+        for batch in it:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            vidx = batch.schema.get_field_index(vec_col)
+            col = batch.column(vidx)
+            lens = (
+                pc.list_value_length(col)
+                .fill_null(0)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            flat = col.flatten().to_numpy(zero_copy_only=False).astype(
+                np.float64, copy=False
+            )
+            out = np.zeros(n, dtype=np.uint64)
+            nz = lens > 0
+            if nz.any():
+                dims = np.unique(lens[nz])
+                if dims.size != 1:
+                    raise ValueError(
+                        f"embedding column {vec_col!r} has mixed dims {dims[:5]}"
+                    )
+                dim = int(dims[0])
                 if planes is None:
-                    planes = _planes(V.shape[1], nbits)
+                    planes = _planes(dim, nbits)
+                V = flat.reshape(-1, dim)  # zero-copy: rows are contiguous
                 bits = (V @ planes) > 0
-                out[ok] = (bits.astype(np.uint64) * powers[None, :]).sum(
+                out[nz] = (bits.astype(np.uint64) * powers[None, :]).sum(
                     axis=1, dtype=np.uint64
-                ).view(np.int64)
-            res = pdf.copy()
-            res[out_col] = out
-            yield res
+                )
+            arrays = [batch.column(i) for i in range(batch.num_columns)]
+            names = [f.name for f in batch.schema]
+            yield pa.RecordBatch.from_arrays(
+                arrays + [pa.array(out.view(np.int64))], names=names + [out_col]
+            )
 
     schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     ) + f", {out_col} bigint"
-    return df.mapInPandas(sig, schema=schema)
+    return df.mapInArrow(sig, schema=schema)
 
 
 def _band_structs(sig_col: str, bands: int, width: int, mask: int):
@@ -197,9 +223,16 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     nbits: int = 64,
     bands: int = 8,
+    max_bucket_size: int | None = 2000,
+    dropped_report: dict | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs: LSH candidates → exact cosine ≥
-    threshold. (id_a < id_b, sim)."""
+    threshold. (id_a < id_b, sim).
+
+    Buckets over ``max_bucket_size`` are dropped before the O(bucket²)
+    self-join (a degenerate bucket — e.g. zero/constant vectors — is
+    quadratic at scale); warning + optional ``dropped_report`` dict,
+    same guard as ``lsh_candidate_pairs``."""
     width = nbits // bands
     mask = (1 << width) - 1
     sig = add_lsh_signature(df.select(id_col, vec_col), vec_col, nbits, "__sig")
@@ -208,6 +241,40 @@ def embedding_near_dup_pairs(
         vec_col,
         F.explode(_band_structs("__sig", bands, width, mask)).alias("bb"),
     ).select(id_col, vec_col, "bb.band", "bb.bucket")
+    # shared materialization point for the cap aggregate + both join
+    # sides (else the LSH signature UDF re-runs once per branch)
+    exploded = exploded.localCheckpoint(eager=False)
+    if max_bucket_size is not None:
+        import warnings
+
+        big = (
+            exploded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") > max_bucket_size)
+        )
+        if dropped_report is not None:
+            row = big.agg(
+                F.count(F.lit(1)).alias("nb"),
+                F.coalesce(F.sum("__bn"), F.lit(0)).alias("nr"),
+            ).first()
+            dropped_report.update(
+                {
+                    "dropped_buckets": int(row["nb"]),
+                    "dropped_bucket_rows": int(row["nr"]),
+                    "max_bucket_size": max_bucket_size,
+                }
+            )
+            if row["nb"]:
+                warnings.warn(
+                    f"embedding_near_dup_pairs: dropped {row['nb']} bucket(s) "
+                    f"holding {row['nr']} rows (> max_bucket_size={max_bucket_size})",
+                    stacklevel=2,
+                )
+        exploded = exploded.join(
+            F.broadcast(big.select("band", "bucket")),
+            on=["band", "bucket"],
+            how="left_anti",
+        )
     a, b = exploded.alias("a"), exploded.alias("b")
     cand = (
         a.join(

@@ -86,3 +86,62 @@ def test_simhash_near_dups(spark):
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert (1, 2) in got
     assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_degenerate_lsh_bucket_capped(spark):
+    """2,000 identical docs form one degenerate LSH bucket (4M candidate
+    pairs uncapped). With a cap the job completes with zero pairs from
+    that bucket, and the drop is visible in the report + a warning."""
+    import warnings as _w
+
+    from bloomjoin_spark.operators import minhash_dedup_pairs
+
+    rows = [(i, "the same boilerplate text repeated everywhere") for i in range(2_000)]
+    rows += [(10_000, "a unique document about owls"), (10_001, "a unique document about owls")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    report = {}
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        pairs = minhash_dedup_pairs(
+            docs, "text", "doc_id", n=3, num_perm=32, bands=4,
+            threshold=0.9, max_bucket_size=100, dropped_report=report,
+        )
+        got = pairs.collect()
+    assert report["dropped_buckets"] >= 1
+    assert report["dropped_bucket_rows"] >= 2_000
+    assert any("dropped" in str(w.message) for w in caught)
+    # the small bucket still pairs: the owl dup survives the cap
+    assert any(r["id_a"] == 10_000 and r["id_b"] == 10_001 for r in got)
+    # nothing from the capped boilerplate bucket
+    assert all(r["id_a"] >= 10_000 for r in got)
+
+
+def test_simhash_long_document_batch(spark):
+    """Long documents (10k tokens) through the bit-plane SimHash: the
+    per-batch memory is one int32 plane, not a (tokens × 64) matrix —
+    and near-identical long docs still land at small hamming."""
+    from bloomjoin_spark.operators import add_simhash, simhash_near_dup_pairs
+
+    base = " ".join(f"tok{i % 977}" for i in range(10_000))
+    variant = base + " extra trailing words here"
+    other = " ".join(f"zzz{i % 311}" for i in range(10_000))
+    docs = spark.createDataFrame(
+        [(1, base), (2, variant), (3, other)], "doc_id long, text string"
+    )
+    sh = add_simhash(docs)
+    pairs = simhash_near_dup_pairs(sh, "doc_id", max_hamming=3).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in found
+    assert (1, 3) not in found and (2, 3) not in found
+
+
+def test_dedup_clusters_converges_min_label(spark):
+    from bloomjoin_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "id_a long, id_b long",
+    )
+    got = {r["id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20, 23: 20}
