@@ -510,6 +510,49 @@ def _cms_hot_tokens_f0(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(ok,)], "cms_within_bound boolean")
 
 
+def _bloom_params_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sizing report (O11/O12): closed-form m,k + escalation — the
+    oracle pins the exact deterministic values for n=1e6 @ fpp 0.01
+    (reference bloom_params, R/params.R:8-74)."""
+    from bloomjoin_spark import bloom_params
+
+    p = bloom_params(1_000_000, 0.01)
+    return spark.createDataFrame(
+        [(int(p["m_bits"]), int(p["k"]), int(p["size_bytes"]), bool(p["target_met"]))],
+        "m_bits bigint, k int, size_bytes bigint, target_met boolean",
+    )
+
+
+def _token_profile_f0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass multi-sketch corpus profile (build_sketches: ONE scan
+    feeds HLL+CMS+t-digest+KLL). Exact total pinned by the oracle;
+    every estimate pinned to its published bound vs exact Spark-side."""
+    from bloomjoin_spark.functions import token_profile
+    from bloomjoin_spark.sketches import HllSketch
+
+    toks = _f0(spark)
+    prof = token_profile(toks, "tokens", top_tokens=[0, 1, 2])
+    ex = toks.select(F.explode("tokens").alias("t"))
+    exact_distinct = ex.agg(F.countDistinct("t").alias("d")).first()["d"]
+    exact_total = toks.agg(F.sum(F.size("tokens"))).first()[0]
+    exact0 = ex.filter(F.col("t") == 0).count()
+    hll_ok = (
+        abs(prof["distinct_tokens"] - exact_distinct) / max(exact_distinct, 1)
+        <= 4 * HllSketch(14).rel_std_error
+    )
+    est0 = prof["token_frequencies"][0]
+    cms_ok = exact0 <= est0 <= exact0 + 1e-4 * exact_total + 1
+    q = prof["token_quantiles_tdigest"]
+    kq = prof["token_quantiles_kll"]
+    mono_ok = q[0] <= q[1] <= q[2] and kq[0] <= kq[1] <= kq[2]
+    return spark.createDataFrame(
+        [(int(exact_total), bool(prof["total_tokens"] == exact_total),
+          bool(hll_ok), bool(cms_ok), bool(mono_ok))],
+        "exact_total_tokens bigint, total_exact boolean, hll_within_bound boolean, "
+        "cms_within_bound boolean, quantiles_monotone boolean",
+    )
+
+
 def _salted_source_join_f0(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew handling on the F0 table's hot 'source' key (50% of rows):
     salted join result count == plain join count."""
@@ -607,6 +650,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_tokens_f0": _hll_distinct_tokens_f0,
         "cms_hot_tokens_f0": _cms_hot_tokens_f0,
         "salted_source_join_f0": _salted_source_join_f0,
+        "bloom_params_report": _bloom_params_report,
+        "token_profile_f0": _token_profile_f0,
     }
 
 
@@ -807,5 +852,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "salted_source_join_f0": """
             SELECT TRUE AS salted_equals_plain
+        """,
+        "bloom_params_report": """
+            SELECT 16777216 AS m_bits, 12 AS k, 2097152 AS size_bytes,
+                   TRUE AS target_met
+        """,
+        "token_profile_f0": """
+            SELECT 809271 AS exact_total_tokens, TRUE AS total_exact,
+                   TRUE AS hll_within_bound, TRUE AS cms_within_bound,
+                   TRUE AS quantiles_monotone
         """,
     }

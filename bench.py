@@ -11,10 +11,15 @@ on local[$SPARK_GRAFT_CPUS]:
 - dedup / similarity / text pipelines.
 
 Scaling protocol (BASELINE.json: ≥0.8 efficiency N→4N executors; in
-this sandbox: same engine job, same input, local[4] vs local[16] in
-fresh subprocess JVMs, pinned partition counts so parallelism is the
-only variable — see BENCH.md for why 4/16 and the full methodology).
+this sandbox: same engine job, byte-identical shared parquet input,
+local[2] vs local[8] in fresh sequential subprocess JVMs, pinned
+partition counts so parallelism is the only variable — see BENCH.md
+and the run_scaling docstring for why 2/8 and the full methodology).
 Disable with SPARK_GRAFT_BENCH_SCALING=0.
+
+Memory telemetry: a 10 Hz process-tree RSS sampler records the global
+peak and a per-query peak (JVM + Python workers + subprocesses),
+reported under "memory" in the JSON line.
 """
 
 from __future__ import annotations
@@ -26,19 +31,30 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# glibc tuning, set BEFORE the JVM (and thus the Python workers) spawn:
-# keep large numpy buffers on the malloc heap instead of mmap/munmap —
-# at 32 concurrent workers the munmap TLB shootdowns serialize the whole
-# box (measured 85-94% kernel time during batch allocation storms; the
-# same job runs 2.6x faster with these set)
-os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "536870912")
-os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "536870912")
-os.environ.setdefault("MALLOC_ARENA_MAX", "4")
+# glibc tuning: keep large numpy buffers on the malloc heap instead of
+# mmap/munmap — munmap TLB shootdowns serialize the whole box when the
+# in-process JVM runs 32 executor threads (measured 85-94% kernel time;
+# driver-side sketch merges measured 2.4× slower without this).  glibc
+# reads these at PROCESS START, so os.environ alone protects only child
+# processes (JVM, Python workers) — the bench driver itself must
+# re-exec once to pick them up.
+_MALLOC_ENV = {
+    "MALLOC_MMAP_THRESHOLD_": "536870912",
+    "MALLOC_TRIM_THRESHOLD_": "536870912",
+    "MALLOC_ARENA_MAX": "4",
+}
+_need_reexec = any(os.environ.get(k) != v for k, v in _MALLOC_ENV.items())
+os.environ.update(_MALLOC_ENV)  # children (JVM, workers) always covered
+if __name__ == "__main__" and _need_reexec:
+    os.execv(sys.executable, [sys.executable] + sys.argv)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 RUN_SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") not in ("0", "false")
 TOKEN_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_TOKEN_ROWS", "2000000"))
+# the bloom_join WIN cell: probe size where the saved shuffle beats the
+# prefilter's fixed costs even on RAM-resident input (4× TOKEN_ROWS)
+WIN_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_WIN_ROWS", str(4 * TOKEN_ROWS)))
 SCALING_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_SCALING_ROWS", "12000000"))
 # N vs 4N parallelism pair for the scaling protocol. Default 2 vs 8:
 # this VM's 32 "cores" are oversubscribed by the hypervisor (CPU steal
@@ -93,6 +109,84 @@ def timed_min(fn, repeats: int = 2):
         t, out = timed(fn)
         best = min(best, t)
     return best, out
+
+
+# --- memory telemetry (reference publishes memory ratios alongside
+# speedups, README.md:17-20): peak RSS of the WHOLE process tree —
+# bench driver + in-process JVM + pyspark daemon + Python workers +
+# scaling subprocess JVMs — sampled at 10 Hz, per labelled query.
+def _tree_rss_bytes() -> int:
+    page = os.sysconf("SC_PAGE_SIZE")
+    children: dict[int, list[int]] = {}
+    rss: dict[int, int] = {}
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/stat", "rb") as f:
+                data = f.read().decode("latin1")
+            fields = data[data.rindex(")") + 2 :].split()
+            ppid, rss_pages = int(fields[1]), int(fields[21])
+        except (OSError, ValueError, IndexError):
+            continue
+        children.setdefault(ppid, []).append(int(pid))
+        rss[int(pid)] = rss_pages * page
+    total, stack = 0, [os.getpid()]
+    while stack:
+        p = stack.pop()
+        total += rss.get(p, 0)
+        stack.extend(children.get(p, []))
+    return total
+
+
+class _MemSampler:
+    def __init__(self, interval: float = 0.1):
+        import threading
+
+        self.interval = interval
+        self.label: str | None = None
+        self.peaks: dict[str, int] = {}
+        self.global_peak = 0
+        self._stop = False
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    def _run(self):
+        while not self._stop:
+            try:
+                b = _tree_rss_bytes()
+            except OSError:
+                b = 0
+            if b > self.global_peak:
+                self.global_peak = b
+            lbl = self.label
+            if lbl is not None and b > self.peaks.get(lbl, 0):
+                self.peaks[lbl] = b
+            time.sleep(self.interval)
+
+    def start(self):
+        self._thread.start()
+        return self
+
+    def summary(self) -> dict:
+        gb = 1 << 30
+        return {
+            "global_peak_gb": round(self.global_peak / gb, 2),
+            "per_query_peak_gb": {
+                k: round(v / gb, 2) for k, v in sorted(self.peaks.items())
+            },
+        }
+
+
+SAMPLER = _MemSampler()
+
+
+def timed_min_q(name: str, fn, repeats: int = 2):
+    """timed_min with the memory sampler labelled for this query."""
+    SAMPLER.label = name
+    try:
+        return timed_min(fn, repeats)
+    finally:
+        SAMPLER.label = None
 
 
 def build_token_df(spark, n_rows, partitions):
@@ -186,16 +280,16 @@ def run_headline(spark) -> dict[str, float]:
     # plan is no prefilter, and auto mode's broadcast gate finds that.
     part_sub = part.filter(F.col("p_partkey") % 10 == 0).select("p_partkey", "p_name")
     li2 = li.select("l_orderkey", "l_partkey", "l_quantity")
-    qs["naive_join_lineitem"], _ = timed_min(
+    qs["naive_join_lineitem"], _ = timed_min_q("naive_join_lineitem", 
         lambda: li2.join(part_sub, li2.l_partkey == part_sub.p_partkey).count()
     )
-    qs["bloom_join_lineitem_auto"], _ = timed_min(
+    qs["bloom_join_lineitem_auto"], _ = timed_min_q("bloom_join_lineitem_auto", 
         lambda: bloom_join(
             li2, part_sub, on={"l_partkey": "p_partkey"}, how="inner",
             collect_metrics=False,
         ).count()
     )
-    qs["bloom_join_lineitem_forced"], _ = timed_min(
+    qs["bloom_join_lineitem_forced"], _ = timed_min_q("bloom_join_lineitem_forced", 
         lambda: bloom_join(
             li2, part_sub, on={"l_partkey": "p_partkey"}, how="inner",
             force_prefilter=True, collect_metrics=False,
@@ -215,10 +309,10 @@ def run_headline(spark) -> dict[str, float]:
         .persist()
     )
     lk.count()
-    qs["naive_join_tokens"], naive_rows = timed_min(
+    qs["naive_join_tokens"], naive_rows = timed_min_q("naive_join_tokens", 
         lambda: toks.join(lk, "doc_id", "inner").count(), repeats=3
     )
-    qs["bloom_join_tokens"], bloom_rows = timed_min(
+    qs["bloom_join_tokens"], bloom_rows = timed_min_q("bloom_join_tokens", 
         lambda: bloom_join(
             toks, lk, on="doc_id", how="inner", force_prefilter=True,
             collect_metrics=False,
@@ -228,7 +322,7 @@ def run_headline(spark) -> dict[str, float]:
     assert bloom_rows == naive_rows, "bloom_join result diverged from naive join"
     # Spark's own runtime bloom-filter rule as a third baseline
     spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-    qs["native_runtime_bloom_tokens"], _ = timed_min(
+    qs["native_runtime_bloom_tokens"], _ = timed_min_q("native_runtime_bloom_tokens", 
         lambda: toks.join(lk, "doc_id", "inner").count()
     )
     spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
@@ -246,40 +340,74 @@ def run_headline(spark) -> dict[str, float]:
             "prefilter_shuffle_row_reduction": round(1 - matching / max(total, 1), 4),
         }
     )
-    qs["hll_distinct_tokens"], hll = timed_min(
+    # --- the WIN regime (flagship credibility): larger probe side, the
+    # joined rows CONSUMED downstream (sum over token arrays + payload),
+    # so the naive plan must shuffle full fat rows — Catalyst prunes
+    # everything but the key under a bare count(), which hides exactly
+    # the cost the prefilter removes. At this shape the saved shuffle
+    # serialization beats the prefilter's fixed costs even in RAM.
+    toks8 = build_token_df(spark, WIN_ROWS, CPUS * 2).persist()
+    toks8.count()
+    lk8 = (
+        lookup_table(spark, WIN_ROWS, WIN_ROWS // 3, overlap=0.01,
+                     num_partitions=max(2, CPUS // 2))
+        .withColumn("payload", F.repeat(F.md5(F.col("doc_id")), 16))
+        .persist()
+    )
+    n_lk8 = lk8.count()
+    consume = lambda df: df.agg(
+        F.sum(F.size("tokens")), F.sum(F.length("payload"))
+    ).first()
+    qs["naive_join_tokens_8m"], _ = timed_min_q("naive_join_tokens_8m", 
+        lambda: consume(toks8.join(lk8, "doc_id", "inner")), repeats=3
+    )
+    qs["bloom_join_tokens_8m"], _ = timed_min_q("bloom_join_tokens_8m", 
+        lambda: consume(bloom_join(
+            toks8, lk8, on="doc_id", how="inner", force_prefilter=True,
+            collect_metrics=False, n_hint={"y": n_lk8},
+        )),
+        repeats=3,
+    )
+    SHUFFLE_STATS["bloom_win_speedup_8m"] = round(
+        qs["naive_join_tokens_8m"] / max(qs["bloom_join_tokens_8m"], 1e-9), 3
+    )
+    toks8.unpersist()
+    lk8.unpersist()
+
+    qs["hll_distinct_tokens"], hll = timed_min_q("hll_distinct_tokens", 
         lambda: build_sketch(toks, lambda: HllSketch(14), token_col="tokens")
     )
-    qs["cms_token_freq"], _ = timed_min(
+    qs["cms_token_freq"], _ = timed_min_q("cms_token_freq", 
         lambda: build_sketch(
             toks, lambda: CmsSketch(eps=1e-4, delta=1e-3), token_col="tokens"
         )
     )
-    qs["tdigest_ntok"], _ = timed_min(
+    qs["tdigest_ntok"], _ = timed_min_q("tdigest_ntok", 
         lambda: build_sketch(toks, lambda: TDigestSketch(200), cols=["n_tok"])
     )
-    qs["kll_ntok"], _ = timed_min(
+    qs["kll_ntok"], _ = timed_min_q("kll_ntok", 
         lambda: build_sketch(toks, lambda: KllSketch(200), cols=["n_tok"])
     )
-    qs["bloom_build_docids"], _ = timed_min(
+    qs["bloom_build_docids"], _ = timed_min_q("bloom_build_docids", 
         lambda: build_sketch(
             toks, lambda: BloomSketch(TOKEN_ROWS, 0.01), cols=["doc_id"]
         )
     )
 
     # --- pipeline operators
-    qs["exact_dedup_docs"], _ = timed_min(lambda: exact_dedup(docs).count())
-    qs["minhash_pairs_docs"], _ = timed_min(
+    qs["exact_dedup_docs"], _ = timed_min_q("exact_dedup_docs", lambda: exact_dedup(docs).count())
+    qs["minhash_pairs_docs"], _ = timed_min_q("minhash_pairs_docs", 
         lambda: minhash_dedup_pairs(
             docs, "text", "doc_id", num_perm=64, bands=8, threshold=0.8
         ).count()
     )
-    qs["text_stats_docs"], _ = timed_min(
+    qs["text_stats_docs"], _ = timed_min_q("text_stats_docs", 
         lambda: add_text_stats(docs).agg(F.sum("n_tokens")).first()
     )
     queries_df = emb.filter(F.col("vec_id") % 500 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    qs["ann_cosine_topk"], _ = timed_min(lambda: cosine_topk(emb, queries_df, k=10).count())
+    qs["ann_cosine_topk"], _ = timed_min_q("ann_cosine_topk", lambda: cosine_topk(emb, queries_df, k=10).count())
     toks.unpersist()
     lk.unpersist()
     return qs
@@ -392,10 +520,15 @@ def main():
         scaling_worker(int(sys.argv[2]), sys.argv[3], int(sys.argv[4]))
         return
     t_total0 = time.time()
+    SAMPLER.start()
     # scaling FIRST: its subprocess JVMs get an otherwise-idle machine
     scaling = None
     if RUN_SCALING:
-        scaling = run_scaling(SCALE_N, SCALE_4N, SCALING_ROWS)
+        SAMPLER.label = "scaling_protocol"
+        try:
+            scaling = run_scaling(SCALE_N, SCALE_4N, SCALING_ROWS)
+        finally:
+            SAMPLER.label = None
     spark = make_spark(CPUS)
     try:
         qs = run_headline(spark)
@@ -413,6 +546,7 @@ def main():
         "token_rows": TOKEN_ROWS,
         "bloom_vs_naive_speedup_tokens": round(speedup, 3),
         "shuffle": SHUFFLE_STATS,
+        "memory": SAMPLER.summary(),
         "scaling": scaling,
         "harness_total_sec": round(total, 3),
     }

@@ -20,6 +20,7 @@ from .sketches import (
     Sketch,
     TDigestSketch,
     bloom_params,
+    format_bloom_params,
     bloom_sizing,
     cms_params,
 )
@@ -37,6 +38,7 @@ __all__ = [
     "TDigestSketch",
     "bloom_join",
     "bloom_params",
+    "format_bloom_params",
     "bloom_sizing",
     "build_sketch",
     "build_sketches",

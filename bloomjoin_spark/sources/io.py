@@ -40,6 +40,30 @@ def read_table(spark: SparkSession, ref: str, fmt: str | None = None) -> DataFra
     return spark.read.table(ref)
 
 
+def iceberg_session_conf(
+    catalog: str = "ice",
+    warehouse: str = "/tmp/iceberg-warehouse",
+    catalog_impl: str = "org.apache.iceberg.spark.SparkCatalog",
+    catalog_type: str = "hadoop",
+) -> dict[str, str]:
+    """SparkSession conf entries that register an Iceberg catalog, so a
+    production job can do ``for k, v in iceberg_session_conf().items():
+    builder.config(k, v)`` and read tables as ``ice.db.tbl`` through
+    ``read_table``.  Requires the ``iceberg-spark-runtime`` jar on the
+    cluster (NOT present in this sandbox — the catalog-NAME path is
+    integration-tested here against Spark's built-in ``spark_catalog``
+    instead, which exercises the identical ``spark.read.table`` code
+    path; the Iceberg-specific part is configuration, not engine code)."""
+    return {
+        f"spark.sql.catalog.{catalog}": catalog_impl,
+        f"spark.sql.catalog.{catalog}.type": catalog_type,
+        f"spark.sql.catalog.{catalog}.warehouse": warehouse,
+        "spark.sql.extensions": (
+            "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions"
+        ),
+    }
+
+
 def tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """All test tables of a scale-factor directory, keyed by name."""
     return {

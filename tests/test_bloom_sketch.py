@@ -171,3 +171,14 @@ def test_sparse_partial_serialization_roundtrip():
     assert big._sparse is None
     rt = BloomSketch.from_bytes(big.to_bytes())
     assert np.array_equal(rt.words, big.words)
+
+
+def test_format_bloom_params():
+    """Parity with the reference's print.bloom_params (R/params.R:79-90):
+    every field of the sizing dict appears in the formatted report."""
+    from bloomjoin_spark import bloom_params, format_bloom_params
+
+    p = bloom_params(1_000_000, 0.01)
+    s = format_bloom_params(p)
+    assert "n (expected keys): 1,000,000" in s
+    assert "hashes (k):" in s and "achieved FPR:" in s and "bits per key:" in s

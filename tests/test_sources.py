@@ -27,3 +27,28 @@ def test_token_table_ref_synthesizes(spark):
                          num_partitions=2)
     assert df.count() == 500
     assert df.columns == ["doc_id", "tokens", "n_tok", "source"]
+
+
+def test_read_table_catalog_name(spark, tmp_path):
+    """The catalog-NAME path (the one an Iceberg catalog would use):
+    saveAsTable into the session catalog, read back via read_table by
+    name — same spark.read.table code path as ice.db.tbl."""
+    from bloomjoin_spark.sources import read_table
+
+    df = spark.range(0, 100).withColumnRenamed("id", "k")
+    df.write.mode("overwrite").saveAsTable("bj_cat_test")
+    try:
+        got = read_table(spark, "bj_cat_test")
+        assert got.count() == 100
+        assert got.columns == ["k"]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bj_cat_test")
+
+
+def test_iceberg_session_conf_shape():
+    from bloomjoin_spark.sources import iceberg_session_conf
+
+    conf = iceberg_session_conf(catalog="ice", warehouse="/tmp/wh")
+    assert conf["spark.sql.catalog.ice"].endswith("SparkCatalog")
+    assert conf["spark.sql.catalog.ice.warehouse"] == "/tmp/wh"
+    assert "Extensions" in conf["spark.sql.extensions"]
