@@ -277,6 +277,77 @@ def make_partial_fn_arrow(
     return partial_fn
 
 
+def make_grouped_partial_fn(
+    factory: Callable[[], Sketch],
+    group_col: str,
+    cols: list[str] | None = None,
+    token_col: str | None = None,
+):
+    """mapInPandas builder: ONE pass over each partition producing one
+    partial row per (group key, partition).  Grouping happens inside the
+    batch (pandas C groupby), so a K-key input costs one scan — not the
+    K filtered passes of filtering the DataFrame per key."""
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else -1
+        sks: dict = {}
+        counts: dict = {}
+        fps: dict = {}
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            for key, sub in pdf.groupby(group_col, dropna=False, sort=False):
+                sk = sks.get(key)
+                if sk is None:
+                    sk = sks[key] = factory()
+                    counts[key] = 0
+                    fps[key] = np.uint64(0)
+                h = (
+                    hash_tokens_flat(sub[token_col])
+                    if token_col is not None
+                    else hash_columns(sub, list(cols))
+                )
+                with np.errstate(over="ignore"):
+                    fps[key] += h.sum(dtype=np.uint64)
+                _ingest_hashes(sks[key], h)
+                counts[key] += len(sub)
+        if not sks:
+            return
+        keys = list(sks)
+        yield pd.DataFrame(
+            {
+                group_col: keys,
+                "partition_id": [pid] * len(keys),
+                "n_partials": [1] * len(keys),
+                "n_rows": [counts[k] for k in keys],
+                "fingerprint": [np.int64(fps[k].astype(np.int64)) for k in keys],
+                "blob": [sks[k].to_bytes() for k in keys],
+            }
+        )
+
+    return fn
+
+
+def grouped_sketch_partials(
+    df: DataFrame,
+    factory: Callable[[], Sketch],
+    group_col: str,
+    cols: list[str] | str | None = None,
+    token_col: str | None = None,
+) -> DataFrame:
+    """One partial row per (group key, input partition) in a single
+    scan. Output schema: (group_col, partition_id, n_partials, n_rows,
+    fingerprint, blob)."""
+    if isinstance(cols, str):
+        cols = [cols]
+    keep = [group_col] + (list(cols) if cols else [token_col])
+    gtype = dict(df.dtypes)[group_col]
+    schema = f"`{group_col}` {gtype}, {PARTIAL_SCHEMA}"
+    fn = make_grouped_partial_fn(factory, group_col, cols, token_col)
+    return df.select(*keep).mapInPandas(fn, schema=schema)
+
+
 MULTI_PARTIAL_SCHEMA = (
     "name string, partition_id long, n_partials long, n_rows long, "
     "fingerprint long, blob binary"

@@ -111,22 +111,41 @@ class CmsSketch(Sketch):
         return self.eps * self.total
 
     # -- serialization ---------------------------------------------------
+    # mode 0: dense d×w int64 table.  mode 1: sparse (flat index, count)
+    # pairs — a per-partition partial of a wide CMS (ε=1e-4 ⇒ ~1.5 MB
+    # dense) touches ≤ d·uniques cells; when the nonzeros fit in half
+    # the dense bytes the blob ships sparse.  Read directly off the
+    # table at serialization time — no build-path bookkeeping.
     def _payload_bytes(self) -> bytes:
         head = struct.pack(
             "<ddqB", self.eps, self.delta, self.total, int(self.has_null)
         )
-        return head + self.table.tobytes()
+        flat = self.table.ravel()
+        nz = np.flatnonzero(flat)
+        if nz.size * 16 <= self.table.nbytes // 2:
+            return (
+                head + b"\x01" + nz.astype(np.int64).tobytes() + flat[nz].tobytes()
+            )
+        return head + b"\x00" + self.table.tobytes()
 
     @classmethod
     def _from_payload(cls, payload: bytes) -> "CmsSketch":
         eps, delta, total, has_null = struct.unpack_from("<ddqB", payload, 0)
         off = struct.calcsize("<ddqB")
+        mode = payload[off]
+        off += 1
         obj = cls(eps, delta)
-        obj.table = (
-            np.frombuffer(payload, dtype=np.int64, offset=off)
-            .reshape(obj.d, obj.w)
-            .copy()
-        )
+        if mode == 1:
+            pairs = np.frombuffer(payload, dtype=np.int64, offset=off)
+            n = pairs.size // 2
+            flat = obj.table.ravel()
+            flat[pairs[:n]] = pairs[n:]
+        else:
+            obj.table = (
+                np.frombuffer(payload, dtype=np.int64, offset=off)
+                .reshape(obj.d, obj.w)
+                .copy()
+            )
         obj.total = total
         obj.has_null = bool(has_null)
         return obj

@@ -101,14 +101,34 @@ class HllSketch(Sketch):
         return int(round(self.estimate()))
 
     # -- serialization ---------------------------------------------------
+    # mode 0: dense 2^p byte registers.  mode 1: sparse (int32 index,
+    # uint8 rank) pairs for low-cardinality partials — a partition that
+    # saw k distinct keys touches ≤ k of the 2^p registers, so its blob
+    # ships 5·nnz bytes instead of 2^p.
     def _payload_bytes(self) -> bytes:
-        return struct.pack("<IB", self.p, int(self.has_null)) + self.regs.tobytes()
+        head = struct.pack("<IB", self.p, int(self.has_null))
+        nz = np.flatnonzero(self.regs)
+        if nz.size * 5 <= self.m // 2:
+            return (
+                head + b"\x01" + nz.astype(np.int32).tobytes() + self.regs[nz].tobytes()
+            )
+        return head + b"\x00" + self.regs.tobytes()
 
     @classmethod
     def _from_payload(cls, payload: bytes) -> "HllSketch":
         p, has_null = struct.unpack_from("<IB", payload, 0)
         off = struct.calcsize("<IB")
-        regs = np.frombuffer(payload, dtype=np.uint8, offset=off).copy()
+        mode = payload[off]
+        off += 1
+        if mode == 1:
+            body = payload[off:]
+            n = len(body) // 5
+            idx = np.frombuffer(body, dtype=np.int32, count=n)
+            vals = np.frombuffer(body, dtype=np.uint8, offset=n * 4)
+            regs = np.zeros(1 << p, dtype=np.uint8)
+            regs[idx] = vals
+        else:
+            regs = np.frombuffer(payload, dtype=np.uint8, offset=off).copy()
         obj = cls(p, _regs=regs)
         obj.has_null = bool(has_null)
         return obj

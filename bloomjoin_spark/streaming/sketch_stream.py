@@ -110,40 +110,37 @@ class StreamingSketchCollector:
         self.lineage: list[dict] = []
 
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        from ..aggregate import sketch_partials
+        from ..aggregate import grouped_sketch_partials, sketch_partials
+        from ..sketches.base import Sketch
 
-        keys = [None]
-        if self.group_col is not None:
-            keys = [
-                r[0]
-                for r in batch_df.select(self.group_col).distinct().collect()
-            ]
-        for key in keys:
-            part = (
-                batch_df
-                if key is None
-                else batch_df.filter(F.col(self.group_col) == key)
-            )
+        if self.group_col is None:
             partials = sketch_partials(
-                part, self.factory, cols=self.cols, token_col=self.token_col
+                batch_df, self.factory, cols=self.cols, token_col=self.token_col
             ).collect()
-            from ..sketches.base import Sketch
-
-            for row in partials:
-                sk = Sketch.from_bytes(bytes(row["blob"]))
-                if key in self.sketches:
-                    self.sketches[key] = self.sketches[key].merge(sk)
-                else:
-                    self.sketches[key] = sk
-                self.lineage.append(
-                    {
-                        "batch_id": batch_id,
-                        "key": key,
-                        "partition_id": row["partition_id"],
-                        "n_rows": row["n_rows"],
-                        "fingerprint": row["fingerprint"],
-                    }
-                )
+            rows = [(None, r) for r in partials]
+        else:
+            # ONE pass over the micro-batch for every group key (pandas
+            # groupby inside each Arrow batch) — never K filtered scans
+            partials = grouped_sketch_partials(
+                batch_df, self.factory, self.group_col,
+                cols=self.cols, token_col=self.token_col,
+            ).collect()
+            rows = [(r[self.group_col], r) for r in partials]
+        for key, row in rows:
+            sk = Sketch.from_bytes(bytes(row["blob"]))
+            if key in self.sketches:
+                self.sketches[key] = self.sketches[key].merge(sk)
+            else:
+                self.sketches[key] = sk
+            self.lineage.append(
+                {
+                    "batch_id": batch_id,
+                    "key": key,
+                    "partition_id": row["partition_id"],
+                    "n_rows": row["n_rows"],
+                    "fingerprint": row["fingerprint"],
+                }
+            )
 
     def attach(self, stream: DataFrame):
         """Returns a writeStream ready to ``.start()``."""

@@ -73,3 +73,26 @@ def test_serde_roundtrip():
     assert isinstance(back, CmsSketch)
     assert np.array_equal(back.table, sk.table)
     assert back.total == sk.total
+
+
+def test_cms_sparse_partial_roundtrip():
+    """Low-cardinality partials serialize sparse (nonzero cells), dense
+    tables round-trip unchanged; both reconstruct bit-identically."""
+    import numpy as np
+
+    from bloomjoin_spark.hashing import hash_int64
+    from bloomjoin_spark.sketches.cms import CmsSketch
+
+    sk = CmsSketch(eps=1e-4, delta=1e-3)  # ~1.5 MB dense
+    h = hash_int64(np.arange(500, dtype=np.int64))
+    sk.update_hashes(h, weights=np.arange(1, 501, dtype=np.int64))
+    blob = sk.to_bytes()
+    assert len(blob) < sk.table.nbytes // 4
+    rt = CmsSketch.from_bytes(blob)
+    assert np.array_equal(rt.table, sk.table)
+    assert rt.total == sk.total
+    # dense regime: many uniques
+    big = CmsSketch(eps=1e-3, delta=1e-3)
+    big.update_hashes(hash_int64(np.arange(100_000, dtype=np.int64)))
+    rt2 = CmsSketch.from_bytes(big.to_bytes())
+    assert np.array_equal(rt2.table, big.table)

@@ -79,3 +79,22 @@ def test_serde_roundtrip():
     assert isinstance(back, HllSketch)
     assert np.array_equal(back.regs, sk.regs)
     assert back.has_null and back.estimate() == sk.estimate()
+
+
+def test_hll_sparse_partial_roundtrip():
+    import numpy as np
+
+    from bloomjoin_spark.hashing import hash_int64
+    from bloomjoin_spark.sketches.hll import HllSketch
+
+    sk = HllSketch(14)
+    sk.update_hashes(hash_int64(np.arange(200, dtype=np.int64)))
+    blob = sk.to_bytes()
+    assert len(blob) < (1 << 14) // 4
+    rt = HllSketch.from_bytes(blob)
+    assert np.array_equal(rt.regs, sk.regs)
+    assert rt.estimate() == sk.estimate()
+    big = HllSketch(12)
+    big.update_hashes(hash_int64(np.arange(100_000, dtype=np.int64)))
+    rt2 = HllSketch.from_bytes(big.to_bytes())
+    assert np.array_equal(rt2.regs, big.regs)

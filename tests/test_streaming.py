@@ -101,3 +101,29 @@ def test_stateful_per_key_hll(spark, sf_dir):
         row = got[k]
         assert row["n_rows"] == n
         assert abs(row["estimate"] - d) / max(d, 1) <= bound
+
+
+def test_grouped_partials_one_pass_matches_per_key(spark):
+    """grouped_sketch_partials (one scan for all keys) merges to the
+    same estimates as building each key's sketch separately."""
+    from bloomjoin_spark.aggregate import build_sketch, grouped_sketch_partials
+    from bloomjoin_spark.sketches import HllSketch
+    from bloomjoin_spark.sketches.base import Sketch
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(f"k{i % 3}", i % 500) for i in range(6_000)], "g string, v long"
+    ).repartition(4)
+    rows = grouped_sketch_partials(
+        df, lambda: HllSketch(12), "g", cols=["v"]
+    ).collect()
+    merged: dict = {}
+    for r in rows:
+        sk = Sketch.from_bytes(bytes(r["blob"]))
+        merged["" + r["g"]] = merged[r["g"]].merge(sk) if r["g"] in merged else sk
+    assert set(merged) == {"k0", "k1", "k2"}
+    for key in merged:
+        solo = build_sketch(
+            df.filter(F.col("g") == key), lambda: HllSketch(12), cols=["v"]
+        )
+        assert merged[key].estimate() == solo.sketch.estimate()
