@@ -420,6 +420,34 @@ def _ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (spherical k-means cells + nprobe cell fetch + exact
+    re-rank) vs brute-force cosine: recall@10 ≥ 0.5 at nprobe=nlist/4,
+    and EXACT when probing every cell."""
+    from bloomjoin_spark.operators import ann_ivf_topk, cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 200 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(emb, queries_df, k=10).select("query_id", "vec_id")
+    approx = ann_ivf_topk(emb, queries_df, k=10, nlist=8, nprobe=2).select(
+        "query_id", "vec_id"
+    )
+    hit = exact.join(approx, ["query_id", "vec_id"], "left_semi").count()
+    recall_ok = hit / max(exact.count(), 1) >= 0.5
+    full = ann_ivf_topk(emb, queries_df, k=10, nlist=8, nprobe=8).select(
+        "query_id", "vec_id"
+    )
+    full_exact = (
+        exact.exceptAll(full).count() == 0 and full.exceptAll(exact).count() == 0
+    )
+    return spark.createDataFrame(
+        [(bool(recall_ok), bool(full_exact))],
+        "recall_at_least_half boolean, full_probe_exact boolean",
+    )
+
+
 def _cms_event_type_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CMS per-event-type counts vs exact: never undercounts, within εN."""
     from bloomjoin_spark import CmsSketch, build_sketch
@@ -645,6 +673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_full_dedup": _minhash_full_dedup,
         "simhash_planted": _simhash_planted,
         "ann_lsh_recall": _ann_lsh_recall,
+        "ann_ivf_recall": _ann_ivf_recall,
         "cms_event_type_freq": _cms_event_type_freq,
         "bloom_join_tokens_f0": _bloom_join_tokens_f0,
         "hll_distinct_tokens_f0": _hll_distinct_tokens_f0,
@@ -833,6 +862,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_lsh_recall": """
             SELECT TRUE AS recall_at_least_half
+        """,
+        "ann_ivf_recall": """
+            SELECT TRUE AS recall_at_least_half, TRUE AS full_probe_exact
         """,
         "cms_event_type_freq": """
             SELECT event_type, count(*) AS exact_cnt, TRUE AS within_bound

@@ -17,11 +17,14 @@ from .multimodal import (
     synthesize_media,
 )
 from .similarity import (
+    add_ivf_cluster,
     add_lsh_signature,
+    ann_ivf_topk,
     ann_lsh_topk,
     cosine_sim_col,
     cosine_topk,
     embedding_near_dup_pairs,
+    train_ivf_centroids,
 )
 from .skew import aqe_skew_configs, salted_join, skewed_keys, split_hot_join
 from .text import (
@@ -34,10 +37,12 @@ from .text import (
 __all__ = [
     "add_fingerprint",
     "add_lang_id",
+    "add_ivf_cluster",
     "add_lsh_signature",
     "add_minhash_signature",
     "add_simhash",
     "add_text_stats",
+    "ann_ivf_topk",
     "ann_lsh_topk",
     "aqe_skew_configs",
     "bloom_join",
@@ -58,5 +63,6 @@ __all__ = [
     "skewed_keys",
     "split_hot_join",
     "synthesize_media",
+    "train_ivf_centroids",
     "with_shingle_hashes",
 ]

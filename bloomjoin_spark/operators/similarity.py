@@ -216,6 +216,178 @@ def ann_lsh_topk(
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the second scale path next to LSH buckets:
+# spherical k-means centroids partition the corpus into nlist cells;
+# a query probes its nprobe nearest cells, so candidate generation is
+# an equi-join on cluster id (≈ nprobe/nlist of the corpus scanned per
+# query) followed by exact cosine re-rank. At cluster scale the corpus
+# can be written bucketed/partitioned BY the cell id, making the
+# candidate fetch partition-pruned instead of a shuffle.
+# ---------------------------------------------------------------------------
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    nlist: int = 64,
+    sample: int = 20_000,
+    iters: int = 8,
+) -> np.ndarray:
+    """Deterministic spherical k-means over a seeded sample: returns
+    (nlist, dim) unit centroids.  The sample is the only driver-side
+    data (≤ ``sample`` rows); training is a few numpy matmuls."""
+    n = corpus.count()
+    frac = min(1.0, (sample * 1.25) / max(n, 1))
+    pdf = (
+        corpus.select(vec_col).sample(fraction=frac, seed=42).limit(sample).toPandas()
+    )
+    V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col] if v is not None and len(v)])
+    norms = np.linalg.norm(V, axis=1, keepdims=True)
+    V = V / np.clip(norms, 1e-12, None)
+    nlist = min(nlist, len(V))
+    # deterministic init: splitmix-shuffled sample order, first nlist rows
+    from ..hashing import splitmix64
+
+    order = np.argsort(splitmix64(np.arange(len(V), dtype=np.uint64)))
+    C = V[order[:nlist]].copy()
+    for _ in range(iters):
+        assign = np.argmax(V @ C.T, axis=1)
+        newC = np.zeros_like(C)
+        np.add.at(newC, assign, V)
+        counts = np.bincount(assign, minlength=nlist)
+        empty = counts == 0
+        newC[empty] = C[empty]  # keep empty cells where they were
+        newC /= np.clip(np.linalg.norm(newC, axis=1, keepdims=True), 1e-12, None)
+        C = newC
+    return C
+
+
+def _assign_clusters_fn(centroids: np.ndarray, vec_col: str, out_col: str, top: int):
+    """mapInArrow: per batch, zero-copy reshape the flat vector buffer,
+    one matmul against the centroids, argmax (top=1 → int cluster id)
+    or arg-top-nprobe (top>1 → array<int>)."""
+
+    def fn(it):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        C = centroids
+        for batch in it:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            vidx = batch.schema.get_field_index(vec_col)
+            col = batch.column(vidx)
+            lens = (
+                pc.list_value_length(col).fill_null(0)
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            flat = col.flatten().to_numpy(zero_copy_only=False).astype(
+                np.float64, copy=False
+            )
+            nz = lens > 0
+            if top == 1:
+                out = np.zeros(n, dtype=np.int32)
+            else:
+                out = np.zeros((n, top), dtype=np.int32)
+            if nz.any():
+                V = flat.reshape(-1, C.shape[1])
+                nrm = np.linalg.norm(V, axis=1, keepdims=True)
+                sims = (V / np.clip(nrm, 1e-12, None)) @ C.T
+                if top == 1:
+                    out[nz] = np.argmax(sims, axis=1).astype(np.int32)
+                else:
+                    t = min(top, C.shape[0])
+                    part = np.argpartition(-sims, t - 1, axis=1)[:, :t]
+                    out_nz = np.zeros((int(nz.sum()), top), dtype=np.int32)
+                    out_nz[:, :t] = np.take_along_axis(
+                        part,
+                        np.argsort(
+                            -np.take_along_axis(sims, part, axis=1), axis=1
+                        ),
+                        axis=1,
+                    )
+                    if t < top:
+                        out_nz[:, t:] = out_nz[:, t - 1 : t]
+                    out[nz] = out_nz
+            arrays = [batch.column(i) for i in range(batch.num_columns)]
+            names = [f.name for f in batch.schema]
+            if top == 1:
+                extra = pa.array(out)
+            else:
+                extra = pa.ListArray.from_arrays(
+                    pa.array(np.arange(0, (n + 1) * top, top, dtype=np.int32)),
+                    pa.array(out.ravel()),
+                )
+            yield pa.RecordBatch.from_arrays(arrays + [extra], names=names + [out_col])
+
+    return fn
+
+
+def add_ivf_cluster(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "ivf_cluster",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (int cluster id)."""
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", {out_col} int"
+    return df.mapInArrow(_assign_clusters_fn(centroids, vec_col, out_col, 1), schema)
+
+
+def ann_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    nlist: int = 64,
+    nprobe: int = 8,
+    sample: int = 20_000,
+    iters: int = 8,
+) -> DataFrame:
+    """IVF approximate top-k: train centroids from a sample, assign the
+    corpus once, probe each query's nprobe nearest cells (equi-join on
+    cluster id, queries broadcast), exact cosine re-rank.  Recall grows
+    with nprobe/nlist; nprobe == nlist degrades gracefully to exact."""
+    cent = train_ivf_centroids(corpus, vec_col, nlist, sample, iters)
+    c = add_ivf_cluster(corpus.select(id_col, vec_col), cent, vec_col, "__cl")
+    qq = queries.select(
+        F.col(query_id_col).alias("__qid"), F.col(vec_col).alias("__qvec")
+    )
+    probe_schema = "__qid " + dict(qq.dtypes)["__qid"] + \
+        ", __qvec " + dict(qq.dtypes)["__qvec"] + ", __cls array<int>"
+    qp = qq.mapInArrow(
+        _assign_clusters_fn(cent, "__qvec", "__cls", max(1, nprobe)), probe_schema
+    )
+    qx = qp.select("__qid", "__qvec", F.explode("__cls").alias("__cl")).dropDuplicates(
+        ["__qid", "__cl"]
+    )
+    cand = (
+        c.join(F.broadcast(qx), on="__cl")
+        .select("__qid", id_col, vec_col, "__qvec")
+        .dropDuplicates(["__qid", id_col])
+    )
+    scored = cand.select(
+        F.col("__qid").alias(query_id_col),
+        F.col(id_col),
+        F.round(
+            cosine_sim_col(
+                F.col(vec_col).cast("array<double>"),
+                F.col("__qvec").cast("array<double>"),
+            ),
+            6,
+        ).alias("sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -77,3 +77,28 @@ def test_filter_pushdown_through_operators(spark):
     )
     plan = _plan(add_text_stats(docs).select("doc_id", "n_tokens"))
     assert "EqualTo(lang,en)" in plan
+
+
+def test_lsh_signature_udf_runs_once(spark):
+    """Regression: the banded table feeds the bucket-size cap AND both
+    sides of the candidate self-join; without a materialization point
+    Catalyst re-runs the signature UDF once per branch (observed 4× in
+    the physical plan). The executed plan must contain at most one live
+    signature stage — the rest must read the checkpointed RDD."""
+    from bloomjoin_spark.operators.dedup import (
+        add_minhash_signature,
+        lsh_candidate_pairs,
+        with_shingle_hashes,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"some words here number {i % 7} padding tokens") for i in range(200)],
+        "doc_id long, text string",
+    )
+    sh = with_shingle_hashes(docs, "text", 3).select("doc_id", "shingles")
+    sigs = add_minhash_signature(sh, "shingles", 16)
+    pairs = lsh_candidate_pairs(sigs, "doc_id", "minhash", 4, max_bucket_size=50)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    n_udf_stages = plan.count("MapInArrow") + plan.count("MapInPandas")
+    assert n_udf_stages <= 1, f"signature UDF appears {n_udf_stages}× in plan"
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan or n_udf_stages == 0

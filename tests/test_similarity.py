@@ -67,3 +67,35 @@ def test_embedding_near_dup_pairs(spark, emb):
     found = pairs.filter(F.col("id_b") - F.col("id_a") == 1_000_000).count()
     assert found == 5
     assert pairs.filter(F.col("sim") < 0.999).count() == 0
+
+
+def test_ann_ivf_recall_and_determinism(spark, sf_dir):
+    """IVF ANN: recall@10 vs brute-force ≥ 0.5 at small nprobe, exact
+    when probing every cell; centroid training is deterministic."""
+    import numpy as np
+
+    from bloomjoin_spark.operators import (
+        ann_ivf_topk,
+        cosine_topk,
+        train_ivf_centroids,
+    )
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 40 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(emb, queries, k=10).select("query_id", "vec_id")
+    approx = ann_ivf_topk(emb, queries, k=10, nlist=8, nprobe=3).select(
+        "query_id", "vec_id"
+    )
+    hit = exact.join(approx, ["query_id", "vec_id"], "left_semi").count()
+    assert hit / exact.count() >= 0.5
+    # nprobe == nlist → candidate set is the whole corpus → exact result
+    full = ann_ivf_topk(emb, queries, k=10, nlist=8, nprobe=8).select(
+        "query_id", "vec_id"
+    )
+    assert exact.exceptAll(full).count() == 0 and full.exceptAll(exact).count() == 0
+    c1 = train_ivf_centroids(emb, nlist=8)
+    c2 = train_ivf_centroids(emb, nlist=8)
+    assert np.array_equal(c1, c2)
