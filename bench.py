@@ -177,6 +177,35 @@ class _MemSampler:
         }
 
 
+def total_shuffle_write_bytes(spark) -> int | None:
+    """Cumulative MEASURED shuffle-write bytes across all stages (app
+    status store). Diff around a query to get its actual shuffle volume
+    — the objective scale metric wall-clock can't show on a RAM-speed
+    box. Returns None if the (stable-private) API drifts."""
+    try:
+        sc = spark.sparkContext
+        gw = sc._gateway
+        store = sc._jsc.sc().statusStore()
+        lst = store.stageList(
+            sc._jvm.java.util.ArrayList(), False, False,
+            gw.new_array(gw.jvm.double, 0), sc._jvm.java.util.ArrayList(),
+        )
+        return sum(lst.apply(i).shuffleWriteBytes() for i in range(lst.length()))
+    except Exception:
+        return None
+
+
+def measured_shuffle_mb(spark, fn) -> float | None:
+    b0 = total_shuffle_write_bytes(spark)
+    if b0 is None:
+        fn()
+        return None
+    fn()
+    time.sleep(0.8)  # listener bus drain
+    b1 = total_shuffle_write_bytes(spark)
+    return round((b1 - b0) / 1e6, 2) if b1 is not None else None
+
+
 SAMPLER = _MemSampler()
 
 
@@ -187,6 +216,29 @@ def timed_min_q(name: str, fn, repeats: int = 2):
         return timed_min(fn, repeats)
     finally:
         SAMPLER.label = None
+
+
+def timed_min_multi(sides: list, rounds: int = 3) -> dict[str, float]:
+    """Adjacent A/B/… comparison: alternate every side each round so
+    machine-capacity drift (hypervisor steal on this guest) hits all
+    sides equally — timing the sides in separate blocks can sample them
+    in different capacity regimes and corrupt the RATIO (the same
+    failure mode the scaling protocol guards against). Min per side."""
+    best = {name: 1e18 for name, _ in sides}
+    for _ in range(rounds):
+        for name, fn in sides:
+            SAMPLER.label = name
+            try:
+                t, _ = timed(fn)
+            finally:
+                SAMPLER.label = None
+            best[name] = min(best[name], t)
+    return best
+
+
+def timed_min_pair(name_a: str, fn_a, name_b: str, fn_b, pairs: int = 3):
+    best = timed_min_multi([(name_a, fn_a), (name_b, fn_b)], pairs)
+    return best[name_a], best[name_b]
 
 
 def build_token_df(spark, n_rows, partitions):
@@ -309,17 +361,15 @@ def run_headline(spark) -> dict[str, float]:
         .persist()
     )
     lk.count()
-    qs["naive_join_tokens"], naive_rows = timed_min_q("naive_join_tokens", 
-        lambda: toks.join(lk, "doc_id", "inner").count(), repeats=3
+    naive_fn = lambda: toks.join(lk, "doc_id", "inner").count()
+    bloom_fn = lambda: bloom_join(
+        toks, lk, on="doc_id", how="inner", force_prefilter=True,
+        collect_metrics=False,
+    ).count()
+    assert bloom_fn() == naive_fn(), "bloom_join result diverged from naive join"
+    qs["naive_join_tokens"], qs["bloom_join_tokens"] = timed_min_pair(
+        "naive_join_tokens", naive_fn, "bloom_join_tokens", bloom_fn, pairs=3
     )
-    qs["bloom_join_tokens"], bloom_rows = timed_min_q("bloom_join_tokens", 
-        lambda: bloom_join(
-            toks, lk, on="doc_id", how="inner", force_prefilter=True,
-            collect_metrics=False,
-        ).count(),
-        repeats=3,
-    )
-    assert bloom_rows == naive_rows, "bloom_join result diverged from naive join"
     # Spark's own runtime bloom-filter rule as a third baseline
     spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     qs["native_runtime_bloom_tokens"], _ = timed_min_q("native_runtime_bloom_tokens", 
@@ -358,19 +408,42 @@ def run_headline(spark) -> dict[str, float]:
     consume = lambda df: df.agg(
         F.sum(F.size("tokens")), F.sum(F.length("payload"))
     ).first()
-    qs["naive_join_tokens_8m"], _ = timed_min_q("naive_join_tokens_8m", 
-        lambda: consume(toks8.join(lk8, "doc_id", "inner")), repeats=3
+    naive8_fn = lambda: consume(toks8.join(lk8, "doc_id", "inner"))
+    bloom8_fn = lambda: consume(bloom_join(
+        toks8, lk8, on="doc_id", how="inner", force_prefilter=True,
+        collect_metrics=False, n_hint={"y": n_lk8},
+    ))
+    native8_fn = lambda: consume(bloom_join(
+        toks8, lk8, on="doc_id", how="inner", engine="native",
+        force_prefilter=True, collect_metrics=False, n_hint={"y": n_lk8},
+    ))
+    naive8_fn(); bloom8_fn(); native8_fn()  # warm all plans
+    res8 = timed_min_multi(
+        [("naive_join_tokens_8m", naive8_fn),
+         ("bloom_join_tokens_8m", bloom8_fn),
+         ("bloom_join_tokens_8m_native", native8_fn)],
+        rounds=3,
     )
-    qs["bloom_join_tokens_8m"], _ = timed_min_q("bloom_join_tokens_8m", 
-        lambda: consume(bloom_join(
-            toks8, lk8, on="doc_id", how="inner", force_prefilter=True,
-            collect_metrics=False, n_hint={"y": n_lk8},
-        )),
-        repeats=3,
-    )
+    qs.update(res8)
     SHUFFLE_STATS["bloom_win_speedup_8m"] = round(
-        qs["naive_join_tokens_8m"] / max(qs["bloom_join_tokens_8m"], 1e-9), 3
+        res8["naive_join_tokens_8m"] / max(res8["bloom_join_tokens_8m"], 1e-9), 3
     )
+    SHUFFLE_STATS["bloom_native_win_speedup_8m"] = round(
+        res8["naive_join_tokens_8m"]
+        / max(res8["bloom_join_tokens_8m_native"], 1e-9), 3
+    )
+    # MEASURED shuffle-write bytes (status store diff) — the objective
+    # scale metric: on a RAM-resident box the naive shuffle runs at
+    # memory speed so wall-clock sits near parity, but the BYTES that
+    # would cross a cluster's disks+network are measured, not estimated
+    nmb = measured_shuffle_mb(spark, naive8_fn)
+    bmb = measured_shuffle_mb(spark, bloom8_fn)
+    if nmb is not None and bmb is not None:
+        SHUFFLE_STATS["naive_8m_shuffle_write_mb"] = nmb
+        SHUFFLE_STATS["bloom_8m_shuffle_write_mb"] = bmb
+        SHUFFLE_STATS["shuffle_write_reduction_8m"] = round(
+            1 - bmb / max(nmb, 1e-9), 4
+        )
     toks8.unpersist()
     lk8.unpersist()
 
@@ -506,6 +579,11 @@ def scaling_worker(cores: int, data_dir: str, reps: int) -> None:
         )
         n_lk = lk.count()
         engine_job(spark, toks, lk, n_lk)  # warm-up, untimed
+        if cores >= 8:
+            # high-parallelism first runs are reliably the outlier on
+            # this guest (cache-load wake + hypervisor settle) — one
+            # more untimed pass keeps min-of-N from wasting a slot
+            engine_job(spark, toks, lk, n_lk)
         runs = [
             timed(lambda: engine_job(spark, toks, lk, n_lk))[0]
             for _ in range(reps)

@@ -160,8 +160,15 @@ def bloom_join(
     """
     if engine == "fuse":
         raise NotImplementedError("engine='fuse' is reserved and not implemented")
-    if engine not in ("auto", "bloom"):
-        raise ValueError(f"engine must be 'auto'|'bloom'|'fuse', got {engine!r}")
+    if engine not in ("auto", "bloom", "native"):
+        raise ValueError(
+            f"engine must be 'auto'|'bloom'|'native'|'fuse', got {engine!r}"
+        )
+    if engine == "native" and checkpoint_dir:
+        raise ValueError(
+            "checkpoint_dir (per-partition lineage/resume) requires the "
+            "mergeable two-phase engine — use engine='bloom'"
+        )
     validate_join_inputs(x, y, how, fpp)
     how = normalize_how(how)
     pairs = resolve_join_columns(x, y, on)
@@ -269,6 +276,65 @@ def bloom_join(
     report.prefilter_side = target
     report.build_side = build_name
 
+    # ---- engine='native': all-JVM build (stat.bloomFilter, one
+    # treeAggregate) + codegen probe (BloomFilterMightContain) over the
+    # SAME canonical xxhash64 keys — fastest wall-clock path when you
+    # don't need mergeable partials / checkpointed resume / row metrics.
+    if engine == "native":
+        blob = None
+        try:
+            blob = _native_build_filter(build_keyed, n_build, fpp)
+        except Exception as ex:  # private-API drift → sketch engine
+            warnings.warn(
+                f"native bloom engine unavailable ({ex!r}); falling back to "
+                "the two-phase sketch engine",
+                stacklevel=2,
+            )
+            engine = "bloom"
+        if blob is not None:
+            report.engine = "native"
+            report.filter_bits = len(blob) * 8  # serialized size (≈ m)
+            if persisted:
+                build_keyed.unpersist()
+            spark = x.sparkSession
+            probe_hash = _key64(probe_df, probe_cols, casts)
+            if selectivity_check and not force_prefilter:
+                hs = _systematic_probe_sample(probe_df, probe_hash, _SELECTIVITY_SAMPLE)
+                if len(hs):
+                    sample_df = spark.createDataFrame(
+                        [(int(v),) for v in hs.view(np.int64)], "h bigint"
+                    )
+                    passed = sample_df.filter(
+                        _native_might_contain(spark, blob, F.col("h"))
+                    ).count()
+                    pass_rate = passed / len(hs)
+                    report.selectivity_estimate = max(
+                        0.0, min(1.0, (pass_rate - fpp) / max(1.0 - fpp, 1e-12))
+                    )
+                    report.expected_reduction = 1.0 - pass_rate
+                    if report.expected_reduction <= MIN_EXPECTED_REDUCTION:
+                        report.used_prefilter = False
+                        report.prefilter_side = None
+                        report.skip_reasons = [
+                            f"expected reduction {report.expected_reduction:.3f} "
+                            f"≤ {MIN_EXPECTED_REDUCTION}"
+                        ]
+                        out = _standard_join(x, y, pairs, how)
+                        return (out, report) if return_report else out
+            filtered = probe_df.filter(
+                _native_might_contain(spark, blob, probe_hash)
+            )
+            if target == "x":
+                out = _standard_join(filtered, y, pairs, how)
+            else:
+                out = _standard_join(x, filtered, pairs, how)
+            if verbose:
+                print(
+                    f"bloom_join[native]: prefiltering {target} with a "
+                    f"{len(blob) >> 10} KiB JVM filter (build n={n_build})"
+                )
+            return (out, report) if return_report else out
+
     # ---- distributed build: one pass, partial per partition, OR-merge
     result = build_sketch(
         build_keyed,
@@ -357,6 +423,36 @@ def bloom_join(
             f"{result.merge_rounds} merge rounds)"
         )
     return (out, report) if return_report else out
+
+
+def _native_might_contain(spark, filter_bytes: bytes, value_col: Column) -> Column:
+    """JVM-codegen Bloom probe: a ``BloomFilterMightContain`` expression
+    over a binary literal holding Spark's own ``BloomFilterImpl`` —
+    ZERO Python on the probe path (the expression participates in
+    whole-stage codegen exactly like Spark's internal runtime filter,
+    which uses this same expression but is not exposed as SQL).  Built
+    through two classic-mode helpers (`ExpressionUtils`); callers catch
+    Exception and fall back to the vectorized Python probe."""
+    from pyspark.sql.column import Column as PyColumn
+
+    jvm = spark.sparkContext._jvm
+    eu = jvm.org.apache.spark.sql.classic.ExpressionUtils
+    lit_expr = eu.expression(F.lit(filter_bytes)._jc)
+    val_expr = eu.expression(value_col._jc)
+    mc = jvm.org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        lit_expr, val_expr
+    )
+    return PyColumn(eu.column(mc))
+
+
+def _native_build_filter(build_keyed: DataFrame, n_build: int, fpp: float) -> bytes:
+    """Build Spark's JVM BloomFilter over the hashed key projection (one
+    treeAggregate, no Python) and serialize it for the probe literal."""
+    spark = build_keyed.sparkSession
+    jbf = build_keyed._jdf.stat().bloomFilter("__bj_key64", n_build, fpp)
+    bos = spark.sparkContext._jvm.java.io.ByteArrayOutputStream()
+    jbf.writeTo(bos)
+    return bytes(bos.toByteArray())
 
 
 def _systematic_probe_sample(probe_df: DataFrame, probe_hash: Column, n: int) -> np.ndarray:

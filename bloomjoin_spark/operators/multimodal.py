@@ -124,3 +124,56 @@ def frame_sample_plan(
     return media.filter(F.col("modality") == "video").select(
         "media_id", F.col("n_bytes"), idxs.alias("frame_indices")
     )
+
+
+def fake_decode_image(data: bytes, side: int = 16) -> np.ndarray:
+    """Deterministic FAKE decoder (container has no codec libs): maps the
+    payload bytes onto a (side, side) uint8 'pixel' grid by tiling. The
+    batch contract (bytes in → HxW array out) matches what a real
+    PIL-backed decode_image would return."""
+    arr = np.frombuffer(data, dtype=np.uint8)
+    if arr.size == 0:
+        return np.zeros((side, side), dtype=np.uint8)
+    reps = -(-side * side // arr.size)
+    return np.tile(arr, reps)[: side * side].reshape(side, side)
+
+
+def resize_images(
+    media: DataFrame,
+    height: int = 8,
+    width: int = 8,
+    decode=fake_decode_image,
+    out_col: str = "pixels",
+) -> DataFrame:
+    """Image resize over binary payloads — the Spark-side plumbing is
+    real (column-pruned scan, Arrow batches, one decode+resize per row
+    inside numpy, list output schema); the DECODE step is the injected
+    ``decode`` callable (deterministic fake by default; swap in a real
+    PIL decode on a cluster with codec libs). Resize = nearest-neighbor
+    index sampling, vectorized per image."""
+
+    def fx(it):
+        for pdf in it:
+            out_rows = []
+            for b in pdf["payload"].to_numpy():
+                img = decode(bytes(b))
+                yi = np.linspace(0, img.shape[0] - 1, height).round().astype(int)
+                xi = np.linspace(0, img.shape[1] - 1, width).round().astype(int)
+                out_rows.append(img[np.ix_(yi, xi)].ravel().astype(np.int32))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "height": height,
+                    "width": width,
+                    out_col: out_rows,
+                }
+            )
+
+    return (
+        media.filter(F.col("modality") == "image")
+        .select("media_id", "payload")
+        .mapInPandas(
+            fx,
+            schema=f"media_id bigint, height int, width int, {out_col} array<int>",
+        )
+    )

@@ -213,13 +213,31 @@ class BloomSketch(Sketch):
     # -- probe ---------------------------------------------------------
     def contains_hashes(self, h: np.ndarray) -> np.ndarray:
         """Vectorized membership: bool array, True = maybe present.
-        AND-reduce over the k probe bits (reference short-circuits per
-        key, src/BloomFilter.cpp:39-51; we batch instead)."""
+
+        Batched SHORT-CIRCUIT (the vector analog of the reference's
+        per-key early exit, src/BloomFilter.cpp:39-51): probe i only
+        tests the keys still alive after probe i−1, so for non-members
+        the expected gather work is n/(1−fill) ≈ 2n instead of k·n —
+        the probe is the per-row hot path of bloom_join, this is ~4×
+        less memory traffic at fill ≈ 0.5."""
         if h.size == 0:
             return np.empty(0, dtype=bool)
-        idx = _probe_matrix(h.astype(np.uint64, copy=False), self.k, self.mask)
-        bits = (self.words[idx >> _U64(6)] >> (idx & _U64(63))) & _U64(1)
-        return bits.all(axis=1)
+        words = self.words
+        hh = h.astype(np.uint64, copy=False)
+        with np.errstate(over="ignore"):
+            h1 = splitmix64(hh ^ _U64(_SEED1))
+            h2 = splitmix64(hh ^ _U64(_SEED2)) | _U64(1)
+        alive = np.arange(h.size)
+        for i in range(self.k):
+            with np.errstate(over="ignore"):
+                p = (h1[alive] + _U64(i) * h2[alive]) & self.mask
+            hit = (words[p >> _U64(6)] >> (p & _U64(63))) & _U64(1)
+            alive = alive[hit.astype(bool)]
+            if alive.size == 0:
+                break
+        out = np.zeros(h.size, dtype=bool)
+        out[alive] = True
+        return out
 
     # -- merge ---------------------------------------------------------
     def merge(self, other: "BloomSketch") -> "BloomSketch":

@@ -8,6 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from bloomjoin_spark import bloom_join
+from bloomjoin_spark.plans.planner import spark_how
 
 from conftest import assert_df_equal
 
@@ -417,3 +418,51 @@ def test_broadcast_budget_warning(spark, monkeypatch):
     with pytest.warns(UserWarning, match="broadcast budget"):
         got = bloom_join(x, y, on="id", how="inner", force_prefilter=True)
         assert got.count() == 20_000
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "semi", "anti"])
+def test_native_engine_identical_to_plain_join(spark, how):
+    """engine='native' (JVM stat.bloomFilter build + codegen
+    BloomFilterMightContain probe) is result-identical to the plain
+    join, like the sketch engine."""
+    x = spark.range(0, 8_000).withColumn("vx", F.col("id") * 2)
+    y = spark.range(4_000, 4_800).withColumn("vy", F.col("id") * 3)
+    got, rep = bloom_join(
+        x, y, on="id", how=how, engine="native", force_prefilter=True,
+        return_report=True,
+    )
+    assert_df_equal(got, x.join(y, "id", spark_how(how)))
+    assert rep.engine == "native" and rep.used_prefilter
+
+
+def test_native_engine_composite_and_strings(spark):
+    x = spark.createDataFrame(
+        [(f"d{i}", i % 50, i) for i in range(4_000)], "k string, g int, vx long"
+    )
+    y = spark.createDataFrame(
+        [(f"d{i}", i % 50, -i) for i in range(0, 4_000, 9)], "k string, g int, vy long"
+    )
+    got = bloom_join(
+        x, y, on=["k", "g"], how="inner", engine="native", force_prefilter=True
+    )
+    assert_df_equal(got, x.join(y, ["k", "g"], "inner"))
+
+
+def test_native_engine_selectivity_skip(spark):
+    """Full overlap + native engine: the sampled gate still fires."""
+    x = spark.range(0, 20_000).withColumn("vx", F.col("id"))
+    y = spark.range(0, 20_000).withColumn("vy", F.col("id"))
+    with _no_broadcast_gate(spark):
+        got, rep = bloom_join(
+            x, y, on="id", how="inner", engine="native", return_report=True
+        )
+    assert not rep.used_prefilter
+    assert any("expected reduction" in r for r in rep.skip_reasons)
+    assert_df_equal(got, x.join(y, "id", "inner"))
+
+
+def test_native_engine_rejects_checkpoint(spark):
+    x = spark.range(0, 100)
+    y = spark.range(0, 10)
+    with pytest.raises(ValueError, match="checkpoint_dir"):
+        bloom_join(x, y, on="id", engine="native", checkpoint_dir="/tmp/nope")

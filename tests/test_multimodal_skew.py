@@ -98,3 +98,20 @@ class TestSkew:
         split = split_hot_join(skewed, dim, on="source", how="inner", min_share=0.2)
         assert split.count() == plain.count()
         assert split.exceptAll(plain).count() == 0
+
+
+def test_resize_images_plumbing(spark, sf_dir):
+    """Resize over binary payloads: column-pruned scan, deterministic
+    fake decode, nearest-neighbor resize, stable list schema."""
+    from bloomjoin_spark.operators import resize_images, synthesize_media
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(60)
+    media = synthesize_media(docs, "doc_id", "text")
+    out = resize_images(media, height=4, width=6)
+    rows = out.collect()
+    assert rows, "no image-modality rows"
+    assert all(r["height"] == 4 and r["width"] == 6 for r in rows)
+    assert all(len(r["pixels"]) == 24 for r in rows)
+    # deterministic: same input → same pixels
+    again = {r["media_id"]: r["pixels"] for r in resize_images(media, 4, 6).collect()}
+    assert all(again[r["media_id"]] == r["pixels"] for r in rows)
