@@ -488,7 +488,7 @@ def run_headline(spark) -> dict[str, float]:
 
 def run_scaling(
     n_small: int, n_big: int, token_rows: int,
-    reps_small: int = 3, reps_big: int = 8,
+    reps_small: int = 3, reps_big: int = 10,
 ) -> dict:
     """Same job, same input, pinned partition counts (data AND shuffle),
     two parallelism levels — the sandbox stand-in for N vs 4N executors.

@@ -104,3 +104,37 @@ def bpe_ish_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn(
         "n_tokens_bpe_ish", (words + puncts + digit_runs).cast("int")
     )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    window: int = 4,
+    out_col: str = "winnow_fps",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken
+    MOSS-style): rolling n-gram hashes of the word stream, then the
+    minimum hash of every length-``window`` window, deduplicated — any
+    sufficiently long shared substring between two documents guarantees
+    a shared fingerprint.  Pure JVM higher-order functions: per-token
+    xxhash64 once, n−1 chained zip_with passes for the rolling n-gram
+    hash (O(n·L)), then window minima via array_min over slices
+    (O(window·L), window is a small constant).  Short docs (< n+window−1
+    words) fall back to one whole-text fingerprint."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+    m = F.size(th) - (n - 1)
+    acc = F.slice(th, 1, m)
+    for i in range(1, n):
+        acc = F.zip_with(acc, F.slice(th, F.lit(i + 1), m),
+                         lambda a, b: F.xxhash64(a, b))
+    nwin = F.size(acc) - (window - 1)
+    mins = F.transform(
+        F.sequence(F.lit(1), nwin),
+        lambda i: F.array_min(F.slice(acc, i, window)),
+    )
+    fps = F.when(nwin >= 1, F.array_distinct(mins)).otherwise(
+        F.array(F.xxhash64(F.lower(F.trim(F.col(text_col)))))
+    )
+    return df.withColumn(out_col, fps)

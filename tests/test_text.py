@@ -83,3 +83,27 @@ def test_bpe_ish_token_count(spark):
     # words(4) + puncts(2: , !) + digit runs(1: 42)
     assert rows[1] == 7
     assert rows[2] == 3
+
+
+def test_winnowing_fingerprints(spark):
+    """MOSS-style winnowing: a document sharing a long substring with
+    another shares ≥1 fingerprint; unrelated docs (different token
+    vocab) share none; short docs get a whole-text fallback."""
+    from bloomjoin_spark.operators import winnowing_fingerprints
+
+    base = " ".join(f"alpha{i}" for i in range(60))
+    overlapping = "intro words " + " ".join(f"alpha{i}" for i in range(25, 55)) + " outro"
+    unrelated = " ".join(f"beta{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, base), (2, overlapping), (3, unrelated), (4, "tiny doc")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: set(r["winnow_fps"]) for r in
+            winnowing_fingerprints(docs).collect()}
+    assert rows[1] & rows[2], "long shared substring must share a fingerprint"
+    assert not (rows[1] & rows[3]), "disjoint vocab must not collide"
+    assert len(rows[4]) == 1  # whole-text fallback
+    # determinism
+    again = {r["doc_id"]: set(r["winnow_fps"]) for r in
+             winnowing_fingerprints(docs).collect()}
+    assert again == rows
