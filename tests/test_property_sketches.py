@@ -142,3 +142,69 @@ def test_int_double_cross_type_hash_equality(ints):
     b = hash_series(pd.Series(ints, dtype="int64"))
     c = hash_series(pd.Series([float(i) for i in ints], dtype="float64"))
     assert (a == b).all() and (b == c).all()
+
+
+@given(
+    texts=st.lists(
+        st.text(max_size=40), min_size=1, max_size=60
+    ),
+    seed=st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_utf8_arrow_kernel_equals_pandas_path(texts, seed):
+    """Property: the Arrow utf8 buffer kernel and the pandas hash_strings
+    path agree on arbitrary unicode (incl. empty strings, surrogpairs
+    arrow rejects are excluded by st.text), any seed."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from bloomjoin_spark.hashing import hash_strings, hash_utf8_arrow
+
+    a = hash_utf8_arrow(pa.array(texts, type=pa.string()), seed)
+    b = hash_strings(pd.Series(texts, dtype=object), seed)
+    assert np.array_equal(a, b)
+
+
+@given(
+    vals=st.lists(st.integers(min_value=-(2**62), max_value=2**62), min_size=1, max_size=400),
+    nparts=st.integers(min_value=1, max_value=7),
+    seed=st.integers(min_value=0, max_value=999),
+)
+@settings(max_examples=40, deadline=None)
+def test_bloom_sparse_roundtrip_merge_invariant(vals, nparts, seed):
+    """Property: serialize→deserialize (sparse OR dense mode, whichever
+    the blob chose) at every merge step yields the same final bitset as
+    in-memory merging, for any partitioning of the input."""
+    from bloomjoin_spark.hashing import hash_int64
+
+    rng = np.random.default_rng(seed)
+    arr = np.array(vals, dtype=np.int64)
+    parts = np.array_split(arr[rng.permutation(arr.size)], nparts)
+    direct = BloomSketch(max(len(vals), 16), 0.01)
+    direct.update_hashes(hash_int64(arr))
+    acc = None
+    for p in parts:
+        sk = BloomSketch(max(len(vals), 16), 0.01)
+        if p.size:
+            sk.update_hashes(hash_int64(p))
+        rt = BloomSketch.from_bytes(sk.to_bytes())  # force blob roundtrip
+        acc = rt if acc is None else acc.merge(rt)
+    assert np.array_equal(acc.words, direct.words)
+
+
+@given(
+    vals=st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=500),
+)
+@settings(max_examples=40, deadline=None)
+def test_cms_hll_sparse_roundtrip_exact(vals):
+    from bloomjoin_spark.hashing import hash_int64
+
+    h = hash_int64(np.array(vals, dtype=np.int64))
+    cms = CmsSketch(eps=1e-3, delta=1e-3)
+    cms.update_hashes(h)
+    rt = CmsSketch.from_bytes(cms.to_bytes())
+    assert np.array_equal(rt.table, cms.table) and rt.total == cms.total
+    hll = HllSketch(12)
+    hll.update_hashes(h)
+    rt2 = HllSketch.from_bytes(hll.to_bytes())
+    assert np.array_equal(rt2.regs, hll.regs)
