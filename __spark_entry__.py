@@ -420,6 +420,30 @@ def _ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _winnowing_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints: every planted exact dup
+    shares ≥1 fingerprint with its original (guaranteed: identical
+    texts → identical fingerprint sets), and identical docs have
+    IDENTICAL fingerprint sets."""
+    from bloomjoin_spark.operators import winnowing_fingerprints
+
+    docs, union = _docs_with_planted_dups(spark, sf_dir)
+    fps = winnowing_fingerprints(union.select("doc_id", "text"))
+    a = fps.select(F.col("doc_id").alias("id_a"), F.col("winnow_fps").alias("fa"))
+    b = fps.select(F.col("doc_id").alias("id_b"), F.col("winnow_fps").alias("fb"))
+    pairs = a.join(b, F.col("id_b") - F.col("id_a") == 1_000_000)
+    n_pairs = pairs.count()
+    identical = pairs.filter(
+        (F.size(F.array_except(F.col("fa"), F.col("fb"))) == 0)
+        & (F.size(F.array_except(F.col("fb"), F.col("fa"))) == 0)
+    ).count()
+    planted = docs.filter(F.col("doc_id") % 5 == 0).count()
+    return spark.createDataFrame(
+        [(int(planted), bool(n_pairs == planted), bool(identical == n_pairs))],
+        "planted bigint, all_paired boolean, all_identical_fps boolean",
+    )
+
+
 def _ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (spherical k-means cells + nprobe cell fetch + exact
     re-rank) vs brute-force cosine: recall@10 ≥ 0.5 at nprobe=nlist/4,
@@ -674,6 +698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_planted": _simhash_planted,
         "ann_lsh_recall": _ann_lsh_recall,
         "ann_ivf_recall": _ann_ivf_recall,
+        "winnowing_planted": _winnowing_planted,
         "cms_event_type_freq": _cms_event_type_freq,
         "bloom_join_tokens_f0": _bloom_join_tokens_f0,
         "hll_distinct_tokens_f0": _hll_distinct_tokens_f0,
@@ -865,6 +890,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_ivf_recall": """
             SELECT TRUE AS recall_at_least_half, TRUE AS full_probe_exact
+        """,
+        "winnowing_planted": """
+            SELECT count(*) AS planted, TRUE AS all_paired,
+                   TRUE AS all_identical_fps
+            FROM documents WHERE doc_id % 5 = 0
         """,
         "cms_event_type_freq": """
             SELECT event_type, count(*) AS exact_cnt, TRUE AS within_bound
