@@ -74,18 +74,49 @@ def token_frequencies(
     return dict(zip(list(keys), [int(e) for e in est]))
 
 
+def _canonical_key_cols(df: DataFrame, cols: list[str]) -> list:
+    """Cross-type canonicalisation for the PUBLIC key-hash API — the
+    reference's exported hasher is type-aware: int 5, double 5.0 and
+    factor/char levels hash identically
+    (``/root/reference/src/hash_keys.cpp:58-68,147-243``, pinned by
+    ``tests/testthat/test-cross-type-keys.R:16-44``).  Same rule table
+    ``bloom_join`` applies internally (operators/bloom_join.py:75-108),
+    collapsed to one side: every numeric (incl. decimal) hashes as
+    double, date as timestamp — so a user hashing an int column in one
+    table and a double column in another gets matching keys.  Note the
+    double canonicalisation rounds int64 magnitudes beyond 2^53 (the
+    reference hashes ints as doubles too, src/hash_keys.cpp:148-181);
+    ``bloom_join`` itself keeps long==long joins exact via its pairwise
+    cast table."""
+    from pyspark.sql import functions as F
+
+    out = []
+    for c in cols:
+        dt = dict(df.dtypes)[c].lower()
+        if dt in ("tinyint", "smallint", "int", "bigint", "float", "double") or \
+                dt.startswith("decimal"):
+            out.append(F.col(c).cast("double"))
+        elif dt == "date":
+            out.append(F.col(c).cast("timestamp"))
+        else:
+            out.append(F.col(c))
+    return out
+
+
 def hash_keys64(df: DataFrame, cols: list[str] | str, out_col: str = "key_hash64") -> DataFrame:
     """Stable 64-bit composite-key row hash, computed JVM-side inside
-    whole-stage codegen (``xxhash64``). Public parity with the
-    reference's exported ``hash_keys32`` (``/root/reference/R/hash_keys.R:13-62``,
+    whole-stage codegen (``xxhash64`` over canonically cast keys —
+    see ``_canonical_key_cols``). Public parity with the reference's
+    exported ``hash_keys32`` (``/root/reference/R/hash_keys.R:13-62``,
     ``NAMESPACE:5-7``) — same role (one shared, deterministic key hash
-    for joins and sketch ingestion), Spark-idiomatic implementation.
+    for joins and sketch ingestion) and same cross-type invariant,
+    Spark-idiomatic implementation.
     """
     from pyspark.sql import functions as F
 
     if isinstance(cols, str):
         cols = [cols]
-    return df.withColumn(out_col, F.xxhash64(*[F.col(c) for c in cols]))
+    return df.withColumn(out_col, F.xxhash64(*_canonical_key_cols(df, cols)))
 
 
 def hash_keys32(df: DataFrame, cols: list[str] | str, out_col: str = "key_hash32") -> DataFrame:
@@ -95,7 +126,7 @@ def hash_keys32(df: DataFrame, cols: list[str] | str, out_col: str = "key_hash32
 
     if isinstance(cols, str):
         cols = [cols]
-    h = F.xxhash64(*[F.col(c) for c in cols])
+    h = F.xxhash64(*_canonical_key_cols(df, cols))
     folded = F.shiftrightunsigned(h, 32).bitwiseXOR(
         h.bitwiseAND(F.lit(0xFFFFFFFF))
     )

@@ -101,6 +101,32 @@ def hash_numeric_array(arr: np.ndarray, seed: int = 0) -> np.ndarray:
 
 _FNV_PRIME = np.uint64(0x100000001B3)
 
+#: rows longer than this hash via the per-row word-lane kernel instead
+#: of the column-wise byte loop: one multi-megabyte row must not turn
+#: into millions of near-empty Python-level column passes (each pass
+#: costs ~µs of searchsorted+gather overhead regardless of how few rows
+#: are still active).
+_LONG_ROW_CUTOFF = 1 << 14
+
+
+def _hash_long_bytes_u64(row_bytes: np.ndarray, seed: int) -> np.uint64:
+    """O(len/8) fully-vectorized hash of ONE long row: the bytes are
+    viewed as 8-byte word lanes, each mixed with a position-and-length
+    keyed splitmix64 (order sensitivity without a sequential chain),
+    XOR-reduced, then finalized with length and seed."""
+    L = int(row_bytes.size)
+    nwords = (L + 7) // 8
+    buf = np.zeros(nwords * 8, dtype=np.uint8)
+    buf[:L] = row_bytes
+    w = buf.view(np.uint64)
+    with np.errstate(over="ignore"):
+        pos = splitmix64(
+            np.arange(nwords, dtype=np.uint64) + _U64(L) * _GOLDEN + _U64(seed)
+        )
+        acc = np.bitwise_xor.reduce(splitmix64(w ^ pos))
+        fin = np.array([acc ^ (_U64(L) * _MIX1) ^ _U64(seed)], dtype=np.uint64)
+    return splitmix64(fin)[0]
+
 
 def hash_utf8_arrow(arr, seed: int = 0) -> np.ndarray:
     """Vectorized canonical hash of an Arrow string/binary array —
@@ -114,7 +140,12 @@ def hash_utf8_arrow(arr, seed: int = 0) -> np.ndarray:
     computed COLUMN-WISE — after a length-descending sort, pass j's
     active rows are a contiguous prefix, so the total work is O(total
     bytes) of vectorized gathers in max_len passes — then a splitmix64
-    finalizer.  Nulls → NULL_SENTINEL."""
+    finalizer.  Rows longer than ``_LONG_ROW_CUTOFF`` bytes are hashed
+    individually by the vectorized word-lane kernel instead (a row's
+    hash depends only on its own bytes+length+seed, never on batch
+    composition), so worst-case Python-loop iterations are bounded by
+    the cutoff plus the number of long rows while total work stays
+    O(total bytes).  Nulls → NULL_SENTINEL."""
     import pyarrow as pa
 
     if isinstance(arr, pa.ChunkedArray):
@@ -141,14 +172,20 @@ def hash_utf8_arrow(arr, seed: int = 0) -> np.ndarray:
     lens = np.where(null_mask, 0, lens)
     order = np.argsort(-lens, kind="stable")
     ls, ss = lens[order], starts[order]
+    # long rows sit at the front after the sort; count of len > cutoff
+    n_long = int(np.searchsorted(-ls, -_LONG_ROW_CUTOFF, side="left"))
     h = splitmix64(ls.astype(np.uint64) ^ _U64(seed))
     with np.errstate(over="ignore"):
-        for j in range(int(ls[0]) if ls.size else 0):
+        max_short = int(ls[n_long]) if n_long < ls.size else 0
+        for j in range(max_short):
             k = int(np.searchsorted(-ls, -j, side="left"))  # rows with len > j
-            if k == 0:
+            if k <= n_long:
                 break
-            h[:k] = (h[:k] ^ data[ss[:k] + j].astype(np.uint64)) * _FNV_PRIME
+            sl = slice(n_long, k)
+            h[sl] = (h[sl] ^ data[ss[sl] + j].astype(np.uint64)) * _FNV_PRIME
     h = splitmix64(h)
+    for i in range(n_long):
+        h[i] = _hash_long_bytes_u64(data[ss[i] : ss[i] + ls[i]], seed)
     out = np.empty(n, dtype=np.uint64)
     out[order] = h
     out[null_mask] = NULL_SENTINEL

@@ -58,6 +58,14 @@ _SELECTIVITY_SAMPLE = 5000
 #: practical per-executor broadcast budget for the filter itself
 _BROADCAST_BUDGET_BYTES = 512 << 20
 
+#: size gate for the native engine's probe expression: the serialized
+#: JVM filter rides the plan as a literal, so it is re-serialized into
+#: EVERY task binary (a per-task cost Spark's own runtime-filter rule
+#: avoids via ScalarSubquery, which is not constructible from PySpark).
+#: Above this cap the native path falls back to the two-phase sketch
+#: engine, whose filter is broadcast once per executor.
+_NATIVE_FILTER_CAP_BYTES = 16 << 20
+
 _NUM_RANK = {
     "tinyint": 0,
     "byte": 0,
@@ -281,23 +289,34 @@ def bloom_join(
     # SAME canonical xxhash64 keys — fastest wall-clock path when you
     # don't need mergeable partials / checkpointed resume / row metrics.
     if engine == "native":
-        blob = None
+        spark = x.sparkSession
+        probe_hash = _key64(probe_df, probe_cols, casts)
+        probe_filter_col = None
         try:
             blob = _native_build_filter(build_keyed, n_build, fpp)
-        except Exception as ex:  # private-API drift → sketch engine
+            if len(blob) > _NATIVE_FILTER_CAP_BYTES:
+                raise RuntimeError(
+                    f"serialized native filter is {len(blob) >> 20} MiB, above "
+                    f"the {_NATIVE_FILTER_CAP_BYTES >> 20} MiB plan-literal cap "
+                    "(it would be re-serialized into every task binary)"
+                )
+            # build the probe Column HERE so private-API drift on the
+            # probe side also degrades to the sketch engine instead of
+            # raising out of bloom_join (the build and probe lean on the
+            # same classic-mode ExpressionUtils helpers)
+            probe_filter_col = _native_might_contain(spark, blob, probe_hash)
+        except Exception as ex:  # private-API drift / size gate → sketch engine
             warnings.warn(
                 f"native bloom engine unavailable ({ex!r}); falling back to "
                 "the two-phase sketch engine",
                 stacklevel=2,
             )
             engine = "bloom"
-        if blob is not None:
+        if probe_filter_col is not None:
             report.engine = "native"
             report.filter_bits = len(blob) * 8  # serialized size (≈ m)
             if persisted:
                 build_keyed.unpersist()
-            spark = x.sparkSession
-            probe_hash = _key64(probe_df, probe_cols, casts)
             if selectivity_check and not force_prefilter:
                 hs = _systematic_probe_sample(probe_df, probe_hash, _SELECTIVITY_SAMPLE)
                 if len(hs):
@@ -321,9 +340,7 @@ def bloom_join(
                         ]
                         out = _standard_join(x, y, pairs, how)
                         return (out, report) if return_report else out
-            filtered = probe_df.filter(
-                _native_might_contain(spark, blob, probe_hash)
-            )
+            filtered = probe_df.filter(probe_filter_col)
             if target == "x":
                 out = _standard_join(filtered, y, pairs, how)
             else:

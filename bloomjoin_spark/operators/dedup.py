@@ -165,6 +165,57 @@ def _schema_without(df: DataFrame, drop: str):
             yield f.name, f.dataType.simpleString()
 
 
+def _drop_oversized_buckets(
+    exploded: DataFrame,
+    group_cols: list[str],
+    max_bucket_size: int | None,
+    dropped_report: dict | None,
+    op_name: str,
+) -> DataFrame:
+    """Shared degenerate-bucket guard for the O(bucket²) candidate
+    self-joins (LSH bands, simhash chunks, embedding buckets): drop
+    groups larger than ``max_bucket_size`` via a broadcast anti-join on
+    the (small) oversized-group list.
+
+    ALWAYS warns when buckets are dropped — the size aggregate is one
+    cheap job over the already-materialized banded table, so a silent
+    recall regression is never possible; ``dropped_report`` (optional)
+    additionally receives (dropped_buckets, dropped_bucket_rows,
+    max_bucket_size).  ``max_bucket_size=None`` disables the guard."""
+    if max_bucket_size is None:
+        return exploded
+    import warnings
+
+    big = (
+        exploded.groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).alias("__bn"))
+        .filter(F.col("__bn") > max_bucket_size)
+    )
+    row = big.agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.coalesce(F.sum("__bn"), F.lit(0)).alias("nr"),
+    ).first()
+    if dropped_report is not None:
+        dropped_report.update(
+            {
+                "dropped_buckets": int(row["nb"]),
+                "dropped_bucket_rows": int(row["nr"]),
+                "max_bucket_size": max_bucket_size,
+            }
+        )
+    if not row["nb"]:
+        return exploded
+    warnings.warn(
+        f"{op_name}: dropped {row['nb']} bucket(s) holding {row['nr']} rows "
+        f"(> max_bucket_size={max_bucket_size}); run exact_dedup first for "
+        "identical-content heavy hitters",
+        stacklevel=3,
+    )
+    return exploded.join(
+        F.broadcast(big.select(*group_cols)), on=group_cols, how="left_anti"
+    )
+
+
 def lsh_candidate_pairs(
     sig_df: DataFrame,
     id_col: str = "doc_id",
@@ -218,39 +269,10 @@ def lsh_candidate_pairs(
     # observed in the physical plan). Lazy local checkpoint: computed on
     # first use, reused by every branch, freed by the ContextCleaner.
     banded = banded.localCheckpoint(eager=False)
-    if max_bucket_size is not None:
-        import warnings
-
-        big = (
-            banded.groupBy("band", "bucket")
-            .agg(F.count(F.lit(1)).alias("__bn"))
-            .filter(F.col("__bn") > max_bucket_size)
-        )
-        if dropped_report is not None:
-            row = big.agg(
-                F.count(F.lit(1)).alias("nb"),
-                F.coalesce(F.sum("__bn"), F.lit(0)).alias("nr"),
-            ).first()
-            dropped_report.update(
-                {
-                    "dropped_buckets": int(row["nb"]),
-                    "dropped_bucket_rows": int(row["nr"]),
-                    "max_bucket_size": max_bucket_size,
-                }
-            )
-            if row["nb"]:
-                warnings.warn(
-                    f"lsh_candidate_pairs: dropped {row['nb']} bucket(s) "
-                    f"holding {row['nr']} rows (> max_bucket_size="
-                    f"{max_bucket_size}); run exact_dedup first for "
-                    "identical-content heavy hitters",
-                    stacklevel=2,
-                )
-        banded = banded.join(
-            F.broadcast(big.select("band", "bucket")),
-            on=["band", "bucket"],
-            how="left_anti",
-        )
+    banded = _drop_oversized_buckets(
+        banded, ["band", "bucket"], max_bucket_size, dropped_report,
+        "lsh_candidate_pairs",
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -435,36 +457,61 @@ def add_simhash(
 def simhash_near_dup_pairs(
     df: DataFrame, id_col: str = "doc_id", sim_col: str = "simhash",
     max_hamming: int = 3,
+    max_bucket_size: int | None = 2000,
+    dropped_report: dict | None = None,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming. Banding: with
     4 16-bit bands, ≤3 flipped bits leave ≥1 band identical (pigeonhole),
-    so candidate generation is an equi-join on (band, 16-bit chunk)."""
+    so candidate generation is ONE equi-join on (band, chunk) over the
+    band-exploded table — same shape (and same degenerate-bucket guard)
+    as ``lsh_candidate_pairs``: a popular chunk value (e.g. simhash 0
+    from empty/boilerplate docs) is O(bucket²) in the self-join, so
+    buckets over ``max_bucket_size`` are dropped with a warning."""
     bands = max_hamming + 1
     width = 64 // bands
-    chunks = [
-        F.shiftrightunsigned(F.col(sim_col), i * width)
-        .bitwiseAND(F.lit((1 << width) - 1).cast("bigint"))
-        .alias(f"c{i}")
-        for i in range(bands)
-    ]
-    base = df.select(F.col(id_col), F.col(sim_col), *chunks)
-    pairs = None
-    for i in range(bands):
-        a, b = base.alias("a"), base.alias("b")
-        p = a.join(
+    mask = (1 << width) - 1
+    exploded = df.select(
+        F.col(id_col),
+        F.col(sim_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col(sim_col), i * width)
+                        .bitwiseAND(F.lit(mask).cast("bigint"))
+                        .alias("bucket"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, sim_col, "bb.band", "bb.bucket")
+    # shared materialization point for the cap aggregate + both join
+    # sides (else an upstream simhash UDF re-runs once per branch)
+    exploded = exploded.localCheckpoint(eager=False)
+    exploded = _drop_oversized_buckets(
+        exploded, ["band", "bucket"], max_bucket_size, dropped_report,
+        "simhash_near_dup_pairs",
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    pairs = (
+        a.join(
             b,
             on=[
-                F.col(f"a.c{i}") == F.col(f"b.c{i}"),
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bucket") == F.col("b.bucket"),
                 F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
             ],
-        ).select(
+        )
+        .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
             F.col(f"a.{sim_col}").alias("sh_a"),
             F.col(f"b.{sim_col}").alias("sh_b"),
         )
-        pairs = p if pairs is None else pairs.union(p)
-    pairs = pairs.distinct()
+        .dropDuplicates(["id_a", "id_b"])
+    )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return pairs.select(
         "id_a", "id_b", hamming.alias("hamming")

@@ -388,6 +388,90 @@ def ann_ivf_topk(
     )
 
 
+def _rerank_candidates(
+    cand: DataFrame, k: int, id_col: str, vec_col: str, query_id_col: str
+) -> DataFrame:
+    """Exact-cosine re-rank of (__qid, id, vec, __qvec) candidates —
+    shared tail of every ANN path."""
+    scored = cand.select(
+        F.col("__qid").alias(query_id_col),
+        F.col(id_col),
+        F.round(
+            cosine_sim_col(
+                F.col(vec_col).cast("array<double>"),
+                F.col("__qvec").cast("array<double>"),
+            ),
+            6,
+        ).alias("sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def write_ivf_partitioned(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    path: str,
+    vec_col: str = "embedding",
+    cluster_col: str = "ivf_cell",
+) -> None:
+    """Materialize the corpus PARTITIONED BY its IVF cell id.  At
+    cluster scale this turns the candidate fetch from a full-corpus
+    scan + shuffle into a partition-pruned read: a query batch probing
+    nprobe of nlist cells reads only those directories (the plan's
+    ``PartitionFilters`` carries the cell list — asserted in
+    tests/test_plans.py)."""
+    assigned = add_ivf_cluster(corpus, centroids, vec_col, cluster_col)
+    assigned.write.partitionBy(cluster_col).mode("overwrite").parquet(path)
+
+
+def ann_ivf_topk_partitioned(
+    spark,
+    path: str,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    nprobe: int = 8,
+    cluster_col: str = "ivf_cell",
+) -> DataFrame:
+    """IVF top-k over a ``write_ivf_partitioned`` corpus.  The probed
+    cell ids are collected to the driver (≤ nlist ints — metadata, not
+    data) and pushed as a literal ``isin`` partition filter, so the
+    parquet scan is pruned to nprobe/nlist of the corpus before the
+    (broadcast) candidate join."""
+    corpus = spark.read.parquet(path)
+    qq = queries.select(
+        F.col(query_id_col).alias("__qid"), F.col(vec_col).alias("__qvec")
+    )
+    probe_schema = (
+        "__qid " + dict(qq.dtypes)["__qid"]
+        + ", __qvec " + dict(qq.dtypes)["__qvec"] + ", __cls array<int>"
+    )
+    qp = qq.mapInArrow(
+        _assign_clusters_fn(centroids, "__qvec", "__cls", max(1, nprobe)),
+        probe_schema,
+    )
+    qx = qp.select(
+        "__qid", "__qvec", F.explode("__cls").alias(cluster_col)
+    ).dropDuplicates(["__qid", cluster_col])
+    # reused by the cell-list collect AND the candidate join — one
+    # materialization so the assignment UDF runs once
+    qx = qx.localCheckpoint(eager=False)
+    cells = [int(r[cluster_col]) for r in qx.select(cluster_col).distinct().collect()]
+    pruned = corpus.filter(F.col(cluster_col).isin(cells))
+    cand = (
+        pruned.join(F.broadcast(qx), on=cluster_col)
+        .select("__qid", id_col, vec_col, "__qvec")
+        .dropDuplicates(["__qid", id_col])
+    )
+    return _rerank_candidates(cand, k, id_col, vec_col, query_id_col)
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -416,37 +500,12 @@ def embedding_near_dup_pairs(
     # shared materialization point for the cap aggregate + both join
     # sides (else the LSH signature UDF re-runs once per branch)
     exploded = exploded.localCheckpoint(eager=False)
-    if max_bucket_size is not None:
-        import warnings
+    from .dedup import _drop_oversized_buckets
 
-        big = (
-            exploded.groupBy("band", "bucket")
-            .agg(F.count(F.lit(1)).alias("__bn"))
-            .filter(F.col("__bn") > max_bucket_size)
-        )
-        if dropped_report is not None:
-            row = big.agg(
-                F.count(F.lit(1)).alias("nb"),
-                F.coalesce(F.sum("__bn"), F.lit(0)).alias("nr"),
-            ).first()
-            dropped_report.update(
-                {
-                    "dropped_buckets": int(row["nb"]),
-                    "dropped_bucket_rows": int(row["nr"]),
-                    "max_bucket_size": max_bucket_size,
-                }
-            )
-            if row["nb"]:
-                warnings.warn(
-                    f"embedding_near_dup_pairs: dropped {row['nb']} bucket(s) "
-                    f"holding {row['nr']} rows (> max_bucket_size={max_bucket_size})",
-                    stacklevel=2,
-                )
-        exploded = exploded.join(
-            F.broadcast(big.select("band", "bucket")),
-            on=["band", "bucket"],
-            how="left_anti",
-        )
+    exploded = _drop_oversized_buckets(
+        exploded, ["band", "bucket"], max_bucket_size, dropped_report,
+        "embedding_near_dup_pairs",
+    )
     a, b = exploded.alias("a"), exploded.alias("b")
     cand = (
         a.join(

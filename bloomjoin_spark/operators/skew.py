@@ -20,19 +20,36 @@ from pyspark.sql import functions as F
 def skewed_keys(
     df: DataFrame, col: str, min_share: float = 0.01, sample_rows: int = 100_000
 ) -> list:
-    """Keys holding ≥ min_share of a deterministic sample."""
-    n_rows = df.count()  # one job, reused for the sampling fraction
-    if n_rows == 0:
-        return []
-    frac = min(1.0, sample_rows / n_rows)
-    sample = df.select(col).sample(fraction=frac, seed=42)
-    total = sample.count()
-    if total == 0:
-        return []
+    """Keys holding ≥ min_share of a deterministic sample — ONE Spark
+    job, no prior count: the sample is the first ⌈sample_rows/P⌉ rows of
+    EVERY partition (early-terminating scan, spanning all partitions so
+    clustered/sorted layouts don't bias it), and the share threshold
+    applies against the sample total carried alongside the per-key
+    counts by a single-partition window over the (≤ sample_rows-sized)
+    aggregated counts."""
+    from pyspark.sql import Window
+
+    keyed = df.select(col)
+    nparts = max(1, keyed.rdd.getNumPartitions())  # metadata, no job
+    per = max(16, -(-sample_rows // nparts))
+
+    def head_fn(it):
+        taken = 0
+        for batch in it:
+            if batch.num_rows == 0:
+                continue
+            take = min(per - taken, batch.num_rows)
+            yield batch.slice(0, take)
+            taken += take
+            if taken >= per:
+                return
+
+    dt = dict(df.dtypes)[col]
+    sample = keyed.mapInArrow(head_fn, schema=f"{col} {dt}")
+    counts = sample.groupBy(col).agg(F.count(F.lit(1)).alias("__cnt"))
     hot = (
-        sample.groupBy(col)
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .filter(F.col("cnt") >= min_share * total)
+        counts.withColumn("__tot", F.sum("__cnt").over(Window.partitionBy()))
+        .filter(F.col("__cnt") >= min_share * F.col("__tot"))
         .collect()
     )
     return [r[col] for r in hot]

@@ -30,12 +30,21 @@ class Sketch:
     #: 4-byte sketch-kind tag, unique per subclass
     KIND: ClassVar[bytes] = b"????"
 
+    #: kind tags of PRIOR payload layouts this subclass can still read
+    #: (via ``_from_payload_legacy``) — keeps killed-job resume working
+    #: across a payload-format upgrade: a checkpoint_dir written by the
+    #: previous version deserializes under its old tag.
+    LEGACY_KINDS: ClassVar[tuple[bytes, ...]] = ()
+
     _registry: ClassVar[dict[bytes, type["Sketch"]]] = {}
+    _legacy: ClassVar[dict[bytes, type["Sketch"]]] = {}
 
     def __init_subclass__(cls, **kw):
         super().__init_subclass__(**kw)
         if cls.KIND != b"????":
             Sketch._registry[cls.KIND] = cls
+            for lk in cls.LEGACY_KINDS:
+                Sketch._legacy[lk] = cls
 
     # -- subclass API -------------------------------------------------
     def update_hashes(self, h: np.ndarray) -> None:
@@ -59,13 +68,24 @@ class Sketch:
         return _MAGIC + self.KIND + struct.pack("<Q", len(payload)) + payload
 
     @classmethod
+    def _from_payload_legacy(cls, payload: bytes) -> "Sketch":
+        raise NotImplementedError
+
+    @classmethod
     def from_bytes(cls, buf: bytes) -> "Sketch":
         if buf[:4] != _MAGIC:
             raise ValueError("not a sketch blob")
         kind = bytes(buf[4:8])
         (n,) = struct.unpack("<Q", buf[8:16])
         payload = bytes(buf[16 : 16 + n])
-        target = Sketch._registry[kind] if cls is Sketch else cls
-        if cls is not Sketch and kind != cls.KIND:
+        if cls is not Sketch:
+            if kind == cls.KIND:
+                return cls._from_payload(payload)
+            if kind in cls.LEGACY_KINDS:
+                return cls._from_payload_legacy(payload)
             raise ValueError(f"expected {cls.KIND!r} blob, got {kind!r}")
-        return target._from_payload(payload)
+        if kind in Sketch._registry:
+            return Sketch._registry[kind]._from_payload(payload)
+        if kind in Sketch._legacy:
+            return Sketch._legacy[kind]._from_payload_legacy(payload)
+        raise ValueError(f"unknown sketch kind {kind!r}")

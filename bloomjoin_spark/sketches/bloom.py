@@ -130,7 +130,11 @@ def _probe_matrix(h: np.ndarray, k: int, mask: np.uint64) -> np.ndarray:
 
 
 class BloomSketch(Sketch):
-    KIND = b"BLM1"
+    # BLM2: payload gained a mode byte (dense bitmap vs sparse hash
+    # list).  BLM1 (dense-only, no mode byte) still deserializes via
+    # _from_payload_legacy so pre-upgrade checkpoint_dir partials resume.
+    KIND = b"BLM2"
+    LEGACY_KINDS = (b"BLM1",)
     CONSUMES = "hashes"
     #: membership insert is idempotent (update_hashes dedups anyway)
     SET_SEMANTICS = True
@@ -304,6 +308,22 @@ class BloomSketch(Sketch):
         else:
             obj._words = np.frombuffer(payload, dtype=np.uint64, offset=off).copy()
             obj._sparse = None
+        return obj
+
+    @classmethod
+    def _from_payload_legacy(cls, payload: bytes) -> "BloomSketch":
+        """BLM1 layout: same header, dense bitmap body, no mode byte."""
+        m, k, fpp, has_null, n_added = struct.unpack_from("<QIdBq", payload, 0)
+        off = struct.calcsize("<QIdBq")
+        obj = cls.__new__(cls)
+        obj.n_hint = n_added
+        obj.fpp = fpp
+        obj.m, obj.k = m, k
+        obj.mask = _U64(m - 1)
+        obj.has_null = bool(has_null)
+        obj.n_added = n_added
+        obj._words = np.frombuffer(payload, dtype=np.uint64, offset=off).copy()
+        obj._sparse = None
         return obj
 
     @classmethod

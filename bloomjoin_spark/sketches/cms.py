@@ -32,7 +32,10 @@ def cms_params(eps: float, delta: float) -> tuple[int, int]:
 
 
 class CmsSketch(Sketch):
-    KIND = b"CMS1"
+    # CMS2: payload gained a mode byte (dense table vs sparse pairs);
+    # CMS1 (dense-only) still reads via _from_payload_legacy.
+    KIND = b"CMS2"
+    LEGACY_KINDS = (b"CMS1",)
     CONSUMES = "hashes"
     #: the aggregation harness may pre-aggregate a batch to
     #: (unique hash, count) and call update_hashes(u, weights=c) —
@@ -146,6 +149,21 @@ class CmsSketch(Sketch):
                 .reshape(obj.d, obj.w)
                 .copy()
             )
+        obj.total = total
+        obj.has_null = bool(has_null)
+        return obj
+
+    @classmethod
+    def _from_payload_legacy(cls, payload: bytes) -> "CmsSketch":
+        """CMS1 layout: same header, dense table body, no mode byte."""
+        eps, delta, total, has_null = struct.unpack_from("<ddqB", payload, 0)
+        off = struct.calcsize("<ddqB")
+        obj = cls(eps, delta)
+        obj.table = (
+            np.frombuffer(payload, dtype=np.int64, offset=off)
+            .reshape(obj.d, obj.w)
+            .copy()
+        )
         obj.total = total
         obj.has_null = bool(has_null)
         return obj

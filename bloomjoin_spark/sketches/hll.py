@@ -47,7 +47,10 @@ def _alpha(m: int) -> float:
 
 
 class HllSketch(Sketch):
-    KIND = b"HLL1"
+    # HLL2: payload gained a mode byte (dense registers vs sparse
+    # pairs); HLL1 (dense-only) still reads via _from_payload_legacy.
+    KIND = b"HLL2"
+    LEGACY_KINDS = (b"HLL1",)
     CONSUMES = "hashes"
     #: register update is max ⇒ idempotent: the aggregation harness may
     #: dedup each batch before calling update_hashes
@@ -129,6 +132,16 @@ class HllSketch(Sketch):
             regs[idx] = vals
         else:
             regs = np.frombuffer(payload, dtype=np.uint8, offset=off).copy()
+        obj = cls(p, _regs=regs)
+        obj.has_null = bool(has_null)
+        return obj
+
+    @classmethod
+    def _from_payload_legacy(cls, payload: bytes) -> "HllSketch":
+        """HLL1 layout: same header, dense register body, no mode byte."""
+        p, has_null = struct.unpack_from("<IB", payload, 0)
+        off = struct.calcsize("<IB")
+        regs = np.frombuffer(payload, dtype=np.uint8, offset=off).copy()
         obj = cls(p, _regs=regs)
         obj.has_null = bool(has_null)
         return obj

@@ -461,6 +461,48 @@ def test_native_engine_selectivity_skip(spark):
     assert_df_equal(got, x.join(y, "id", "inner"))
 
 
+def test_native_engine_size_gate_falls_back(spark, monkeypatch):
+    """A serialized filter above the plan-literal cap must NOT ship as a
+    per-task literal: the native path degrades to the broadcast sketch
+    engine with a warning, result unchanged."""
+    import importlib
+
+    bj = importlib.import_module("bloomjoin_spark.operators.bloom_join")
+    monkeypatch.setattr(bj, "_NATIVE_FILTER_CAP_BYTES", 64)
+    x = spark.range(0, 8_000).withColumn("vx", F.col("id") * 2)
+    y = spark.range(4_000, 4_800).withColumn("vy", F.col("id") * 3)
+    with pytest.warns(UserWarning, match="plan-literal cap"):
+        got, rep = bloom_join(
+            x, y, on="id", how="inner", engine="native", force_prefilter=True,
+            return_report=True,
+        )
+        assert_df_equal(got, x.join(y, "id", "inner"))
+    assert rep.engine == "bloom" and rep.used_prefilter
+
+
+def test_native_engine_probe_drift_falls_back(spark, monkeypatch):
+    """Private-API drift AFTER a successful build (probe-side Column
+    construction raises) also degrades to the sketch engine instead of
+    raising out of bloom_join."""
+    import importlib
+
+    bj = importlib.import_module("bloomjoin_spark.operators.bloom_join")
+
+    def boom(*a, **kw):
+        raise RuntimeError("ExpressionUtils moved")
+
+    monkeypatch.setattr(bj, "_native_might_contain", boom)
+    x = spark.range(0, 8_000).withColumn("vx", F.col("id") * 2)
+    y = spark.range(4_000, 4_800).withColumn("vy", F.col("id") * 3)
+    with pytest.warns(UserWarning, match="native bloom engine unavailable"):
+        got, rep = bloom_join(
+            x, y, on="id", how="inner", engine="native", force_prefilter=True,
+            return_report=True,
+        )
+        assert_df_equal(got, x.join(y, "id", "inner"))
+    assert rep.engine == "bloom" and rep.used_prefilter
+
+
 def test_native_engine_rejects_checkpoint(spark):
     x = spark.range(0, 100)
     y = spark.range(0, 10)

@@ -173,6 +173,55 @@ def test_sparse_partial_serialization_roundtrip():
     assert np.array_equal(rt.words, big.words)
 
 
+def test_legacy_v1_blobs_still_deserialize():
+    """Partial blobs written BEFORE the mode-byte upgrade (BLM1/CMS1/
+    HLL1: same header, dense body, no mode byte) must still load — the
+    advertised killed-job resume crosses this format upgrade."""
+    import struct
+
+    from bloomjoin_spark.sketches import CmsSketch, HllSketch
+
+    def v1_frame(kind: bytes, payload: bytes) -> bytes:
+        return b"BJSK" + kind + struct.pack("<Q", len(payload)) + payload
+
+    h = hash_int64(np.arange(500, dtype=np.int64))
+
+    bf = BloomSketch(1_000, 0.01)
+    bf.update_hashes(h)
+    bf.seal()
+    v1 = v1_frame(
+        b"BLM1",
+        struct.pack("<QIdBq", bf.m, bf.k, bf.fpp, int(bf.has_null), bf.n_added)
+        + bf.words.tobytes(),
+    )
+    for loader in (Sketch.from_bytes, BloomSketch.from_bytes):
+        back = loader(v1)
+        assert isinstance(back, BloomSketch)
+        assert np.array_equal(back.words, bf.words)
+        assert back.contains_hashes(h).all()
+
+    cms = CmsSketch(eps=1e-2, delta=1e-2)
+    cms.update_hashes(h)
+    v1c = v1_frame(
+        b"CMS1",
+        struct.pack("<ddqB", cms.eps, cms.delta, cms.total, int(cms.has_null))
+        + cms.table.tobytes(),
+    )
+    backc = Sketch.from_bytes(v1c)
+    assert np.array_equal(backc.table, cms.table) and backc.total == cms.total
+
+    hll = HllSketch(10)
+    hll.update_hashes(h)
+    v1h = v1_frame(
+        b"HLL1", struct.pack("<IB", hll.p, int(hll.has_null)) + hll.regs.tobytes()
+    )
+    backh = Sketch.from_bytes(v1h)
+    assert backh.cardinality() == hll.cardinality()
+
+    with pytest.raises(ValueError, match="unknown sketch kind"):
+        Sketch.from_bytes(v1_frame(b"XXX9", b"\x00"))
+
+
 def test_format_bloom_params():
     """Parity with the reference's print.bloom_params (R/params.R:79-90):
     every field of the sizing dict appears in the formatted report."""

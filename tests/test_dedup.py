@@ -116,6 +116,56 @@ def test_degenerate_lsh_bucket_capped(spark):
     assert all(r["id_a"] >= 10_000 for r in got)
 
 
+def test_lsh_drop_warns_even_without_report(spark):
+    """The oversized-bucket warning must fire for DEFAULT callers (no
+    dropped_report): a silent recall regression is never acceptable."""
+    import warnings as _w
+
+    from bloomjoin_spark.operators import minhash_dedup_pairs
+
+    rows = [(i, "the same boilerplate text repeated everywhere") for i in range(500)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        minhash_dedup_pairs(
+            docs, "text", "doc_id", n=3, num_perm=32, bands=4,
+            threshold=0.9, max_bucket_size=100,
+        ).collect()
+    assert any(
+        "lsh_candidate_pairs" in str(w.message) and "dropped" in str(w.message)
+        for w in caught
+    )
+
+
+def test_degenerate_simhash_bucket_capped(spark):
+    """10k identical-simhash docs form one degenerate chunk bucket per
+    band (10⁸ candidate pairs uncapped). With the shared guard the job
+    completes in bounded time, reports the drop, and unrelated near-dup
+    pairs survive."""
+    import warnings as _w
+
+    rows = [(i, "the same boilerplate text repeated everywhere") for i in range(10_000)]
+    rows += [
+        (100_000, "a unique document about owls and night vision"),
+        (100_001, "a unique document about owls and night vision"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = add_simhash(docs)
+    report = {}
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        pairs = simhash_near_dup_pairs(
+            sh, "doc_id", max_hamming=3, max_bucket_size=100,
+            dropped_report=report,
+        ).collect()
+    assert report["dropped_buckets"] >= 1
+    assert report["dropped_bucket_rows"] >= 10_000
+    assert any("simhash_near_dup_pairs" in str(w.message) for w in caught)
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (100_000, 100_001) in found
+    assert all(a >= 100_000 for a, _ in found)
+
+
 def test_simhash_long_document_batch(spark):
     """Long documents (10k tokens) through the bit-plane SimHash: the
     per-batch memory is one int32 plane, not a (tokens × 64) matrix —

@@ -111,6 +111,59 @@ def test_hash_keys32_public_api(spark):
     assert (pa == pb).all()
 
 
+def test_utf8_long_row_kernel():
+    """A multi-megabyte row must not trigger millions of near-empty
+    column passes: rows over the cutoff route to the word-lane kernel.
+    A row's hash depends only on its own bytes — identical across batch
+    compositions — and long-row hashes stay distinct."""
+    import time
+
+    import pyarrow as pa
+
+    from bloomjoin_spark.hashing import hash_utf8_arrow
+
+    long_a = "x" * 5_000_000
+    long_b = "x" * 5_000_001
+    shorts = [f"s{i}" for i in range(1_000)]
+    t0 = time.time()
+    mixed = hash_utf8_arrow(pa.array([long_a, long_b] + shorts, type=pa.string()))
+    assert time.time() - t0 < 5.0  # the cliff was minutes, not seconds
+    alone = hash_utf8_arrow(pa.array([long_a], type=pa.string()))
+    assert mixed[0] == alone[0]
+    assert mixed[0] != mixed[1]
+    shorts_alone = hash_utf8_arrow(pa.array(shorts, type=pa.string()))
+    assert np.array_equal(mixed[2:], shorts_alone)
+    # seed sensitivity on the long path
+    assert hash_utf8_arrow(pa.array([long_a]), seed=7)[0] != alone[0]
+
+
+def test_hash_keys_public_cross_type(spark):
+    """Reference cross-type invariant through the PUBLIC JVM-side API
+    (src/hash_keys.cpp:58-68; tests/testthat/test-cross-type-keys.R:16-44):
+    int vs double and date vs timestamp key columns hash identically."""
+    import datetime as dt
+
+    from bloomjoin_spark.functions import hash_keys32, hash_keys64
+
+    di = spark.createDataFrame([(1,), (2,), (7,)], "k int")
+    dd = spark.createDataFrame([(1.0,), (2.0,), (7.0,)], "k double")
+    dl = spark.createDataFrame([(1,), (2,), (7,)], "k bigint")
+    for fn, col in ((hash_keys64, "key_hash64"), (hash_keys32, "key_hash32")):
+        hi = [r[col] for r in fn(di, "k").collect()]
+        hd = [r[col] for r in fn(dd, "k").collect()]
+        hl = [r[col] for r in fn(dl, "k").collect()]
+        assert hi == hd == hl
+
+    days = [dt.date(2024, 1, 1), dt.date(2025, 6, 30)]
+    ddate = spark.createDataFrame([(d,) for d in days], "k date")
+    dts = spark.createDataFrame(
+        [(dt.datetime(d.year, d.month, d.day),) for d in days], "k timestamp"
+    )
+    h_date = [r["key_hash64"] for r in hash_keys64(ddate, "k").collect()]
+    h_ts = [r["key_hash64"] for r in hash_keys64(dts, "k").collect()]
+    assert h_date == h_ts
+
+
 def test_utf8_arrow_kernel_matches_hash_strings():
     """The Arrow ingest fast path and the pandas query path share ONE
     string-hash kernel — sliced arrays, large_string, unicode, empties

@@ -69,6 +69,25 @@ class TestSkew:
         hot = skewed_keys(skewed, "source", min_share=0.2)
         assert hot == ["source_00"]
 
+    def test_skewed_keys_is_one_job(self, spark, skewed):
+        """Hot keys + sample total come from ONE aggregation (no prior
+        count jobs).  AQE is disabled for the assertion because it
+        materializes each shuffle stage as its own job id."""
+        import time
+
+        store = spark.sparkContext._jsc.sc().statusStore()
+        prior = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            skewed.count()  # warm the cache outside the measured window
+            time.sleep(0.5)
+            b0 = store.jobsList(None).length()
+            assert skewed_keys(skewed, "source", min_share=0.2) == ["source_00"]
+            time.sleep(0.8)  # listener bus drain
+            assert store.jobsList(None).length() - b0 == 1
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", prior)
+
     def test_salted_join_identical_result(self, spark, skewed):
         dim = spark.createDataFrame(
             [(f"source_{i:02d}", f"name{i}") for i in range(20)],

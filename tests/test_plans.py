@@ -79,6 +79,39 @@ def test_filter_pushdown_through_operators(spark):
     assert "EqualTo(lang,en)" in plan
 
 
+def test_ivf_partitioned_fetch_is_partition_pruned(spark, tmp_path):
+    """write_ivf_partitioned + ann_ivf_topk_partitioned: the corpus scan
+    must carry the probed cell ids as PartitionFilters (read nprobe of
+    nlist directories), not scan the full corpus and filter later."""
+    import numpy as np
+
+    from bloomjoin_spark.operators import (
+        ann_ivf_topk_partitioned,
+        train_ivf_centroids,
+        write_ivf_partitioned,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cent = train_ivf_centroids(emb, nlist=8, sample=2000, iters=4)
+    path = str(tmp_path / "ivf_corpus")
+    write_ivf_partitioned(emb, cent, path)
+    queries = emb.filter(F.col("vec_id") % 200 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ann_ivf_topk_partitioned(
+        spark, path, queries, cent, k=5, nprobe=2
+    )
+    plan = _plan(out)
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m, "corpus scan has no PartitionFilters"
+    assert "ivf_cell" in m.group(1) and ("IN" in m.group(1) or "in(" in m.group(1).lower())
+    # and the result is sane: every query returns rows, ranked 1..k
+    rows = out.collect()
+    assert rows and all(1 <= r["rank"] <= 5 for r in rows)
+
+
 def test_lsh_signature_udf_runs_once(spark):
     """Regression: the banded table feeds the bucket-size cap AND both
     sides of the candidate self-join; without a materialization point
