@@ -472,6 +472,98 @@ def _ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_ivf_partitioned_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 3: the cell-PARTITIONED IVF path (corpus written
+    partitionBy(ivf_cell), probed cells pushed as a partition filter)
+    must match the in-memory IVF path's guarantees: recall@10 ≥ 0.5 at
+    nprobe=nlist/4 and exact when probing every cell."""
+    import shutil
+    import tempfile
+
+    from bloomjoin_spark.operators import (
+        ann_ivf_topk_partitioned,
+        cosine_topk,
+        train_ivf_centroids,
+        write_ivf_partitioned,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 200 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cent = train_ivf_centroids(emb, nlist=8, sample=5_000, iters=4)
+    path = tempfile.mkdtemp(prefix="bj_ivf_part_")
+    try:
+        write_ivf_partitioned(emb, cent, path)
+        exact = cosine_topk(emb, queries_df, k=10).select("query_id", "vec_id")
+        approx = ann_ivf_topk_partitioned(
+            spark, path, queries_df, cent, k=10, nprobe=2
+        ).select("query_id", "vec_id")
+        hit = exact.join(approx, ["query_id", "vec_id"], "left_semi").count()
+        recall_ok = hit / max(exact.count(), 1) >= 0.5
+        full = ann_ivf_topk_partitioned(
+            spark, path, queries_df, cent, k=10, nprobe=8
+        ).select("query_id", "vec_id")
+        full_exact = (
+            exact.exceptAll(full).count() == 0 and full.exceptAll(exact).count() == 0
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        [(bool(recall_ok), bool(full_exact))],
+        "recall_at_least_half boolean, full_probe_exact boolean",
+    )
+
+
+def _hash_keys_cross_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 3: the PUBLIC hash_keys64 applies canonical casts, so the
+    same key values hash identically whether the column is int or
+    double (reference invariant src/hash_keys.cpp:58-68)."""
+    from bloomjoin_spark.functions import hash_keys64
+
+    part = _t(spark, sf_dir, "part").select("p_partkey")
+    hi = hash_keys64(part, "p_partkey", "h_int")
+    hd = hash_keys64(
+        part.select(F.col("p_partkey").cast("double").alias("p_partkey")),
+        "p_partkey",
+        "h_dbl",
+    ).select(F.col("p_partkey").cast("bigint").alias("p_partkey"), "h_dbl")
+    joined = hi.join(hd, "p_partkey")
+    mism = joined.filter(F.col("h_int") != F.col("h_dbl")).count()
+    n = joined.count()
+    return spark.createDataFrame(
+        [(int(mism), int(n))], "mismatches bigint, n_keys bigint"
+    )
+
+
+def _simhash_capped_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 3: a degenerate simhash bucket (300 identical boilerplate
+    docs) is DROPPED by the shared max_bucket_size guard while an
+    unrelated planted dup pair still surfaces."""
+    from bloomjoin_spark.operators import add_simhash, simhash_near_dup_pairs
+
+    docs = _t(spark, sf_dir, "documents").limit(300).select(
+        F.col("doc_id"), F.lit("the same boilerplate text everywhere").alias("text")
+    )
+    planted = spark.createDataFrame(
+        [
+            (9_000_001, "a unique document about owls and night vision"),
+            (9_000_002, "a unique document about owls and night vision"),
+        ],
+        "doc_id long, text string",
+    )
+    sh = add_simhash(docs.unionByName(planted))
+    report: dict = {}
+    pairs = simhash_near_dup_pairs(
+        sh, "doc_id", max_hamming=3, max_bucket_size=100, dropped_report=report
+    ).collect()
+    found = any(r["id_a"] == 9_000_001 and r["id_b"] == 9_000_002 for r in pairs)
+    return spark.createDataFrame(
+        [(bool(found), bool(report.get("dropped_buckets", 0) >= 1))],
+        "planted_found boolean, bucket_dropped boolean",
+    )
+
+
 def _cms_event_type_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CMS per-event-type counts vs exact: never undercounts, within εN."""
     from bloomjoin_spark import CmsSketch, build_sketch
@@ -698,6 +790,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_planted": _simhash_planted,
         "ann_lsh_recall": _ann_lsh_recall,
         "ann_ivf_recall": _ann_ivf_recall,
+        "ann_ivf_partitioned_recall": _ann_ivf_partitioned_recall,
+        "hash_keys_cross_type": _hash_keys_cross_type,
+        "simhash_capped_bucket": _simhash_capped_bucket,
         "winnowing_planted": _winnowing_planted,
         "cms_event_type_freq": _cms_event_type_freq,
         "bloom_join_tokens_f0": _bloom_join_tokens_f0,
@@ -890,6 +985,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_ivf_recall": """
             SELECT TRUE AS recall_at_least_half, TRUE AS full_probe_exact
+        """,
+        "ann_ivf_partitioned_recall": """
+            SELECT TRUE AS recall_at_least_half, TRUE AS full_probe_exact
+        """,
+        "hash_keys_cross_type": """
+            SELECT CAST(0 AS BIGINT) AS mismatches,
+                   COUNT(*) AS n_keys FROM part
+        """,
+        "simhash_capped_bucket": """
+            SELECT TRUE AS planted_found, TRUE AS bucket_dropped
         """,
         "winnowing_planted": """
             SELECT count(*) AS planted, TRUE AS all_paired,

@@ -17,6 +17,14 @@ partition counts so parallelism is the only variable — see BENCH.md
 and the run_scaling docstring for why 2/8 and the full methodology).
 Disable with SPARK_GRAFT_BENCH_SCALING=0.
 
+WIN cells (flagship wall-clock evidence): 8M wide probe rows (256 B
+incompressible blob per row) ⋈ 2.67M-row fat lookup at 1% overlap,
+joined rows consumed downstream, naive vs sketch-engine vs native-
+engine bloom_join interleaved every round in a fresh subprocess JVM —
+once at 16 GiB heap (RAM-speed regime) and once at 4 GiB heap +
+memory.fraction 0.3 (the cluster stand-in: the naive join's multi-GB
+exchange runs memory-starved). Disable with SPARK_GRAFT_BENCH_WIN=0.
+
 Memory telemetry: a 10 Hz process-tree RSS sampler records the global
 peak and a per-query peak (JVM + Python workers + subprocesses),
 reported under "memory" in the JSON line.
@@ -52,10 +60,19 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 RUN_SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") not in ("0", "false")
 TOKEN_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_TOKEN_ROWS", "2000000"))
-# the bloom_join WIN cell: probe size where the saved shuffle beats the
-# prefilter's fixed costs even on RAM-resident input (4× TOKEN_ROWS)
+# the bloom_join WIN cells: probe size where the saved shuffle beats the
+# prefilter's fixed costs (4× TOKEN_ROWS), with a WIDE probe row (256 B
+# incompressible blob riding every row — the training-data shape where
+# the prefilter saves shuffling heavy payloads). Two regimes, each in
+# its own fresh subprocess JVM with interleaved A/B timing:
+#   16 GiB heap  — RAM-speed, the honest baseline regime;
+#   4 GiB heap / memory.fraction 0.3 — the cluster stand-in: the naive
+#   join's multi-GB exchange runs memory-starved (sort spill + GC),
+#   which is what a 100 TB shuffle does to real executors.
 WIN_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_WIN_ROWS", str(4 * TOKEN_ROWS)))
-SCALING_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_SCALING_ROWS", "12000000"))
+WIN_CORES = int(os.environ.get("SPARK_GRAFT_BENCH_WIN_CORES", "8"))
+RUN_WIN = os.environ.get("SPARK_GRAFT_BENCH_WIN", "1") not in ("0", "false")
+SCALING_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_SCALING_ROWS", "8000000"))
 # N vs 4N parallelism pair for the scaling protocol. Default 2 vs 8:
 # this VM's 32 "cores" are oversubscribed by the hypervisor (CPU steal
 # up to 14%, kernel-time storms beyond ~16 concurrent threads — local[32]
@@ -73,10 +90,10 @@ SHUFFLE_STATS: dict = {}
 SHUFFLE_PARTS = int(os.environ.get("SPARK_GRAFT_BENCH_SHUFFLE_PARTS", "64"))
 
 
-def make_spark(cores: int):
+def make_spark(cores: int, driver_mem: str | None = None, extra_conf: dict | None = None):
     from pyspark.sql import SparkSession
 
-    return (
+    b = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(f"bloomjoin_bench_{cores}")
         .config("spark.sql.shuffle.partitions", str(SHUFFLE_PARTS))
@@ -85,14 +102,22 @@ def make_spark(cores: int):
         # ParallelGC + a modest heap: G1 on a 48g heap shows multi-second
         # pause storms under this Arrow-heavy allocation profile (measured
         # 60s vs 5s on the same query); batch throughput wants ParallelGC
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config(
+            "spark.driver.memory",
+            driver_mem or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        )
         .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
+        # stdout hygiene: the driver parses the LAST stdout line as the
+        # metric JSON — progress bars write \r frames to stdout
+        .config("spark.ui.showConsoleProgress", "false")
     )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
 
 
 def timed(fn):
@@ -360,19 +385,31 @@ def run_headline(spark) -> dict[str, float]:
         .withColumn("payload", F.repeat(F.md5(F.col("doc_id")), 16))
         .persist()
     )
-    lk.count()
+    n_lk = lk.count()
     naive_fn = lambda: toks.join(lk, "doc_id", "inner").count()
+    # auto engine (dispatches to the all-JVM native path when metrics
+    # are off) vs the explicit two-phase sketch engine; build-side
+    # cardinality passed as n_hint (the reference's own knob,
+    # R/bloomjoin.R:192-221) so per-call cost is build+probe, not sizing
     bloom_fn = lambda: bloom_join(
         toks, lk, on="doc_id", how="inner", force_prefilter=True,
-        collect_metrics=False,
+        collect_metrics=False, n_hint={"y": n_lk},
     ).count()
-    assert bloom_fn() == naive_fn(), "bloom_join result diverged from naive join"
-    qs["naive_join_tokens"], qs["bloom_join_tokens"] = timed_min_pair(
-        "naive_join_tokens", naive_fn, "bloom_join_tokens", bloom_fn, pairs=3
+    sketch_fn = lambda: bloom_join(
+        toks, lk, on="doc_id", how="inner", force_prefilter=True,
+        collect_metrics=False, engine="bloom", n_hint={"y": n_lk},
+    ).count()
+    assert bloom_fn() == naive_fn() == sketch_fn(), "bloom_join diverged from naive join"
+    res_tok = timed_min_multi(
+        [("naive_join_tokens", naive_fn),
+         ("bloom_join_tokens", bloom_fn),
+         ("bloom_join_tokens_sketch", sketch_fn)],
+        rounds=3,
     )
-    # Spark's own runtime bloom-filter rule as a third baseline
+    qs.update(res_tok)
+    # Spark's own runtime bloom-filter rule as another baseline
     spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-    qs["native_runtime_bloom_tokens"], _ = timed_min_q("native_runtime_bloom_tokens", 
+    qs["native_runtime_bloom_tokens"], _ = timed_min_q("native_runtime_bloom_tokens",
         lambda: toks.join(lk, "doc_id", "inner").count()
     )
     spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
@@ -390,64 +427,7 @@ def run_headline(spark) -> dict[str, float]:
             "prefilter_shuffle_row_reduction": round(1 - matching / max(total, 1), 4),
         }
     )
-    # --- the WIN regime (flagship credibility): larger probe side, the
-    # joined rows CONSUMED downstream (sum over token arrays + payload),
-    # so the naive plan must shuffle full fat rows — Catalyst prunes
-    # everything but the key under a bare count(), which hides exactly
-    # the cost the prefilter removes. At this shape the saved shuffle
-    # serialization beats the prefilter's fixed costs even in RAM.
-    toks8 = build_token_df(spark, WIN_ROWS, CPUS * 2).persist()
-    toks8.count()
-    lk8 = (
-        lookup_table(spark, WIN_ROWS, WIN_ROWS // 3, overlap=0.01,
-                     num_partitions=max(2, CPUS // 2))
-        .withColumn("payload", F.repeat(F.md5(F.col("doc_id")), 16))
-        .persist()
-    )
-    n_lk8 = lk8.count()
-    consume = lambda df: df.agg(
-        F.sum(F.size("tokens")), F.sum(F.length("payload"))
-    ).first()
-    naive8_fn = lambda: consume(toks8.join(lk8, "doc_id", "inner"))
-    bloom8_fn = lambda: consume(bloom_join(
-        toks8, lk8, on="doc_id", how="inner", force_prefilter=True,
-        collect_metrics=False, n_hint={"y": n_lk8},
-    ))
-    native8_fn = lambda: consume(bloom_join(
-        toks8, lk8, on="doc_id", how="inner", engine="native",
-        force_prefilter=True, collect_metrics=False, n_hint={"y": n_lk8},
-    ))
-    naive8_fn(); bloom8_fn(); native8_fn()  # warm all plans
-    res8 = timed_min_multi(
-        [("naive_join_tokens_8m", naive8_fn),
-         ("bloom_join_tokens_8m", bloom8_fn),
-         ("bloom_join_tokens_8m_native", native8_fn)],
-        rounds=3,
-    )
-    qs.update(res8)
-    SHUFFLE_STATS["bloom_win_speedup_8m"] = round(
-        res8["naive_join_tokens_8m"] / max(res8["bloom_join_tokens_8m"], 1e-9), 3
-    )
-    SHUFFLE_STATS["bloom_native_win_speedup_8m"] = round(
-        res8["naive_join_tokens_8m"]
-        / max(res8["bloom_join_tokens_8m_native"], 1e-9), 3
-    )
-    # MEASURED shuffle-write bytes (status store diff) — the objective
-    # scale metric: on a RAM-resident box the naive shuffle runs at
-    # memory speed so wall-clock sits near parity, but the BYTES that
-    # would cross a cluster's disks+network are measured, not estimated
-    nmb = measured_shuffle_mb(spark, naive8_fn)
-    bmb = measured_shuffle_mb(spark, bloom8_fn)
-    if nmb is not None and bmb is not None:
-        SHUFFLE_STATS["naive_8m_shuffle_write_mb"] = nmb
-        SHUFFLE_STATS["bloom_8m_shuffle_write_mb"] = bmb
-        SHUFFLE_STATS["shuffle_write_reduction_8m"] = round(
-            1 - bmb / max(nmb, 1e-9), 4
-        )
-    toks8.unpersist()
-    lk8.unpersist()
-
-    qs["hll_distinct_tokens"], hll = timed_min_q("hll_distinct_tokens", 
+    qs["hll_distinct_tokens"], hll = timed_min_q("hll_distinct_tokens",
         lambda: build_sketch(toks, lambda: HllSketch(14), token_col="tokens")
     )
     qs["cms_token_freq"], _ = timed_min_q("cms_token_freq", 
@@ -488,7 +468,7 @@ def run_headline(spark) -> dict[str, float]:
 
 def run_scaling(
     n_small: int, n_big: int, token_rows: int,
-    reps_small: int = 3, reps_big: int = 10,
+    reps_small: int = 2, reps_big: int = 7,
 ) -> dict:
     """Same job, same input, pinned partition counts (data AND shuffle),
     two parallelism levels — the sandbox stand-in for N vs 4N executors.
@@ -593,25 +573,167 @@ def scaling_worker(cores: int, data_dir: str, reps: int) -> None:
         spark.stop()
 
 
+def build_win_data(data_dir: str) -> None:
+    """Generate the WIN-cell tables once at full machine width: WIN_ROWS
+    probe rows, each carrying its token array plus a 256 B incompressible
+    blob (8 chained md5's — lz4 finds no matches in hex of distinct
+    hashes), and a 1%-overlap lookup side with a 512 B payload."""
+    from pyspark.sql import functions as F
+
+    from bloomjoin_spark.datagen import lookup_table
+
+    gen = make_spark(min(CPUS, 16))
+    try:
+        toks = build_token_df(gen, WIN_ROWS, 64).withColumn(
+            "blob",
+            F.concat(*[
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f"|{i}")))
+                for i in range(8)
+            ]),
+        )
+        toks.write.mode("overwrite").parquet(f"{data_dir}/toks")
+        (
+            lookup_table(gen, WIN_ROWS, WIN_ROWS // 3, overlap=0.01,
+                         num_partitions=16)
+            .withColumn("payload", F.repeat(F.md5(F.col("doc_id")), 16))
+            .write.mode("overwrite").parquet(f"{data_dir}/lk")
+        )
+    finally:
+        gen.stop()
+
+
+def run_win_cell(data_dir: str, heap: str, fraction: str, rounds: int = 2,
+                 measure_shuffle: bool = True) -> dict:
+    """One WIN-cell regime in a fresh subprocess JVM (so heap size and
+    memory.fraction are real, not inherited)."""
+    import subprocess
+
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--win-worker",
+         data_dir, heap, fraction, str(rounds), "1" if measure_shuffle else "0"],
+        capture_output=True, text=True, check=True,
+    )
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
+def win_worker(data_dir: str, heap: str, fraction: str, rounds: int,
+               measure_shuffle: bool = True) -> None:
+    """The WIN measurement: naive join vs bloom_join (sketch engine) vs
+    bloom_join (native engine = what auto dispatches to), interleaved
+    every round (timed_min_multi protocol — block-order bias corrupted a
+    round-2 reading, see BENCH.md), joined rows CONSUMED downstream
+    (token sizes + payload + blob sums) so the naive plan must shuffle
+    full fat rows.  Also reports MEASURED shuffle-write bytes for the
+    naive and sketch plans (status-store diff)."""
+    from pyspark.sql import functions as F
+
+    from bloomjoin_spark import bloom_join
+
+    spark = make_spark(
+        WIN_CORES, driver_mem=heap,
+        extra_conf={"spark.memory.fraction": fraction},
+    )
+    try:
+        toks = spark.read.parquet(f"{data_dir}/toks")
+        lk = spark.read.parquet(f"{data_dir}/lk")
+        n_lk = lk.count()
+        consume = lambda df: df.agg(
+            F.sum(F.size("tokens")), F.sum(F.length("payload")),
+            F.sum(F.length("blob")),
+        ).first()
+        naive_fn = lambda: consume(toks.join(lk, "doc_id", "inner"))
+        sketch_fn = lambda: consume(bloom_join(
+            toks, lk, on="doc_id", how="inner", engine="bloom",
+            force_prefilter=True, collect_metrics=False, n_hint={"y": n_lk},
+        ))
+        native_fn = lambda: consume(bloom_join(
+            toks, lk, on="doc_id", how="inner", engine="native",
+            force_prefilter=True, collect_metrics=False, n_hint={"y": n_lk},
+        ))
+        sides = [("naive", naive_fn), ("bloom_sketch", sketch_fn),
+                 ("bloom_native", native_fn)]
+        for _, fn in sides:
+            fn()  # warm every plan once, untimed
+        best = {name: 1e18 for name, _ in sides}
+        for _ in range(rounds):
+            for name, fn in sides:
+                t, _ = timed(fn)
+                best[name] = min(best[name], t)
+        nmb = measured_shuffle_mb(spark, naive_fn) if measure_shuffle else None
+        bmb = measured_shuffle_mb(spark, sketch_fn) if measure_shuffle else None
+        out = {
+            "heap": heap,
+            "memory_fraction": float(fraction),
+            "cores": WIN_CORES,
+            "rows": WIN_ROWS,
+            "naive_sec": round(best["naive"], 3),
+            "bloom_sketch_sec": round(best["bloom_sketch"], 3),
+            "bloom_native_sec": round(best["bloom_native"], 3),
+            "speedup_sketch": round(best["naive"] / best["bloom_sketch"], 3),
+            "speedup_native": round(best["naive"] / best["bloom_native"], 3),
+        }
+        if nmb is not None and bmb is not None:
+            out["naive_shuffle_write_mb"] = nmb
+            out["bloom_shuffle_write_mb"] = bmb
+            out["shuffle_write_reduction"] = round(1 - bmb / max(nmb, 1e-9), 4)
+        print(json.dumps(out))
+    finally:
+        spark.stop()
+
+
 def main():
     if len(sys.argv) > 1 and sys.argv[1] == "--scaling-worker":
         scaling_worker(int(sys.argv[2]), sys.argv[3], int(sys.argv[4]))
         return
+    if len(sys.argv) > 1 and sys.argv[1] == "--win-worker":
+        win_worker(sys.argv[2], sys.argv[3], sys.argv[4], int(sys.argv[5]),
+                   measure_shuffle=len(sys.argv) < 7 or sys.argv[6] == "1")
+        return
     t_total0 = time.time()
+    phases: dict[str, float] = {}
     SAMPLER.start()
     # scaling FIRST: its subprocess JVMs get an otherwise-idle machine
     scaling = None
     if RUN_SCALING:
         SAMPLER.label = "scaling_protocol"
+        t0 = time.time()
         try:
             scaling = run_scaling(SCALE_N, SCALE_4N, SCALING_ROWS)
         finally:
             SAMPLER.label = None
+            phases["scaling"] = round(time.time() - t0, 1)
+    # WIN cells next (still-idle machine): RAM-speed 16g regime and the
+    # 4g memory-pressure regime, each a fresh subprocess JVM
+    if RUN_WIN:
+        import shutil
+        import tempfile
+
+        win_dir = tempfile.mkdtemp(prefix="bj_win_data_")
+        try:
+            SAMPLER.label = "win_cell_datagen"
+            t0 = time.time()
+            build_win_data(win_dir)
+            phases["win_datagen"] = round(time.time() - t0, 1)
+            SAMPLER.label = "win_cell_16g"
+            t0 = time.time()
+            SHUFFLE_STATS["win_wide_16g"] = run_win_cell(win_dir, "16g", "0.6")
+            phases["win_16g"] = round(time.time() - t0, 1)
+            SAMPLER.label = "win_cell_4g"
+            t0 = time.time()
+            SHUFFLE_STATS["win_wide_4g"] = run_win_cell(
+                win_dir, "4g", "0.3", measure_shuffle=False
+            )
+            phases["win_4g"] = round(time.time() - t0, 1)
+        finally:
+            SAMPLER.label = None
+            shutil.rmtree(win_dir, ignore_errors=True)
     spark = make_spark(CPUS)
+    t0 = time.time()
     try:
         qs = run_headline(spark)
     finally:
         spark.stop()
+        phases["headline"] = round(time.time() - t0, 1)
     total = time.time() - t_total0
     speedup = qs["naive_join_tokens"] / max(qs["bloom_join_tokens"], 1e-9)
     result = {
@@ -623,12 +745,37 @@ def main():
         "cpus": CPUS,
         "token_rows": TOKEN_ROWS,
         "bloom_vs_naive_speedup_tokens": round(speedup, 3),
+        # the reference's headline claim (1.6-2.0x, README.md:17) maps to
+        # the WIN cell: big probe side, fat consumed rows, 1% overlap
+        "bloom_vs_naive_speedup_win": (
+            SHUFFLE_STATS.get("win_wide_16g", {}).get("speedup_native")
+        ),
         "shuffle": SHUFFLE_STATS,
         "memory": SAMPLER.summary(),
         "scaling": scaling,
+        "phase_sec": phases,
         "harness_total_sec": round(total, 3),
     }
-    print(json.dumps(result))
+    # FULL detail (per-query memory peaks, raw scaling runs) goes to a
+    # file; stdout gets a COMPACT line. The driver keeps only the TAIL
+    # of stdout (~2000 bytes) and parses the metric JSON out of it — the
+    # round-2 line grew past that window and truncated from the front
+    # ("parsed": null), so the printed line must stay comfortably small
+    # and be the final line of output.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_FULL.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    compact = dict(result)
+    compact["memory"] = {"global_peak_gb": result["memory"]["global_peak_gb"]}
+    if scaling is not None:
+        compact["scaling"] = {
+            k: v for k, v in scaling.items() if not k.startswith("runs")
+        }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1800:  # last-resort trim: drop per-query detail first
+        compact["queries"] = {"total_sec": round(sum(qs.values()), 3)}
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

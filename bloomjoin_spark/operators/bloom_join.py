@@ -284,6 +284,18 @@ def bloom_join(
     report.prefilter_side = target
     report.build_side = build_name
 
+    # ---- engine='auto' prefers the native all-JVM path when nothing
+    # requires the sketch engine: row metrics (Python accumulators) and
+    # checkpointed resume (mergeable partials) are sketch-only, but a
+    # plain prefiltered join is strictly faster all-JVM — the probe
+    # stays inside whole-stage codegen instead of an ArrowEvalPython
+    # stage (measured 1.6× at the 2M-row bench cell, and the gap widens
+    # under executor memory pressure, where the Arrow probe pipeline
+    # thrashes GC — BENCH.md "engine choice under memory pressure").
+    # Failures below fall back to the sketch engine with a warning.
+    if engine == "auto" and not collect_metrics and checkpoint_dir is None:
+        engine = "native"
+
     # ---- engine='native': all-JVM build (stat.bloomFilter, one
     # treeAggregate) + codegen probe (BloomFilterMightContain) over the
     # SAME canonical xxhash64 keys — fastest wall-clock path when you

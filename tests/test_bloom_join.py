@@ -192,6 +192,20 @@ def test_engine_dispatch(spark, xy):
         bloom_join(x, y, on="id", engine="nope")
 
 
+def test_auto_engine_prefers_native_without_metrics(spark):
+    """auto → native when nothing needs the sketch engine; auto → bloom
+    whenever row metrics (default) or checkpointed resume are requested."""
+    x = spark.range(0, 8_000).withColumn("vx", F.col("id") * 2)
+    y = spark.range(4_000, 4_800).withColumn("vy", F.col("id") * 3)
+    _, rep = bloom_join(
+        x, y, on="id", force_prefilter=True, collect_metrics=False,
+        return_report=True,
+    )
+    assert rep.engine == "native"
+    _, rep2 = bloom_join(x, y, on="id", force_prefilter=True, return_report=True)
+    assert rep2.engine == "bloom"
+
+
 def test_validation_errors(spark, xy):
     x, y = xy
     with pytest.raises(ValueError, match="fpp"):

@@ -31,7 +31,7 @@ def test_probe_is_vectorized_and_pre_exchange(spark):
     plan = _plan(
         bloom_join(
             li, sub, on={"l_partkey": "p_partkey"}, how="inner",
-            force_prefilter=True, collect_metrics=False,
+            force_prefilter=True, collect_metrics=False, engine="bloom",
         )
     )
     # vectorized Arrow probe, never row-at-a-time Python
@@ -47,6 +47,30 @@ def test_probe_is_vectorized_and_pre_exchange(spark):
     )
     between = "\n".join(tree[probe_idx:scan_idx])
     assert "Exchange" not in between
+
+
+def test_auto_engine_is_all_jvm_without_metrics(spark):
+    """engine='auto' + collect_metrics=False + no checkpoint: the probe
+    must be the codegen BloomFilterMightContain expression — NO Python
+    stage anywhere in the plan (the constrained-memory-safe path)."""
+    from bloomjoin_spark import bloom_join
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    sub = (
+        spark.read.parquet(f"{SF_DIR}/part.parquet")
+        .filter(F.col("p_partkey") % 10 == 0)
+        .select("p_partkey", "p_name")
+    )
+    out, rep = bloom_join(
+        li, sub, on={"l_partkey": "p_partkey"}, how="inner",
+        force_prefilter=True, collect_metrics=False, return_report=True,
+    )
+    assert rep.engine == "native"
+    plan = _plan(out)
+    assert "might_contain" in plan or "BloomFilterMightContain" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
 
 def test_partial_scan_is_column_pruned(spark):
