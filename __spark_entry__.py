@@ -727,6 +727,34 @@ def _streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _streaming_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 3: stream-static bloom-prefiltered join — per-micro-batch
+    probe against a filter built once from the static side; output must
+    equal the plain batch join on the same rows."""
+    from bloomjoin_spark.streaming import bloom_join_stream, events_stream
+    from bloomjoin_spark.streaming.sketch_stream import run_stream_to_memory
+
+    batch = _t(spark, sf_dir, "events")
+    dim = (
+        batch.filter(F.col("user_id") % 7 == 0)
+        .select("user_id").distinct()
+        .withColumn("seg", F.lit("u7"))
+    )
+    joined = bloom_join_stream(
+        events_stream(spark, sf_dir).select("event_id", "user_id"),
+        dim, on="user_id", how="inner",
+    )
+    name = run_stream_to_memory(joined, "q_bj_stream", output_mode="append")
+    return (
+        spark.table(name)
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("n_joined"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )
+
+
 def _stateful_hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState):
     per-event-type running HLL over user_id; exact n_rows pinned by the
@@ -785,6 +813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join_counts": _salted_join_counts,
         "multimodal_meta": _multimodal_meta,
         "streaming_windowed_counts": _streaming_windowed_counts,
+        "streaming_bloom_join": _streaming_bloom_join,
         "stateful_hll_stream": _stateful_hll_stream,
         "minhash_full_dedup": _minhash_full_dedup,
         "simhash_planted": _simhash_planted,
@@ -968,6 +997,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT epoch(time_bucket(INTERVAL '1 hour', ts))::BIGINT AS window_epoch,
                    event_type, count(*) AS n
             FROM events GROUP BY 1, 2
+        """,
+        "streaming_bloom_join": """
+            SELECT 'u7' AS seg, count(*) AS n_joined,
+                   count(DISTINCT user_id) AS n_users
+            FROM events WHERE user_id % 7 = 0
         """,
         "stateful_hll_stream": """
             SELECT event_type, count(*) AS n_rows, TRUE AS within_bound

@@ -83,6 +83,72 @@ def run_stream_to_memory(df: DataFrame, name: str, output_mode: str = "complete"
     return name
 
 
+def bloom_join_stream(
+    stream: DataFrame,
+    static: DataFrame,
+    on,
+    how: str = "inner",
+    fpp: float = 0.01,
+    n_hint: int | None = None,
+) -> DataFrame:
+    """Bloom-prefiltered STREAM-static join: the filter is built ONCE
+    from the static side (a batch job at call time), broadcast, and the
+    vectorized probe runs inside every micro-batch's plan — stream rows
+    that cannot match are dropped BEFORE the stream-static join, so at
+    scale they never reach the join's shuffle/state machinery.  Output
+    is exactly equal to ``stream.join(static, on, how)`` (false
+    positives only waste work), same contract as batch ``bloom_join``
+    (``/root/reference/README.md:52-58``).
+
+    Only ``inner`` and ``semi`` are supported: those are the join types
+    where dropping non-matching PROBE rows provably preserves output
+    (the batch planner's side-guard rule, plans/planner.py)."""
+    from ..aggregate import build_sketch
+    from ..operators.bloom_join import (
+        _common_cast,
+        _key64,
+        _make_probe_udf,
+        _standard_join,
+    )
+    from ..plans.planner import normalize_how, resolve_join_columns
+    from ..sketches.bloom import BloomSketch
+
+    how = normalize_how(how)
+    if how not in ("inner", "semi"):
+        raise ValueError(
+            "bloom_join_stream supports inner/semi (prefiltering the stream "
+            f"side of a {how!r} join would change its output)"
+        )
+    pairs = resolve_join_columns(stream, static, on)
+    st, dt = dict(stream.dtypes), dict(static.dtypes)
+    casts = [_common_cast(st[sc], dt[yc]) for sc, yc in pairs]
+    build_keyed = static.select(
+        _key64(static, [p[1] for p in pairs], casts).alias("__bj_key64")
+    )
+    if n_hint is None:
+        n_hint = max(
+            16,
+            int(
+                build_keyed.agg(
+                    F.approx_count_distinct("__bj_key64", 0.02)
+                ).first()[0]
+                * 1.05
+            ),
+        )
+    result = build_sketch(
+        build_keyed,
+        factory=lambda n=n_hint, p=fpp: BloomSketch(n, p),
+        cols=["__bj_key64"],
+        prehashed=True,
+    )
+    bc = stream.sparkSession.sparkContext.broadcast(result.sketch.seal())
+    probe_udf = _make_probe_udf(bc)
+    filtered = stream.filter(
+        probe_udf(_key64(stream, [p[0] for p in pairs], casts))
+    )
+    return _standard_join(filtered, static, pairs, how)
+
+
 class StreamingSketchCollector:
     """Merge sketch partials from every micro-batch into running
     sketches, optionally keyed by a group column.

@@ -29,6 +29,38 @@ def test_windowed_counts_match_batch(spark, sf_dir):
     assert got.exceptAll(exp).count() == 0
 
 
+def test_bloom_join_stream_equals_batch_join(spark, sf_dir):
+    """Stream-static bloom-prefiltered join == plain batch join on the
+    same rows, for inner and semi; left is rejected (prefiltering the
+    stream side of a row-preserving join would change output)."""
+    from bloomjoin_spark.streaming import bloom_join_stream, events_stream
+
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    dim = (
+        batch.filter(F.col("user_id") % 7 == 0)
+        .select("user_id").distinct()
+        .withColumn("seg", F.lit("u7"))
+    )
+    for how in ("inner", "semi"):
+        stream = events_stream(spark, sf_dir)
+        joined = bloom_join_stream(
+            stream.select("event_id", "user_id"), dim, on="user_id", how=how
+        )
+        run_stream_to_memory(joined, f"bj_stream_{how}", output_mode="append")
+        got = spark.table(f"bj_stream_{how}")
+        exp = batch.select("event_id", "user_id").join(
+            dim, "user_id", "inner" if how == "inner" else "left_semi"
+        )
+        assert got.count() == exp.count()
+        assert got.exceptAll(exp).count() == 0
+
+    with pytest.raises(ValueError, match="inner/semi"):
+        bloom_join_stream(
+            events_stream(spark, sf_dir).select("event_id", "user_id"),
+            dim, on="user_id", how="left",
+        )
+
+
 def test_streaming_hll_equals_batch_estimate(spark, sf_dir):
     stream = events_stream(spark, sf_dir)
     coll = StreamingSketchCollector(lambda: HllSketch(p=13), cols=["user_id"])
