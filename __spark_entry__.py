@@ -727,6 +727,37 @@ def _streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hll_distinct_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 3: per-group HLL distinct via the DISTRIBUTED group merge
+    (grouped_sketch_estimates — no driver-side per-group state):
+    per-source distinct doc_id within the published HLL bound, exact
+    per-group row counts."""
+    from bloomjoin_spark import HllSketch, grouped_sketch_estimates
+
+    docs = _t(spark, sf_dir, "documents")
+    est = grouped_sketch_estimates(
+        docs, lambda: HllSketch(13), "source", cols=["doc_id"]
+    ).select("source", "estimate")
+    exact = docs.groupBy("source").agg(
+        F.count_distinct("doc_id").alias("exact_distinct"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    rel = 1.04 / (2 ** (13 / 2))
+    return (
+        est.join(exact, "source")
+        .select(
+            "source",
+            "exact_distinct",
+            "n_rows",
+            (
+                F.abs(F.col("estimate") - F.col("exact_distinct"))
+                / F.greatest(F.col("exact_distinct"), F.lit(1))
+                <= 4 * rel
+            ).alias("within_bound"),
+        )
+    )
+
+
 def _streaming_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 3: stream-static bloom-prefiltered join — per-micro-batch
     probe against a filter built once from the static side; output must
@@ -814,6 +845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": _multimodal_meta,
         "streaming_windowed_counts": _streaming_windowed_counts,
         "streaming_bloom_join": _streaming_bloom_join,
+        "hll_distinct_by_source": _hll_distinct_by_source,
         "stateful_hll_stream": _stateful_hll_stream,
         "minhash_full_dedup": _minhash_full_dedup,
         "simhash_planted": _simhash_planted,
@@ -1002,6 +1034,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'u7' AS seg, count(*) AS n_joined,
                    count(DISTINCT user_id) AS n_users
             FROM events WHERE user_id % 7 = 0
+        """,
+        "hll_distinct_by_source": """
+            SELECT source, count(DISTINCT doc_id) AS exact_distinct,
+                   count(*) AS n_rows, TRUE AS within_bound
+            FROM documents GROUP BY source
         """,
         "stateful_hll_stream": """
             SELECT event_type, count(*) AS n_rows, TRUE AS within_bound

@@ -9,7 +9,12 @@ commutative two-phase aggregate built with vectorized pandas/Arrow
 UDFs, never per-row Python.
 """
 
-from .aggregate import BuildResult, build_sketch, build_sketches
+from .aggregate import (
+    BuildResult,
+    build_sketch,
+    build_sketches,
+    grouped_sketch_estimates,
+)
 from .operators import bloom_join
 from .plans import BloomJoinReport
 from .sketches import (
@@ -42,5 +47,6 @@ __all__ = [
     "bloom_sizing",
     "build_sketch",
     "build_sketches",
+    "grouped_sketch_estimates",
     "cms_params",
 ]

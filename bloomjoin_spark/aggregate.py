@@ -348,6 +348,46 @@ def grouped_sketch_partials(
     return df.select(*keep).mapInPandas(fn, schema=schema)
 
 
+def grouped_sketch_estimates(
+    df: DataFrame,
+    factory: Callable[[], Sketch],
+    group_col: str,
+    cols: list[str] | str | None = None,
+    token_col: str | None = None,
+) -> DataFrame:
+    """Per-group sketch estimates, FULLY DISTRIBUTED: one scan emits a
+    partial per (group, input partition); one shuffle of those small
+    blobs groups each key's partials; an ``applyInPandas`` merge per
+    group emits (group, estimate, n_rows).  Per-group sketches are
+    never collected to the driver — at 100 TB the group cardinality
+    (e.g. per-source or per-domain distinct counts) can be millions,
+    and this keeps the driver's footprint at zero while the shuffle
+    carries KB-scale blobs instead of raw rows."""
+    partials = grouped_sketch_partials(df, factory, group_col, cols, token_col)
+    gtype = dict(df.dtypes)[group_col]
+    out_schema = f"`{group_col}` {gtype}, estimate double, n_rows long"
+
+    def merge_fn(key, pdf):  # (key, pdf) form; hints confuse eval-type inference
+        acc: Sketch | None = None
+        for b in pdf["blob"]:
+            s = Sketch.from_bytes(bytes(b))
+            acc = s if acc is None else acc.merge(s)
+        est = (
+            acc.estimate()
+            if hasattr(acc, "estimate")
+            else float(getattr(acc, "total", 0.0))
+        )
+        return pd.DataFrame(
+            {
+                group_col: [key[0]],
+                "estimate": [float(est)],
+                "n_rows": [int(pdf["n_rows"].sum())],
+            }
+        )
+
+    return partials.groupBy(group_col).applyInPandas(merge_fn, out_schema)
+
+
 MULTI_PARTIAL_SCHEMA = (
     "name string, partition_id long, n_partials long, n_rows long, "
     "fingerprint long, blob binary"

@@ -230,3 +230,42 @@ def test_string_key_build_arrow_path_matches_query(spark):
     cms = build_sketch(df, lambda: CmsSketch(eps=1e-3, delta=1e-3), cols=["doc_id"])
     est = cms.sketch.query_hashes(h)
     assert (est >= 10).all()  # every key appears 10 times
+
+
+def test_grouped_sketch_estimates_distributed(spark):
+    """grouped_sketch_estimates: per-group estimates via a distributed
+    blob merge (no driver-side per-group state) — HLL per-group distinct
+    within the published bound, CMS per-group totals exact."""
+    from pyspark.sql import functions as F
+
+    from bloomjoin_spark import CmsSketch, HllSketch, grouped_sketch_estimates
+    from bloomjoin_spark.datagen import token_table
+
+    df = token_table(spark, 20_000, vocab=500, max_tok=8, num_partitions=8)
+    got = {
+        r["source"]: r
+        for r in grouped_sketch_estimates(
+            df, lambda: HllSketch(13), "source", cols=["doc_id"]
+        ).collect()
+    }
+    exact = {
+        r["source"]: (r["d"], r["n"])
+        for r in df.groupBy("source")
+        .agg(F.countDistinct("doc_id").alias("d"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    rel = 1.04 / (2 ** (13 / 2))
+    for src, (d, n) in exact.items():
+        assert got[src]["n_rows"] == n
+        assert abs(got[src]["estimate"] - d) / max(d, 1) <= 4 * rel
+
+    cms = {
+        r["source"]: r["estimate"]
+        for r in grouped_sketch_estimates(
+            df, lambda: CmsSketch(eps=1e-3, delta=1e-3), "source", cols=["doc_id"]
+        ).collect()
+    }
+    # CMS has no .estimate(); the merge emits .total — exact row count
+    for src, (_, n) in exact.items():
+        assert cms[src] == n

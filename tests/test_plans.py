@@ -103,6 +103,31 @@ def test_filter_pushdown_through_operators(spark):
     assert "EqualTo(lang,en)" in plan
 
 
+def test_exact_dedup_partial_aggregates(spark):
+    """exact_dedup's fingerprint groupBy must partial-aggregate
+    (map-side combine): at 100 TB the shuffle carries one (md5, min_id)
+    row per distinct fingerprint per partition, not every input row."""
+    from bloomjoin_spark.operators import exact_dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(exact_dedup(docs))
+    assert "partial_min" in plan  # HashAggregate partial before Exchange
+    assert "BatchEvalPython" not in plan
+
+
+def test_text_ops_are_pure_codegen(spark):
+    """Text stats / lang-ID / fingerprints are whole-stage-codegen
+    expressions — no Python stage of any kind in the plan."""
+    from bloomjoin_spark.operators import add_lang_id, add_text_stats
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(add_lang_id(add_text_stats(docs)))
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInArrow", "MapInPandas"):
+        assert marker not in plan
+    # one narrow-pipeline shape: scan → project, no exchange of any kind
+    assert "Exchange" not in plan and "Project" in plan
+
+
 def test_ivf_partitioned_fetch_is_partition_pruned(spark, tmp_path):
     """write_ivf_partitioned + ann_ivf_topk_partitioned: the corpus scan
     must carry the probed cell ids as PartitionFilters (read nprobe of
