@@ -303,6 +303,18 @@ def make_grouped_partial_fn(
                     sk = sks[key] = factory()
                     counts[key] = 0
                     fps[key] = np.uint64(0)
+                if getattr(sk, "CONSUMES", "hashes") == "values":
+                    v = _extract_values(sub, cols, token_col)
+                    nan_mask = np.isnan(v)
+                    if nan_mask.any():
+                        if hasattr(sk, "add_null"):
+                            sk.add_null()
+                        v = v[~nan_mask]
+                    with np.errstate(over="ignore"):
+                        fps[key] += v.view(np.uint64).sum(dtype=np.uint64)
+                    sk.update_values(v)
+                    counts[key] += len(sub)
+                    continue
                 h = (
                     hash_tokens_flat(sub[token_col])
                     if token_col is not None
@@ -354,6 +366,7 @@ def grouped_sketch_estimates(
     group_col: str,
     cols: list[str] | str | None = None,
     token_col: str | None = None,
+    extract: Callable[[Sketch], float] | None = None,
 ) -> DataFrame:
     """Per-group sketch estimates, FULLY DISTRIBUTED: one scan emits a
     partial per (group, input partition); one shuffle of those small
@@ -362,7 +375,12 @@ def grouped_sketch_estimates(
     never collected to the driver — at 100 TB the group cardinality
     (e.g. per-source or per-domain distinct counts) can be millions,
     and this keeps the driver's footprint at zero while the shuffle
-    carries KB-scale blobs instead of raw rows."""
+    carries KB-scale blobs instead of raw rows.
+
+    ``extract`` maps the merged group sketch to the emitted value —
+    default is ``.estimate()`` (falling back to ``.total``); pass e.g.
+    ``lambda s: s.quantile(0.5)`` for per-group medians from a
+    t-digest/KLL factory."""
     partials = grouped_sketch_partials(df, factory, group_col, cols, token_col)
     gtype = dict(df.dtypes)[group_col]
     out_schema = f"`{group_col}` {gtype}, estimate double, n_rows long"
@@ -372,11 +390,12 @@ def grouped_sketch_estimates(
         for b in pdf["blob"]:
             s = Sketch.from_bytes(bytes(b))
             acc = s if acc is None else acc.merge(s)
-        est = (
-            acc.estimate()
-            if hasattr(acc, "estimate")
-            else float(getattr(acc, "total", 0.0))
-        )
+        if extract is not None:
+            est = extract(acc)
+        elif hasattr(acc, "estimate"):
+            est = acc.estimate()
+        else:
+            est = float(getattr(acc, "total", 0.0))
         return pd.DataFrame(
             {
                 group_col: [key[0]],

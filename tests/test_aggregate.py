@@ -269,3 +269,29 @@ def test_grouped_sketch_estimates_distributed(spark):
     # CMS has no .estimate(); the merge emits .total — exact row count
     for src, (_, n) in exact.items():
         assert cms[src] == n
+
+
+def test_grouped_quantiles_via_extract(spark):
+    """extract= maps the merged per-group sketch to any scalar — e.g.
+    per-source median n_tok from a t-digest, within the digest's rank
+    error of the exact median."""
+    from bloomjoin_spark import TDigestSketch, grouped_sketch_estimates
+    from bloomjoin_spark.datagen import token_table
+
+    df = token_table(spark, 20_000, vocab=500, max_tok=64, num_partitions=8)
+    got = {
+        r["source"]: r["estimate"]
+        for r in grouped_sketch_estimates(
+            df, lambda: TDigestSketch(200), "source", cols=["n_tok"],
+            extract=lambda s: float(s.quantile(0.5)),
+        ).collect()
+    }
+    exact = {
+        r["source"]: r["med"]
+        for r in df.groupBy("source")
+        .agg(F.expr("percentile(n_tok, 0.5)").alias("med"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for src in exact:
+        assert abs(got[src] - exact[src]) <= max(3.0, 0.05 * exact[src])
