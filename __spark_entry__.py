@@ -62,6 +62,24 @@ def _bloom_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bloom_inner_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 3: the all-JVM native engine (what engine='auto' dispatches
+    to when metrics are off) under the same value-hash oracle as the
+    sketch engine — identical output by contract."""
+    from bloomjoin_spark import bloom_join
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % 10 == 0)
+        .select("p_partkey", "p_name")
+    )
+    return bloom_join(
+        li, part, on={"l_partkey": "p_partkey"}, how="inner",
+        engine="native", force_prefilter=True, collect_metrics=False,
+    )
+
+
 def _bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bloomjoin_spark import bloom_join
 
@@ -822,6 +840,7 @@ def _stateful_hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bloom_inner_join": _bloom_inner,
+        "bloom_inner_join_native": _bloom_inner_native,
         "bloom_semi_join": _bloom_semi,
         "bloom_anti_join": _bloom_anti,
         "bloom_left_join": _bloom_left,
@@ -868,6 +887,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "bloom_inner_join": """
+            SELECT l.l_orderkey, l.l_partkey, l.l_quantity, p.p_partkey, p.p_name
+            FROM lineitem l
+            JOIN (SELECT p_partkey, p_name FROM part WHERE p_partkey % 10 = 0) p
+              ON l.l_partkey = p.p_partkey
+        """,
+        "bloom_inner_join_native": """
             SELECT l.l_orderkey, l.l_partkey, l.l_quantity, p.p_partkey, p.p_name
             FROM lineitem l
             JOIN (SELECT p_partkey, p_name FROM part WHERE p_partkey % 10 = 0) p
