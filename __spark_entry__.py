@@ -672,6 +672,31 @@ def _cms_hot_tokens_f0(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(ok,)], "cms_within_bound boolean")
 
 
+def _topk_hot_tokens_f0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 3: SpaceSaving top-k (sixth sketch) over all F0 token
+    instances — every exact top-10 token is monitored, and for every
+    monitored item true ∈ [count − error, count]."""
+    from bloomjoin_spark import TopKSketch, build_sketch
+
+    toks = _f0(spark)
+    res = build_sketch(toks, lambda: TopKSketch(256), token_col="tokens")
+    sk = res.sketch
+    exact = (
+        toks.select(F.explode("tokens").alias("t"))
+        .groupBy("t").count().orderBy(F.desc("count"), "t").limit(10).toPandas()
+    )
+    truth = dict(zip(exact["t"].tolist(), exact["count"].tolist()))
+    got = {i: (c, e) for i, c, e in sk.topk()}
+    all_found = all(t in got for t in truth)
+    bounds_ok = all(
+        got[t][0] - got[t][1] <= c <= got[t][0] for t, c in truth.items() if t in got
+    )
+    return spark.createDataFrame(
+        [(bool(all_found), bool(bounds_ok))],
+        "top10_all_monitored boolean, bounds_hold boolean",
+    )
+
+
 def _bloom_params_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sizing report (O11/O12): closed-form m,k + escalation — the
     oracle pins the exact deterministic values for n=1e6 @ fpp 0.01
@@ -878,6 +903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_join_tokens_f0": _bloom_join_tokens_f0,
         "hll_distinct_tokens_f0": _hll_distinct_tokens_f0,
         "cms_hot_tokens_f0": _cms_hot_tokens_f0,
+        "topk_hot_tokens_f0": _topk_hot_tokens_f0,
         "salted_source_join_f0": _salted_source_join_f0,
         "bloom_params_report": _bloom_params_report,
         "token_profile_f0": _token_profile_f0,
@@ -1112,6 +1138,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cms_hot_tokens_f0": """
             SELECT TRUE AS cms_within_bound
+        """,
+        "topk_hot_tokens_f0": """
+            SELECT TRUE AS top10_all_monitored, TRUE AS bounds_hold
         """,
         "salted_source_join_f0": """
             SELECT TRUE AS salted_equals_plain

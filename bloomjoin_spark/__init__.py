@@ -24,6 +24,7 @@ from .sketches import (
     KllSketch,
     Sketch,
     TDigestSketch,
+    TopKSketch,
     bloom_params,
     format_bloom_params,
     bloom_sizing,
@@ -41,6 +42,7 @@ __all__ = [
     "KllSketch",
     "Sketch",
     "TDigestSketch",
+    "TopKSketch",
     "bloom_join",
     "bloom_params",
     "format_bloom_params",

@@ -1,5 +1,6 @@
 from .api import (
     approx_distinct,
+    approx_topk,
     token_profile,
     approx_quantiles,
     hash_keys32,
@@ -10,6 +11,7 @@ from .api import (
 
 __all__ = [
     "approx_distinct",
+    "approx_topk",
     "token_profile",
     "approx_quantiles",
     "hash_keys32",

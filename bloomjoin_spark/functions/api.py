@@ -103,6 +103,30 @@ def _canonical_key_cols(df: DataFrame, cols: list[str]) -> list:
     return out
 
 
+def approx_topk(
+    df: DataFrame,
+    cols: list[str] | str | None = None,
+    token_col: str | None = None,
+    k: int = 64,
+    **kw,
+) -> list[tuple[int, int, int]]:
+    """Heavy hitters of an integer-valued column (or of all token ids
+    when ``token_col`` is given) via the mergeable SpaceSaving sketch:
+    (item, count, error) rows, count-descending.  For every row, true
+    frequency ∈ [count − error, count]; every item with true frequency
+    > 2·total/k is guaranteed present."""
+    from ..sketches import TopKSketch
+
+    res = build_sketch(
+        df,
+        lambda: TopKSketch(k),
+        cols=None if token_col else ([cols] if isinstance(cols, str) else cols),
+        token_col=token_col,
+        **kw,
+    )
+    return res.sketch.topk()
+
+
 def hash_keys64(df: DataFrame, cols: list[str] | str, out_col: str = "key_hash64") -> DataFrame:
     """Stable 64-bit composite-key row hash, computed JVM-side inside
     whole-stage codegen (``xxhash64`` over canonically cast keys —

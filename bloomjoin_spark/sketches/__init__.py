@@ -4,6 +4,7 @@ from .cms import CmsSketch, cms_params
 from .hll import HllSketch
 from .kll import KllSketch
 from .tdigest import TDigestSketch
+from .topk import TopKSketch
 
 __all__ = [
     "BloomSketch",
@@ -12,6 +13,7 @@ __all__ = [
     "KllSketch",
     "Sketch",
     "TDigestSketch",
+    "TopKSketch",
     "bloom_params",
     "format_bloom_params",
     "bloom_sizing",
