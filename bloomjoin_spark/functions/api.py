@@ -179,24 +179,26 @@ def token_profile(
     cms_delta: float = 1e-3,
     quantiles: list[float] = (0.5, 0.9, 0.99),
     top_tokens=None,
+    topk: int = 0,
 ) -> dict:
     """One-pass corpus profile of a token column (the 100 TB shape —
-    one scan feeds all four sketches via ``build_sketches``):
-    distinct token count, token-id quantiles (t-digest + KLL), total
-    tokens, and optional CMS frequencies for ``top_tokens``."""
+    one scan feeds every sketch via ``build_sketches``): distinct token
+    count, token-id quantiles (t-digest + KLL), total tokens, optional
+    CMS frequencies for ``top_tokens``, and — with ``topk > 0`` — the
+    SpaceSaving heavy-hitter list (``"heavy_hitters"``: (token, count,
+    error) rows) from the same single scan."""
     from ..aggregate import build_sketches
-    from ..sketches import HllSketch, KllSketch, TDigestSketch
+    from ..sketches import HllSketch, KllSketch, TDigestSketch, TopKSketch
 
-    res = build_sketches(
-        df,
-        {
-            "hll": lambda: HllSketch(hll_p),
-            "cms": lambda: CmsSketch(cms_eps, cms_delta),
-            "tdigest": lambda: TDigestSketch(200.0),
-            "kll": lambda: KllSketch(200),
-        },
-        token_col=token_col,
-    )
+    factories = {
+        "hll": lambda: HllSketch(hll_p),
+        "cms": lambda: CmsSketch(cms_eps, cms_delta),
+        "tdigest": lambda: TDigestSketch(200.0),
+        "kll": lambda: KllSketch(200),
+    }
+    if topk > 0:
+        factories["topk"] = lambda: TopKSketch(topk)
+    res = build_sketches(df, factories, token_col=token_col)
     out = {
         "distinct_tokens": res["hll"].sketch.cardinality(),
         "total_tokens": res["cms"].sketch.total,
@@ -215,4 +217,6 @@ def token_profile(
         h = hash_float64(np.asarray(list(top_tokens), dtype=np.float64))
         est = res["cms"].sketch.query_hashes(h)
         out["token_frequencies"] = dict(zip(list(top_tokens), [int(e) for e in est]))
+    if topk > 0:
+        out["heavy_hitters"] = res["topk"].sketch.topk()
     return out
