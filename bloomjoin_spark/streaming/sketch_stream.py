@@ -102,7 +102,15 @@ def bloom_join_stream(
 
     Only ``inner`` and ``semi`` are supported: those are the join types
     where dropping non-matching PROBE rows provably preserves output
-    (the batch planner's side-guard rule, plans/planner.py)."""
+    (the batch planner's side-guard rule, plans/planner.py).
+
+    CAVEAT — the filter is a SNAPSHOT of the static side at call time.
+    Spark re-reads a stream-static join's static side every micro-batch,
+    so if the static table GROWS mid-stream, rows matching only the new
+    keys would be wrongly dropped by the stale filter.  Use this for
+    genuinely static dimensions, or rebuild (re-call) on static-side
+    updates; exact-equality holds for the snapshot the filter was built
+    from."""
     from ..aggregate import build_sketch
     from ..operators.bloom_join import (
         _common_cast,
