@@ -332,8 +332,11 @@ def bloom_join(
             if selectivity_check and not force_prefilter:
                 hs = _systematic_probe_sample(probe_df, probe_hash, _SELECTIVITY_SAMPLE)
                 if len(hs):
+                    # Arrow-path createDataFrame: the row-by-row py4j
+                    # reflection version costs ~0.5-1 s for 5k rows and
+                    # dominated auto-mode's fixed overhead in the grid
                     sample_df = spark.createDataFrame(
-                        [(int(v),) for v in hs.view(np.int64)], "h bigint"
+                        pd.DataFrame({"h": hs.view(np.int64)})
                     )
                     passed = sample_df.filter(
                         _native_might_contain(spark, blob, F.col("h"))
