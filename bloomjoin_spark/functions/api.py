@@ -74,33 +74,49 @@ def token_frequencies(
     return dict(zip(list(keys), [int(e) for e in est]))
 
 
-def _canonical_key_cols(df: DataFrame, cols: list[str]) -> list:
-    """Cross-type canonicalisation for the PUBLIC key-hash API — the
-    reference's exported hasher is type-aware: int 5, double 5.0 and
+_SAFE_DOUBLE_INT = 1 << 53
+
+
+def _canonical_col_hash64(df: DataFrame, col: str):
+    """Per-column canonical 64-bit hash for the PUBLIC key-hash API —
+    the reference's exported hasher is type-aware: int 5, double 5.0 and
     factor/char levels hash identically
     (``/root/reference/src/hash_keys.cpp:58-68,147-243``, pinned by
-    ``tests/testthat/test-cross-type-keys.R:16-44``).  Same rule table
-    ``bloom_join`` applies internally (operators/bloom_join.py:75-108),
-    collapsed to one side: every numeric (incl. decimal) hashes as
-    double, date as timestamp — so a user hashing an int column in one
-    table and a double column in another gets matching keys.  Note the
-    double canonicalisation rounds int64 magnitudes beyond 2^53 (the
-    reference hashes ints as doubles too, src/hash_keys.cpp:148-181);
-    ``bloom_join`` itself keeps long==long joins exact via its pairwise
-    cast table."""
+    ``tests/testthat/test-cross-type-keys.R:16-44``).  Rules, matching
+    the Python-side ``hash_numeric_array`` dispatch exactly:
+
+    - numerics hash as double (int 5 == double 5.0), EXCEPT bigint
+      magnitudes beyond 2^53, which hash as exact integer bits —
+      casting those to double conflates distinct keys (snowflake-style
+      ids 2^53+1 and 2^53+2 become the same double); cross-type
+      bigint-vs-double equality is lossy in that range anyway;
+    - date hashes as timestamp (equal instants match);
+    - everything else hashes its native bits."""
     from pyspark.sql import functions as F
 
-    out = []
-    for c in cols:
-        dt = dict(df.dtypes)[c].lower()
-        if dt in ("tinyint", "smallint", "int", "bigint", "float", "double") or \
-                dt.startswith("decimal"):
-            out.append(F.col(c).cast("double"))
-        elif dt == "date":
-            out.append(F.col(c).cast("timestamp"))
-        else:
-            out.append(F.col(c))
-    return out
+    dt = dict(df.dtypes)[col].lower()
+    c = F.col(col)
+    if dt in ("tinyint", "smallint", "int", "float", "double") or \
+            dt.startswith("decimal"):
+        return F.xxhash64(c.cast("double"))
+    if dt == "bigint":
+        return F.when(
+            F.abs(c) <= F.lit(_SAFE_DOUBLE_INT), F.xxhash64(c.cast("double"))
+        ).otherwise(F.xxhash64(c))
+    if dt == "date":
+        return F.xxhash64(c.cast("timestamp"))
+    return F.xxhash64(c)
+
+
+def _canonical_hash64(df: DataFrame, cols: list[str]):
+    """Composite canonical hash: one branched sub-hash per column,
+    combined with one more ``xxhash64`` for multi-column keys (the
+    bigint branch is per column, so it cannot live inside a single
+    joint xxhash64 call)."""
+    from pyspark.sql import functions as F
+
+    parts = [_canonical_col_hash64(df, c) for c in cols]
+    return parts[0] if len(parts) == 1 else F.xxhash64(*parts)
 
 
 def approx_topk(
@@ -129,18 +145,16 @@ def approx_topk(
 
 def hash_keys64(df: DataFrame, cols: list[str] | str, out_col: str = "key_hash64") -> DataFrame:
     """Stable 64-bit composite-key row hash, computed JVM-side inside
-    whole-stage codegen (``xxhash64`` over canonically cast keys —
-    see ``_canonical_key_cols``). Public parity with the reference's
+    whole-stage codegen (canonically hashed keys —
+    see ``_canonical_col_hash64``). Public parity with the reference's
     exported ``hash_keys32`` (``/root/reference/R/hash_keys.R:13-62``,
     ``NAMESPACE:5-7``) — same role (one shared, deterministic key hash
     for joins and sketch ingestion) and same cross-type invariant,
     Spark-idiomatic implementation.
     """
-    from pyspark.sql import functions as F
-
     if isinstance(cols, str):
         cols = [cols]
-    return df.withColumn(out_col, F.xxhash64(*_canonical_key_cols(df, cols)))
+    return df.withColumn(out_col, _canonical_hash64(df, cols))
 
 
 def hash_keys32(df: DataFrame, cols: list[str] | str, out_col: str = "key_hash32") -> DataFrame:
@@ -150,7 +164,7 @@ def hash_keys32(df: DataFrame, cols: list[str] | str, out_col: str = "key_hash32
 
     if isinstance(cols, str):
         cols = [cols]
-    h = F.xxhash64(*_canonical_key_cols(df, cols))
+    h = _canonical_hash64(df, cols)
     folded = F.shiftrightunsigned(h, 32).bitwiseXOR(
         h.bitwiseAND(F.lit(0xFFFFFFFF))
     )

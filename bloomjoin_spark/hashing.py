@@ -145,7 +145,14 @@ def hash_utf8_arrow(arr, seed: int = 0) -> np.ndarray:
     hash depends only on its own bytes+length+seed, never on batch
     composition), so worst-case Python-loop iterations are bounded by
     the cutoff plus the number of long rows while total work stays
-    O(total bytes).  Nulls → NULL_SENTINEL."""
+    O(total bytes).  Nulls → NULL_SENTINEL.
+
+    FORMAT NOTE: the long-row kernel changed the hash VALUES of rows
+    over the cutoff relative to pre-upgrade builds.  A checkpoint_dir
+    resume that mixes pre-upgrade partials with fresh partitions over a
+    string column containing >16 KiB rows would double-count those rows
+    (HLL) or miss their membership (Bloom); rebuild such sketches fresh
+    after upgrading — short-row hashes are unchanged."""
     import pyarrow as pa
 
     if isinstance(arr, pa.ChunkedArray):

@@ -466,7 +466,11 @@ def simhash_near_dup_pairs(
     band-exploded table — same shape (and same degenerate-bucket guard)
     as ``lsh_candidate_pairs``: a popular chunk value (e.g. simhash 0
     from empty/boilerplate docs) is O(bucket²) in the self-join, so
-    buckets over ``max_bucket_size`` are dropped with a warning."""
+    buckets over ``max_bucket_size`` are dropped with a warning.
+    NOTE this cap is a new DEFAULT (previously uncapped): callers who
+    want exhaustive pairs over legitimately large identical-chunk
+    cohorts must pass ``max_bucket_size=None`` (or run ``exact_dedup``
+    first — a dropped bucket is near-identical content)."""
     bands = max_hamming + 1
     width = 64 // bands
     mask = (1 << width) - 1

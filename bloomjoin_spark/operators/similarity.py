@@ -199,21 +199,7 @@ def ann_lsh_topk(
         .select("__qid", id_col, vec_col, "__qvec")
         .dropDuplicates(["__qid", id_col])
     )
-    scored = cand.select(
-        F.col("__qid").alias(query_id_col),
-        F.col(id_col),
-        F.round(
-            cosine_sim_col(
-                F.col(vec_col).cast("array<double>"),
-                F.col("__qvec").cast("array<double>"),
-            ),
-            6,
-        ).alias("sim"),
-    )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= k
-    )
+    return _rerank_candidates(cand, k, id_col, vec_col, query_id_col)
 
 
 # ---------------------------------------------------------------------------
@@ -371,21 +357,7 @@ def ann_ivf_topk(
         .select("__qid", id_col, vec_col, "__qvec")
         .dropDuplicates(["__qid", id_col])
     )
-    scored = cand.select(
-        F.col("__qid").alias(query_id_col),
-        F.col(id_col),
-        F.round(
-            cosine_sim_col(
-                F.col(vec_col).cast("array<double>"),
-                F.col("__qvec").cast("array<double>"),
-            ),
-            6,
-        ).alias("sim"),
-    )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= k
-    )
+    return _rerank_candidates(cand, k, id_col, vec_col, query_id_col)
 
 
 def _rerank_candidates(

@@ -20,39 +20,65 @@ from pyspark.sql import functions as F
 def skewed_keys(
     df: DataFrame, col: str, min_share: float = 0.01, sample_rows: int = 100_000
 ) -> list:
-    """Keys holding ≥ min_share of a deterministic sample — ONE Spark
-    job, no prior count: the sample is the first ⌈sample_rows/P⌉ rows of
-    EVERY partition (early-terminating scan, spanning all partitions so
-    clustered/sorted layouts don't bias it), and the share threshold
-    applies against the sample total carried alongside the per-key
-    counts by a single-partition window over the (≤ sample_rows-sized)
+    """Keys holding ≥ min_share of the data, from ONE Spark job and no
+    prior count: each partition keeps a UNIFORM reservoir of
+    ⌈sample_rows/P⌉ rows (deterministic per-partition seed) over its
+    full column scan, weighted by partition_rows/reservoir_size so
+    unequal partition sizes don't skew shares.  A head-of-partition or
+    limit() sample would be arbitrarily biased when rows are clustered
+    or sorted by the key (the normal state after a repartition or
+    per-source ingest) — a reservoir sees every row.  The share
+    threshold applies against the total sampled weight (≈ total rows)
+    carried by a single-partition window over the (≤ sample_rows-sized)
     aggregated counts."""
+    import numpy as np
+    import pyarrow as pa
+    from pyspark import TaskContext
     from pyspark.sql import Window
 
     keyed = df.select(col)
     nparts = max(1, keyed.rdd.getNumPartitions())  # metadata, no job
     per = max(16, -(-sample_rows // nparts))
 
-    def head_fn(it):
-        taken = 0
+    def reservoir_fn(it):
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else 0
+        rng = np.random.default_rng(0x5EED ^ pid)
+        res: list = []
+        seen = 0
         for batch in it:
-            if batch.num_rows == 0:
+            n = batch.num_rows
+            if n == 0:
                 continue
-            take = min(per - taken, batch.num_rows)
-            yield batch.slice(0, take)
-            taken += take
-            if taken >= per:
-                return
+            vals = batch.column(0).to_pylist()
+            fill = min(per - len(res), n)
+            res.extend(vals[:fill])
+            if fill < n:
+                # vectorized reservoir step: row at global index i (0-based)
+                # is accepted with prob per/(i+1) and replaces a uniform slot
+                idx = np.arange(seen + fill, seen + n, dtype=np.float64)
+                accept = np.nonzero(rng.random(n - fill) < per / (idx + 1.0))[0]
+                slots = rng.integers(0, per, size=accept.size)
+                for j, s in zip(accept.tolist(), slots.tolist()):
+                    res[s] = vals[fill + j]
+            seen += n
+        if not res:
+            return
+        w = seen / len(res)  # each kept row represents this many rows
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(res), pa.array([w] * len(res), pa.float64())],
+            names=["__v", "__w"],
+        )
 
     dt = dict(df.dtypes)[col]
-    sample = keyed.mapInArrow(head_fn, schema=f"{col} {dt}")
-    counts = sample.groupBy(col).agg(F.count(F.lit(1)).alias("__cnt"))
+    sample = keyed.mapInArrow(reservoir_fn, schema=f"__v {dt}, __w double")
+    counts = sample.groupBy("__v").agg(F.sum("__w").alias("__cnt"))
     hot = (
         counts.withColumn("__tot", F.sum("__cnt").over(Window.partitionBy()))
         .filter(F.col("__cnt") >= min_share * F.col("__tot"))
         .collect()
     )
-    return [r[col] for r in hot]
+    return [r["__v"] for r in hot]
 
 
 def salted_join(

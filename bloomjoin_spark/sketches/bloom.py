@@ -312,9 +312,17 @@ class BloomSketch(Sketch):
 
     @classmethod
     def _from_payload_legacy(cls, payload: bytes) -> "BloomSketch":
-        """BLM1 layout: same header, dense bitmap body, no mode byte."""
+        """BLM1 blobs exist in TWO layouts: the original dense-only one
+        (header + words, no mode byte) and the later one that added the
+        mode byte WITHOUT bumping the tag — byte-identical to the BLM2
+        payload.  Disambiguate by length: the dense-no-mode body is
+        exactly m/8 bytes (a multiple of 8); with the mode byte a dense
+        body is m/8+1 and a sparse body is 8·n+1 — neither can equal
+        m/8."""
         m, k, fpp, has_null, n_added = struct.unpack_from("<QIdBq", payload, 0)
         off = struct.calcsize("<QIdBq")
+        if len(payload) - off != m // 8:
+            return cls._from_payload(payload)  # mode-byte layout, old tag
         obj = cls.__new__(cls)
         obj.n_hint = n_added
         obj.fpp = fpp

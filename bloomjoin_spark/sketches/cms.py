@@ -155,10 +155,16 @@ class CmsSketch(Sketch):
 
     @classmethod
     def _from_payload_legacy(cls, payload: bytes) -> "CmsSketch":
-        """CMS1 layout: same header, dense table body, no mode byte."""
+        """CMS1 blobs exist in TWO layouts: dense-only (header + d×w
+        table, no mode byte) and the later mode-byte one under the same
+        tag (byte-identical to CMS2).  Disambiguate by length: the
+        dense-no-mode body is exactly d·w·8 bytes (multiple of 8); with
+        the mode byte, dense is d·w·8+1 and sparse is 16·nnz+1 (odd)."""
         eps, delta, total, has_null = struct.unpack_from("<ddqB", payload, 0)
         off = struct.calcsize("<ddqB")
         obj = cls(eps, delta)
+        if len(payload) - off != obj.table.nbytes:
+            return cls._from_payload(payload)  # mode-byte layout, old tag
         obj.table = (
             np.frombuffer(payload, dtype=np.int64, offset=off)
             .reshape(obj.d, obj.w)

@@ -138,9 +138,17 @@ class HllSketch(Sketch):
 
     @classmethod
     def _from_payload_legacy(cls, payload: bytes) -> "HllSketch":
-        """HLL1 layout: same header, dense register body, no mode byte."""
+        """HLL1 blobs exist in TWO layouts: dense-only (header + 2^p
+        registers, no mode byte) and the later mode-byte one under the
+        same tag (byte-identical to HLL2).  Disambiguate by length:
+        dense-no-mode body is exactly 2^p bytes; mode-byte dense is
+        2^p+1, and mode-byte sparse (5·nnz+1) can only equal 2^p at
+        nnz=(2^p−1)/5 — above the nnz ≤ 2^p/10 threshold at which the
+        writer ever picks the sparse form, so it never occurs."""
         p, has_null = struct.unpack_from("<IB", payload, 0)
         off = struct.calcsize("<IB")
+        if len(payload) - off != (1 << p):
+            return cls._from_payload(payload)  # mode-byte layout, old tag
         regs = np.frombuffer(payload, dtype=np.uint8, offset=off).copy()
         obj = cls(p, _regs=regs)
         obj.has_null = bool(has_null)

@@ -174,52 +174,67 @@ def test_sparse_partial_serialization_roundtrip():
 
 
 def test_legacy_v1_blobs_still_deserialize():
-    """Partial blobs written BEFORE the mode-byte upgrade (BLM1/CMS1/
-    HLL1: same header, dense body, no mode byte) must still load — the
-    advertised killed-job resume crosses this format upgrade."""
+    """Blobs under the OLD kind tags (BLM1/CMS1/HLL1) exist in TWO
+    historical layouts — the original dense-only one (no mode byte) and
+    the later mode-byte one written under the same tag right up to the
+    tag bump (byte-identical to today's payload).  BOTH must load: the
+    advertised killed-job resume crosses the tag upgrade, and real
+    pre-upgrade checkpoints are overwhelmingly the mode-byte kind."""
     import struct
 
     from bloomjoin_spark.sketches import CmsSketch, HllSketch
 
-    def v1_frame(kind: bytes, payload: bytes) -> bytes:
+    def frame(kind: bytes, payload: bytes) -> bytes:
         return b"BJSK" + kind + struct.pack("<Q", len(payload)) + payload
 
     h = hash_int64(np.arange(500, dtype=np.int64))
 
+    # --- Bloom: dense-no-mode (layout A) + mode-byte dense & sparse (B)
     bf = BloomSketch(1_000, 0.01)
     bf.update_hashes(h)
     bf.seal()
-    v1 = v1_frame(
-        b"BLM1",
+    layout_a = (
         struct.pack("<QIdBq", bf.m, bf.k, bf.fpp, int(bf.has_null), bf.n_added)
-        + bf.words.tobytes(),
+        + bf.words.tobytes()
     )
-    for loader in (Sketch.from_bytes, BloomSketch.from_bytes):
-        back = loader(v1)
-        assert isinstance(back, BloomSketch)
-        assert np.array_equal(back.words, bf.words)
-        assert back.contains_hashes(h).all()
+    layout_b_dense = bf._payload_bytes()
+    sparse = BloomSketch(100_000, 0.01)  # few keys vs m → sparse payload
+    sparse.update_hashes(h[:50])
+    layout_b_sparse = sparse._payload_bytes()
+    assert layout_b_sparse[struct.calcsize("<QIdBq")] == 1  # really sparse
+    for payload, proto in (
+        (layout_a, bf), (layout_b_dense, bf), (layout_b_sparse, sparse)
+    ):
+        for loader in (Sketch.from_bytes, BloomSketch.from_bytes):
+            back = loader(frame(b"BLM1", payload))
+            assert isinstance(back, BloomSketch)
+            assert np.array_equal(back.words, proto.words)
 
+    # --- CMS: both layouts
     cms = CmsSketch(eps=1e-2, delta=1e-2)
     cms.update_hashes(h)
-    v1c = v1_frame(
-        b"CMS1",
-        struct.pack("<ddqB", cms.eps, cms.delta, cms.total, int(cms.has_null))
-        + cms.table.tobytes(),
-    )
-    backc = Sketch.from_bytes(v1c)
-    assert np.array_equal(backc.table, cms.table) and backc.total == cms.total
+    head = struct.pack("<ddqB", cms.eps, cms.delta, cms.total, int(cms.has_null))
+    for payload in (head + cms.table.tobytes(), cms._payload_bytes()):
+        backc = Sketch.from_bytes(frame(b"CMS1", payload))
+        assert np.array_equal(backc.table, cms.table) and backc.total == cms.total
 
+    # --- HLL: both layouts (incl. a genuinely sparse mode-byte blob)
     hll = HllSketch(10)
     hll.update_hashes(h)
-    v1h = v1_frame(
-        b"HLL1", struct.pack("<IB", hll.p, int(hll.has_null)) + hll.regs.tobytes()
-    )
-    backh = Sketch.from_bytes(v1h)
-    assert backh.cardinality() == hll.cardinality()
+    headh = struct.pack("<IB", hll.p, int(hll.has_null))
+    hll_sparse = HllSketch(12)
+    hll_sparse.update_hashes(h[:20])
+    assert hll_sparse._payload_bytes()[struct.calcsize("<IB")] == 1
+    for payload, proto in (
+        (headh + hll.regs.tobytes(), hll),
+        (hll._payload_bytes(), hll),
+        (hll_sparse._payload_bytes(), hll_sparse),
+    ):
+        backh = Sketch.from_bytes(frame(b"HLL1", payload))
+        assert backh.cardinality() == proto.cardinality()
 
     with pytest.raises(ValueError, match="unknown sketch kind"):
-        Sketch.from_bytes(v1_frame(b"XXX9", b"\x00"))
+        Sketch.from_bytes(frame(b"XXX9", b"\x00"))
 
 
 def test_format_bloom_params():

@@ -163,6 +163,14 @@ def test_hash_keys_public_cross_type(spark):
     h_ts = [r["key_hash64"] for r in hash_keys64(dts, "k").collect()]
     assert h_date == h_ts
 
+    # bigint beyond 2^53 must stay EXACT: adjacent snowflake-style ids
+    # are the same double but must hash distinctly through the public API
+    big = spark.createDataFrame(
+        [((1 << 53) + 1,), ((1 << 53) + 2,), (-((1 << 53) + 7),)], "k bigint"
+    )
+    hb = [r["key_hash64"] for r in hash_keys64(big, "k").collect()]
+    assert len(set(hb)) == 3
+
 
 def test_utf8_arrow_kernel_matches_hash_strings():
     """The Arrow ingest fast path and the pandas query path share ONE

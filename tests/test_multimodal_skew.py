@@ -69,6 +69,28 @@ class TestSkew:
         hot = skewed_keys(skewed, "source", min_share=0.2)
         assert hot == ["source_00"]
 
+    def test_skewed_keys_unbiased_on_clustered_layout(self, spark):
+        """Rows SORTED by the key within partitions (the normal state
+        after a repartition/per-source ingest): a head-of-partition
+        sampler would crown every partition-leading cold key as hot and
+        miss hot keys sitting mid-partition; the reservoir sample must
+        return exactly the truly hot key."""
+        from pyspark.sql import functions as F
+
+        df = (
+            spark.range(0, 60_000)
+            .withColumn(
+                "k",
+                F.when(F.col("id") % 2 == 0, F.lit("hot")).otherwise(
+                    F.concat(F.lit("cold_"), (F.col("id") % 3000).cast("string"))
+                ),
+            )
+            .repartition(8)
+            .sortWithinPartitions("k")  # cold_* keys lead every partition
+        )
+        hot = skewed_keys(df, "k", min_share=0.2)
+        assert hot == ["hot"]
+
     def test_skewed_keys_is_one_job(self, spark, skewed):
         """Hot keys + sample total come from ONE aggregation (no prior
         count jobs).  AQE is disabled for the assertion because it
