@@ -130,7 +130,13 @@ def approx_topk(
     when ``token_col`` is given) via the mergeable SpaceSaving sketch:
     (item, count, error) rows, count-descending.  For every row, true
     frequency ∈ [count − error, count]; every item with true frequency
-    > 2·total/k is guaranteed present."""
+    > 2·total/k is guaranteed present.
+
+    Items must round-trip through float64 (|item| ≤ 2^53, integral) —
+    the sketch raises otherwise, because rounded 64-bit ids conflate
+    distinct heavy hitters.  For snowflake-style / hashed 64-bit ids,
+    bucket first (``hash_keys64`` then ``pmod``) or remap to a dense
+    id space."""
     from ..sketches import TopKSketch
 
     res = build_sketch(

@@ -147,6 +147,7 @@ def bloom_join(
     engine: str = "auto",
     prefilter_side: str = "auto",
     n_hint: int | dict | None = None,
+    min_probe_bytes: int | None = None,
     force_prefilter: bool = False,
     selectivity_check: bool = True,
     collect_metrics: bool = True,
@@ -162,6 +163,13 @@ def bloom_join(
     fpp default, same side guard + auto side choice + skip heuristics,
     same engine dispatch (``"fuse"`` reserved → NotImplementedError,
     ``R/bloomjoin.R:261-264``), metadata report with the same fields.
+
+    ``min_probe_bytes``: plan-stats floor for the probe side — when its
+    Catalyst size estimate is under this, auto mode skips the prefilter
+    (the fixed decision/build jobs would cost more than the saved
+    shuffle).  ``None`` → the 256 MB default
+    (``plans.planner.MIN_PROBE_BYTES``); ``0`` disables the floor.
+    ``force_prefilter=True`` bypasses it like every other gate.
 
     Returns the joined DataFrame (identical to ``x.join(y, on, how)``),
     or ``(df, BloomJoinReport)`` when ``return_report=True``.
@@ -206,12 +214,19 @@ def bloom_join(
         probe_cols = [p[0] for p in pairs] if target == "x" else [p[1] for p in pairs]
         build_name = "y" if target == "x" else "x"
 
-        # ---- Spark-specific gate: if Catalyst would broadcast the build
-        # side anyway, a broadcast-hash join already avoids the probe
-        # shuffle and the prefilter only adds passes (SURVEY.md §4.1
-        # "cost-based skip" re-tuned for Spark). Plan-stats sizeInBytes
-        # is free (parquet footers), no job runs.
+        # ---- Spark-specific gates, both free (plan-stats sizeInBytes,
+        # no job runs — parquet footers / in-memory relation stats):
+        # 1. broadcast gate: if Catalyst would broadcast the build side
+        #    anyway, a broadcast-hash join already avoids the probe
+        #    shuffle and the prefilter only adds passes (SURVEY.md §4.1
+        #    "cost-based skip" re-tuned for Spark);
+        # 2. probe floor: a probe side under MIN_PROBE_BYTES shuffles
+        #    less than the prefilter's fixed decision/build jobs cost —
+        #    the reference's probe_rows < 1024 gate (R/bloomjoin.R:385-
+        #    387) re-expressed on Catalyst's free size signal.
+        #    min_probe_bytes=0 disables; None → planner.MIN_PROBE_BYTES.
         if not force_prefilter:
+            floor = _resolve_min_probe_bytes(x.sparkSession, min_probe_bytes)
             bytes_est = _plan_size_bytes(build_df)
             thr = _broadcast_threshold(x.sparkSession)
             gate = should_skip_prefilter(
@@ -220,6 +235,10 @@ def bloom_join(
                 expected_reduction=None,
                 build_bytes_estimate=bytes_est,
                 broadcast_threshold=thr,
+                probe_bytes_estimate=(
+                    _plan_size_bytes(probe_df) if floor else None
+                ),
+                min_probe_bytes=floor or None,
             )
             if gate:
                 report.skip_reasons = gate
@@ -533,6 +552,27 @@ def _plan_size_bytes(df: DataFrame) -> int | None:
         return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
     except Exception:
         return None
+
+
+def _resolve_min_probe_bytes(spark, param: int | None) -> int:
+    """Probe-floor resolution: explicit param → session conf
+    ``spark.bloomjoin.minProbeBytes`` (accepts Spark byte strings like
+    "128m"; "0" disables) → planner.MIN_PROBE_BYTES default."""
+    from ..plans.planner import MIN_PROBE_BYTES
+
+    if param is not None:
+        return int(param)
+    try:
+        raw = spark.conf.get("spark.bloomjoin.minProbeBytes", None)
+        if raw is not None:
+            return int(
+                spark.sparkContext._jvm.org.apache.spark.util.Utils.byteStringAsBytes(
+                    raw
+                )
+            )
+    except Exception:
+        pass
+    return MIN_PROBE_BYTES
 
 
 def _broadcast_threshold(spark) -> int | None:

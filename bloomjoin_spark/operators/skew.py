@@ -30,7 +30,14 @@ def skewed_keys(
     per-source ingest) — a reservoir sees every row.  The share
     threshold applies against the total sampled weight (≈ total rows)
     carried by a single-partition window over the (≤ sample_rows-sized)
-    aggregated counts."""
+    aggregated counts.
+
+    Arrow-native: accepted rows are taken out of each batch with
+    ``Array.take`` (a copy, so the parent batch buffer is released) and
+    the reservoir's slot→value indirection lives in two numpy arrays;
+    the column is NEVER materialized as Python objects.  Per-partition
+    work is O(rows) vectorized accept tests plus O(per·ln(rows/per))
+    accepted-value copies."""
     import numpy as np
     import pyarrow as pa
     from pyspark import TaskContext
@@ -44,29 +51,48 @@ def skewed_keys(
         tc = TaskContext.get()
         pid = tc.partitionId() if tc is not None else 0
         rng = np.random.default_rng(0x5EED ^ pid)
-        res: list = []
+        chunks: list = []  # Arrow arrays of kept values (copies)
+        chunk_of = np.empty(per, dtype=np.int64)  # slot → chunk index
+        off_in = np.empty(per, dtype=np.int64)  # slot → offset in chunk
+        filled = 0
         seen = 0
         for batch in it:
             n = batch.num_rows
             if n == 0:
                 continue
-            vals = batch.column(0).to_pylist()
-            fill = min(per - len(res), n)
-            res.extend(vals[:fill])
+            col_arr = batch.column(0)
+            fill = min(per - filled, n)
+            if fill:
+                ci = len(chunks)
+                # take (not slice): a slice would pin the whole batch
+                # buffer in memory for the life of the reservoir
+                chunks.append(col_arr.take(pa.array(np.arange(fill))))
+                chunk_of[filled : filled + fill] = ci
+                off_in[filled : filled + fill] = np.arange(fill)
+                filled += fill
             if fill < n:
                 # vectorized reservoir step: row at global index i (0-based)
                 # is accepted with prob per/(i+1) and replaces a uniform slot
                 idx = np.arange(seen + fill, seen + n, dtype=np.float64)
                 accept = np.nonzero(rng.random(n - fill) < per / (idx + 1.0))[0]
-                slots = rng.integers(0, per, size=accept.size)
-                for j, s in zip(accept.tolist(), slots.tolist()):
-                    res[s] = vals[fill + j]
+                if accept.size:
+                    slots = rng.integers(0, per, size=accept.size)
+                    ci = len(chunks)
+                    chunks.append(col_arr.take(pa.array(fill + accept)))
+                    # duplicate slots within a batch: last write wins,
+                    # matching sequential replacement order
+                    chunk_of[slots] = ci
+                    off_in[slots] = np.arange(accept.size)
             seen += n
-        if not res:
+        if not filled:
             return
-        w = seen / len(res)  # each kept row represents this many rows
+        starts = np.zeros(len(chunks), dtype=np.int64)
+        np.cumsum([len(c) for c in chunks[:-1]], out=starts[1:])
+        flat = pa.concat_arrays(chunks)
+        res = flat.take(pa.array(starts[chunk_of[:filled]] + off_in[:filled]))
+        w = seen / filled  # each kept row represents this many rows
         yield pa.RecordBatch.from_arrays(
-            [pa.array(res), pa.array([w] * len(res), pa.float64())],
+            [res, pa.array(np.full(filled, w), pa.float64())],
             names=["__v", "__w"],
         )
 

@@ -68,6 +68,20 @@ MIN_PROBE_ROWS = 100_000  # ref: 1024 (R/bloomjoin.R:385-387)
 MIN_BUILD_DISTINCT = 16  # ref: 16  (R/bloomjoin.R:389-391)
 MIN_EXPECTED_REDUCTION = 0.02  # ref: 0.02 (R/bloomjoin.R:303-311)
 
+#: probe-side plan-stats floor (bytes): below this the join's whole
+#: shuffle is cheaper than the prefilter's fixed decision+build jobs
+#: (~1 s of sizing aggregation + selectivity sample), so auto mode
+#: skips.  The Spark re-expression of the reference's probe_rows < 1024
+#: gate (R/bloomjoin.R:385-387) — that gate fires on every call there
+#: because its planner always holds the probe vector; here the free
+#: signal is Catalyst's sizeInBytes, which exists without running a job
+#: (parquet footers / in-memory relation stats).  256 MB ≈ the probe
+#: size where the measured grid flips from naive-wins to prefilter-wins
+#: (BENCH.md "Reference scenario grid": mid cells 30-60 MB lose 6-7×,
+#: the 2M-row token cell ~600 MB reaches parity, the 8M wide cell
+#: ~3 GB wins 2×).
+MIN_PROBE_BYTES = 256 << 20
+
 
 def normalize_how(how: str) -> str:
     h = _HOW_ALIASES.get(how.lower().strip())
@@ -177,10 +191,12 @@ def should_skip_prefilter(
     expected_reduction: float | None,
     build_bytes_estimate: int | None = None,
     broadcast_threshold: int | None = None,
+    probe_bytes_estimate: int | None = None,
+    min_probe_bytes: int | None = None,
 ) -> list[str]:
     """Returns skip reasons (empty = proceed). Port of
     should_skip_prefilter (R/bloomjoin.R:379-393) + Spark-specific
-    broadcast-wins gate."""
+    broadcast-wins and probe-size-floor gates."""
     reasons = []
     if n_probe is not None and n_probe == 0:
         reasons.append("probe side empty")
@@ -188,6 +204,16 @@ def should_skip_prefilter(
         reasons.append("build side empty")
     if n_probe is not None and 0 < n_probe < MIN_PROBE_ROWS:
         reasons.append(f"probe side too small ({n_probe} < {MIN_PROBE_ROWS})")
+    if (
+        probe_bytes_estimate is not None
+        and min_probe_bytes is not None
+        and 0 < probe_bytes_estimate < min_probe_bytes
+    ):
+        reasons.append(
+            f"probe side plan-stats size {probe_bytes_estimate >> 20} MB under "
+            f"the {min_probe_bytes >> 20} MB floor — the shuffle it saves is "
+            "smaller than the prefilter's fixed decision/build jobs"
+        )
     if build_distinct is not None and 0 < build_distinct < MIN_BUILD_DISTINCT:
         reasons.append(
             f"build side too few distinct keys ({build_distinct} < {MIN_BUILD_DISTINCT})"

@@ -13,10 +13,17 @@ enumerating candidates needs a monitored set).  SpaceSaving maintains k
 - after any sequence of merges, every item with true frequency
   > 2·total/k is guaranteed to be monitored (the PODS'12 bound).
 
-Items are integer-valued (token ids, user ids, hashed keys); the
-two-phase harness feeds them through ``CONSUMES = "values"`` exactly
-like the quantile sketches — per-partition partials, merged in any
-order/grouping on the driver or in the grouped/streaming paths.
+Items are integer-valued (token ids, category codes, bucketed keys);
+the two-phase harness feeds them through ``CONSUMES = "values"``
+exactly like the quantile sketches — per-partition partials, merged in
+any order/grouping on the driver or in the grouped/streaming paths.
+
+PRECISION LIMIT: items ride the harness's float64 value lane, so only
+magnitudes ≤ 2^53 are exact — 64-bit ids (snowflake ids, raw xxhash64
+keys) beyond that are rounded by the float64 transport and DISTINCT ids
+can conflate.  ``update_values`` raises on such input rather than
+silently merging heavy hitters; route wide ids through ``hash_keys64``
+→ ``pmod``/bucketing, or remap them to a dense ≤2^53 id space first.
 
 No counterpart in the reference (its scope is the Bloom prefilter,
 ``/root/reference/src/BloomFilter.h``); this extends the suite for the
@@ -30,6 +37,8 @@ import struct
 import numpy as np
 
 from .base import Sketch
+
+_SAFE_INT = float(1 << 53)
 
 
 class TopKSketch(Sketch):
@@ -48,29 +57,72 @@ class TopKSketch(Sketch):
     # -- build ---------------------------------------------------------
     def update_values(self, v: np.ndarray) -> None:
         """Absorb a batch of integer-valued items (float64 transport,
-        the harness's value lane).  Batch pre-aggregation: np.unique
-        collapses the batch to (item, count) pairs, offered heaviest
-        first so a big new item evicts the true minimum instead of a
-        counter another batch item just inflated."""
+        the harness's value lane) as one VECTORIZED summary merge: the
+        batch's ``np.unique`` (item, count) table is an exact, zero-error
+        frequency summary, so folding it in via the PODS'12 combine
+        (shared items sum; batch-only items inherit the current min as
+        overcount+error when at capacity; keep the k largest) preserves
+        both count invariants and the 2·total/k presence guarantee —
+        the same bounds ``merge`` maintains, with no per-unique Python
+        loop (a batch costs one ``np.unique`` + one searchsorted match +
+        one top-k partition, ~O(u log u) for u uniques).
+
+        Raises ValueError when any item does not round-trip through
+        float64 (magnitude beyond 2^53, or fractional): such items
+        would silently conflate distinct heavy hitters — see the module
+        docstring's PRECISION LIMIT."""
         if v.size == 0:
             return
+        with np.errstate(invalid="ignore"):
+            if float(np.abs(v).max()) > _SAFE_INT:
+                raise ValueError(
+                    "TopKSketch items must have magnitude <= 2^53 (float64 "
+                    "value-lane transport is exact only in that range; larger "
+                    "ids conflate distinct heavy hitters). Bucket 64-bit ids "
+                    "first (e.g. hash_keys64 then pmod) or remap to a dense "
+                    "id space."
+                )
         items = v.astype(np.int64)
-        vals, cnts = np.unique(items, return_counts=True)
-        order = np.argsort(-cnts, kind="stable")
+        if (items.astype(np.float64) != v).any():
+            raise ValueError(
+                "TopKSketch items must be integer-valued (got fractional "
+                "values, which would be silently truncated)"
+            )
+        vals, cnts = np.unique(items, return_counts=True)  # vals ascending
         d = self._counters
-        for item, c in zip(vals[order].tolist(), cnts[order].tolist()):
-            ent = d.get(item)
-            if ent is not None:
-                ent[0] += c
-            elif len(d) < self.k:
-                d[item] = [c, 0]
-            else:
-                # SpaceSaving eviction: the new item inherits the min
-                # counter's count as its (over)count and error
-                m_item = min(d, key=lambda i: d[i][0])
-                m = d[m_item][0]
-                del d[m_item]
-                d[item] = [m + c, m]
+        n_mon = len(d)
+        if n_mon:
+            mon = np.fromiter(d.keys(), np.int64, n_mon)
+            mcnt = np.fromiter((c for c, _ in d.values()), np.int64, n_mon)
+            merr = np.fromiter((e for _, e in d.values()), np.int64, n_mon)
+            min_s = int(mcnt.min()) if n_mon >= self.k else 0
+            # match batch items to monitored items via one searchsorted
+            mord = np.argsort(mon, kind="stable")
+            mon_sorted = mon[mord]
+            pos = np.searchsorted(mon_sorted, vals)
+            posc = np.minimum(pos, n_mon - 1)
+            shared = mon_sorted[posc] == vals
+            np.add.at(mcnt, mord[posc[shared]], cnts[shared])
+        else:
+            mon = mcnt = merr = np.empty(0, dtype=np.int64)
+            min_s = 0
+            shared = np.zeros(vals.size, dtype=bool)
+        # batch-only items: exact batch count + the current min as the
+        # SpaceSaving overcount/error (zero when under capacity)
+        all_items = np.concatenate([mon, vals[~shared]])
+        all_cnt = np.concatenate([mcnt, cnts[~shared] + min_s])
+        all_err = np.concatenate(
+            [merr, np.full(int((~shared).sum()), min_s, dtype=np.int64)]
+        )
+        if all_items.size > self.k:
+            # keep the k largest; tie-break smaller item (same order as
+            # merge's truncation)
+            sel = np.lexsort((all_items, -all_cnt))[: self.k]
+            all_items, all_cnt, all_err = all_items[sel], all_cnt[sel], all_err[sel]
+        self._counters = {
+            int(i): [int(c), int(e)]
+            for i, c, e in zip(all_items, all_cnt, all_err)
+        }
         self.total += int(items.size)
 
     def add_null(self) -> None:
@@ -88,8 +140,8 @@ class TopKSketch(Sketch):
 
     def guaranteed_min_frequency(self) -> float:
         """Items with true frequency above this are certainly monitored
-        (2·total/k — the post-merge mergeable-summaries bound; a
-        single-stream build guarantees the tighter total/k)."""
+        (2·total/k — the mergeable-summaries bound, which covers both
+        the batched build path and any partial-merge tree)."""
         return 2.0 * self.total / self.k
 
     # -- merge ---------------------------------------------------------

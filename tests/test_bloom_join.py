@@ -256,12 +256,16 @@ import contextlib
 
 @contextlib.contextmanager
 def _no_broadcast_gate(spark):
+    """Disable BOTH free plan-stats gates (broadcast + probe floor) so a
+    test can isolate the gate it actually exercises on small data."""
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.bloomjoin.minProbeBytes", "0")
     try:
         yield
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.unset("spark.bloomjoin.minProbeBytes")
 
 
 def test_broadcast_gate_skips_small_build(spark):
@@ -279,6 +283,44 @@ def test_broadcast_gate_skips_small_build(spark):
         x, y, on="id", how="inner", force_prefilter=True, return_report=True
     )
     assert rep2.used_prefilter
+
+
+def test_probe_floor_skips_small_probe(spark):
+    """Probe side under the plan-stats floor → auto skips the prefilter
+    BEFORE any sizing job runs (the reference's probe_rows < 1024 gate,
+    R/bloomjoin.R:385-387, on Catalyst's free size signal) — the grid's
+    mid cells (200k/100k-row probes) lose 6-7× to naive without this.
+    Build side over the broadcast threshold so the floor is the gate
+    that fires; explicit min_probe_bytes param and the session conf both
+    control it; force_prefilter bypasses it."""
+    x = spark.range(0, 50_000).withColumn("vx", F.col("id"))
+    y = spark.range(0, 500).withColumn("vy", F.col("id"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        got, rep = bloom_join(x, y, on="id", how="inner", return_report=True,
+                              min_probe_bytes=1 << 30)
+        assert not rep.used_prefilter
+        assert any("floor" in r for r in rep.skip_reasons)
+        # no sizing aggregation ran: the gate fired on free plan stats
+        assert rep.n_build is None
+        assert_df_equal(got, x.join(y, "id", "inner"))
+        # conf-driven floor (what a cluster operator would set)
+        spark.conf.set("spark.bloomjoin.minProbeBytes", "1g")
+        _, rep2 = bloom_join(x, y, on="id", how="inner", return_report=True)
+        assert not rep2.used_prefilter and any("floor" in r for r in rep2.skip_reasons)
+        spark.conf.unset("spark.bloomjoin.minProbeBytes")
+        # floor disabled → the prefilter proceeds (other gates off too)
+        spark.conf.set("spark.bloomjoin.minProbeBytes", "0")
+        _, rep3 = bloom_join(x, y, on="id", how="inner", return_report=True)
+        assert rep3.used_prefilter, rep3.skip_reasons
+        spark.conf.unset("spark.bloomjoin.minProbeBytes")
+        # force_prefilter bypasses the floor like every other gate
+        _, rep4 = bloom_join(x, y, on="id", how="inner", return_report=True,
+                             force_prefilter=True, min_probe_bytes=1 << 30)
+        assert rep4.used_prefilter
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
 def test_sizing_uses_distinct_not_rows(spark):

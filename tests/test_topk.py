@@ -72,6 +72,41 @@ class TestTopKCore:
             if t > acc.guaranteed_min_frequency():
                 assert item in monitored, (item, t)
 
+    def test_rejects_imprecise_items(self):
+        """ADVICE r3: items beyond 2^53 (or fractional) are rounded by
+        the float64 value lane and silently conflate distinct heavy
+        hitters — the sketch must raise, not corrupt."""
+        sk = TopKSketch(8)
+        with pytest.raises(ValueError, match="2\\^53"):
+            sk.update_values(np.array([float(2**53) * 4], dtype=np.float64))
+        with pytest.raises(ValueError, match="integer-valued"):
+            sk.update_values(np.array([1.5], dtype=np.float64))
+        # boundary: exactly 2^53 still round-trips
+        sk.update_values(np.array([float(2**53), -float(2**53)], dtype=np.float64))
+        assert sk.total == 2
+
+    def test_batched_equals_merge_semantics(self):
+        """The vectorized batch path IS the PODS'12 combine with an
+        exact summary: feeding batches must match building a zero-error
+        sketch per batch and merging."""
+        v = _zipf_stream(20_000)
+        parts = np.array_split(v, 6)
+        a = TopKSketch(32)
+        for p in parts:
+            a.update_values(p)
+        b = None
+        for p in parts:
+            s = TopKSketch(32)
+            s.update_values(p)  # single batch = exact summary, pruned to k
+            b = s if b is None else b.merge(s)
+        # not bit-identical (a merges exact batch tables, b merges pruned
+        # sketches) but both satisfy the bounds and find the heavies
+        truth = _true_counts(v)
+        _check_invariants(a, truth)
+        _check_invariants(b, truth)
+        heavies = {i for i, t in truth.items() if t > a.guaranteed_min_frequency()}
+        assert heavies <= {i for i, _, _ in a.topk()}
+
     def test_merge_k_mismatch_raises(self):
         with pytest.raises(ValueError, match="different k"):
             TopKSketch(8).merge(TopKSketch(16))
