@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import math
 import os
+import warnings
 from collections.abc import Callable, Iterator
 from dataclasses import dataclass
 
@@ -511,6 +512,7 @@ def build_sketches(
     spark = df.sparkSession
     done_ids: frozenset[int] = frozenset()
     if checkpoint_dir and _checkpoint_exists(spark, checkpoint_dir):
+        _check_checkpoint_hash_format(spark, checkpoint_dir)
         existing = spark.read.parquet(checkpoint_dir)
         done_ids = frozenset(
             r[0] for r in existing.select("partition_id").distinct().collect()
@@ -521,6 +523,7 @@ def build_sketches(
         partials.write.mode("append" if done_ids else "overwrite").parquet(
             checkpoint_dir
         )
+        _write_checkpoint_hash_format(spark, checkpoint_dir)
         partials = spark.read.parquet(checkpoint_dir).dropDuplicates(
             ["name", "partition_id"]
         )
@@ -669,6 +672,7 @@ def build_sketch(
     spark = df.sparkSession
     existing: DataFrame | None = None
     if checkpoint_dir and _checkpoint_exists(spark, checkpoint_dir):
+        _check_checkpoint_hash_format(spark, checkpoint_dir)
         existing = spark.read.parquet(checkpoint_dir)
         done_ids = frozenset(
             r["partition_id"] for r in existing.select("partition_id").distinct().collect()
@@ -679,9 +683,107 @@ def build_sketch(
             partials.write.mode("append").parquet(checkpoint_dir)
         else:
             partials.write.mode("overwrite").parquet(checkpoint_dir)
+        _write_checkpoint_hash_format(spark, checkpoint_dir)
         partials = spark.read.parquet(checkpoint_dir).dropDuplicates(["partition_id"])
     sketch, n_parts, n_rows, rounds = tree_merge(partials, fanin)
     return BuildResult(sketch=sketch, n_partitions=n_parts, n_rows=n_rows, merge_rounds=rounds)
+
+
+#: marker file recording hashing.HASH_FORMAT inside a checkpoint dir
+_HASH_FORMAT_MARKER = "_bj_hash_format"
+
+
+def _local_marker_path(path: str) -> str | None:
+    """Filesystem path of the marker for LOCAL checkpoint dirs
+    (mirrors _checkpoint_exists's scheme handling); None for URIs."""
+    if path.startswith("file:"):
+        path = path[len("file:") :]
+    if "://" in path:
+        return None
+    return os.path.join(path, _HASH_FORMAT_MARKER)
+
+
+def _write_checkpoint_hash_format(spark: SparkSession, path: str) -> None:
+    """Stamp the checkpoint dir with the hash-kernel version its
+    partials were built under (idempotent overwrite).  Local paths use
+    plain file IO (Hadoop's LocalFileSystem would add .crc side-files
+    that break external edits); remote URIs go through Hadoop FS."""
+    from .hashing import HASH_FORMAT
+
+    payload = str(HASH_FORMAT).encode("ascii")
+    try:
+        local = _local_marker_path(path)
+        if local is not None:
+            with open(local, "wb") as f:
+                f.write(payload)
+            return
+        jvm = spark.sparkContext._jvm
+        p = jvm.org.apache.hadoop.fs.Path(path, _HASH_FORMAT_MARKER)
+        fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+        out = fs.create(p, True)
+        out.write(bytearray(payload))
+        out.close()
+    except Exception as ex:  # marker is best-effort; resume still warns
+        warnings.warn(
+            f"could not write hash-format marker to {path!r} ({ex!r}); a "
+            "resume after a hash-kernel upgrade will not be detected",
+            stacklevel=2,
+        )
+
+
+def _check_checkpoint_hash_format(spark: SparkSession, path: str) -> None:
+    """Guard a checkpoint RESUME against partials hashed under a
+    different kernel version (ADVICE r3: the >16 KiB long-row kernel
+    changed long-string hashes between v1 and v2 — mixing pre-upgrade
+    partials with fresh partitions double-counts HLL rows and misses
+    Bloom membership, and a docstring FORMAT NOTE alone does not detect
+    it).  Version mismatch → ValueError (rebuild fresh, or finish the
+    run with the old library version).  Marker missing → the checkpoint
+    predates version stamping (= v1-era): loud warning, proceed — the
+    divergence only affects >16 KiB string rows."""
+    from .hashing import HASH_FORMAT
+
+    recorded: int | None = None
+    try:
+        local = _local_marker_path(path)
+        if local is not None:
+            if os.path.exists(local):
+                with open(local, "rb") as f:
+                    recorded = int(f.read(16).decode("ascii").strip() or "0")
+        else:
+            jvm = spark.sparkContext._jvm
+            p = jvm.org.apache.hadoop.fs.Path(path, _HASH_FORMAT_MARKER)
+            fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+            if fs.exists(p):
+                stream = fs.open(p)
+                try:
+                    buf = []
+                    b = stream.read()  # py4j: one byte per call, -1 at EOF
+                    while b != -1 and len(buf) < 16:
+                        buf.append(b)
+                        b = stream.read()
+                finally:
+                    stream.close()
+                recorded = int(bytes(buf).decode("ascii").strip() or "0")
+    except Exception:
+        recorded = None
+    if recorded is None:
+        warnings.warn(
+            f"checkpoint {path!r} has no hash-format marker (written before "
+            f"version stamping); current kernels are v{HASH_FORMAT}, which "
+            "changed hashes of >16 KiB string rows vs v1 — if the keyed "
+            "column can contain such rows, rebuild the sketch fresh instead "
+            "of resuming",
+            stacklevel=2,
+        )
+        return
+    if recorded != HASH_FORMAT:
+        raise ValueError(
+            f"checkpoint {path!r} was written under hash-format v{recorded} "
+            f"but this build hashes v{HASH_FORMAT}; resuming would mix "
+            "incompatible hashes in one sketch. Rebuild fresh (delete the "
+            "checkpoint dir) or finish the run with the matching version."
+        )
 
 
 def _checkpoint_exists(spark: SparkSession, path: str) -> bool:

@@ -85,19 +85,34 @@ def _canonical_col_hash64(df: DataFrame, col: str):
     ``tests/testthat/test-cross-type-keys.R:16-44``).  Rules, matching
     the Python-side ``hash_numeric_array`` dispatch exactly:
 
-    - numerics hash as double (int 5 == double 5.0), EXCEPT bigint
-      magnitudes beyond 2^53, which hash as exact integer bits —
-      casting those to double conflates distinct keys (snowflake-style
-      ids 2^53+1 and 2^53+2 become the same double); cross-type
-      bigint-vs-double equality is lossy in that range anyway;
+    - numerics hash as double (int 5 == double 5.0), EXCEPT bigint and
+      high-precision decimal magnitudes beyond 2^53, which hash as
+      exact native bits — casting those to double conflates distinct
+      keys (snowflake-style ids 2^53+1 and 2^53+2 become the same
+      double); cross-type equality against double is lossy in that
+      range anyway.  A decimal with integer-digit budget ≤ 15
+      (precision − scale ≤ 15 ⇒ |value| < 10^15 < 2^53) always casts;
+      wider decimals get the same magnitude branch as bigint.  In the
+      exact branch the decimal hashes its (unscaled, scale)
+      representation, so equal values at DIFFERENT declared scales
+      hash differently — keep key columns on one decimal type;
     - date hashes as timestamp (equal instants match);
     - everything else hashes its native bits."""
     from pyspark.sql import functions as F
 
     dt = dict(df.dtypes)[col].lower()
     c = F.col(col)
-    if dt in ("tinyint", "smallint", "int", "float", "double") or \
-            dt.startswith("decimal"):
+    if dt.startswith("decimal"):
+        try:
+            prec, scale = (int(v) for v in dt[dt.index("(") + 1 : -1].split(","))
+        except ValueError:
+            prec, scale = 38, 18  # unparsable → assume the widest
+        if prec - scale <= 15:
+            return F.xxhash64(c.cast("double"))
+        return F.when(
+            F.abs(c) <= F.lit(_SAFE_DOUBLE_INT), F.xxhash64(c.cast("double"))
+        ).otherwise(F.xxhash64(c))
+    if dt in ("tinyint", "smallint", "int", "float", "double"):
         return F.xxhash64(c.cast("double"))
     if dt == "bigint":
         return F.when(
@@ -157,6 +172,15 @@ def hash_keys64(df: DataFrame, cols: list[str] | str, out_col: str = "key_hash64
     ``NAMESPACE:5-7``) — same role (one shared, deterministic key hash
     for joins and sketch ingestion) and same cross-type invariant,
     Spark-idiomatic implementation.
+
+    NOT interchangeable with ``hash_keys_pandas``: this hasher is
+    xxhash64-based (JVM), the pandas one is splitmix64-based (numpy) —
+    each is internally canonical (int 5 == double 5.0 within itself),
+    but the two produce DIFFERENT hash values for the same key.  The
+    reference exports ONE hasher used everywhere; here pick per
+    pipeline: DataFrame-side keys → this, Arrow/pandas-side sketch
+    ingestion → ``hash_keys_pandas``. Never mix them across the build
+    and probe of one structure.
     """
     if isinstance(cols, str):
         cols = [cols]
@@ -183,7 +207,13 @@ def hash_keys_pandas(pdf: pd.DataFrame, cols: list[str] | str) -> np.ndarray:
     """Python-side canonical row hash over a pandas frame — the exact
     pipeline sketch ingestion uses (cross-type canonicalisation of
     §1.2: int 5 == double 5.0, -0 == +0, every null → one sentinel).
-    uint64 output; xor-fold to 32 bits yourself if needed."""
+    uint64 output; xor-fold to 32 bits yourself if needed.
+
+    NOT interchangeable with ``hash_keys64``: this is the numpy
+    splitmix64 kernel, that is JVM xxhash64 — same canonicalisation
+    contract, different hash values for the same key (see the
+    cross-reference note there).  Anything built with one must be
+    probed with the same one."""
     from ..hashing import hash_columns
 
     if isinstance(cols, str):

@@ -40,6 +40,16 @@ _MIX2 = np.uint64(0x94D049BB133111EB)
 #: NA==NA under sketch membership, mirroring src/hash_keys.cpp:46-48.
 NULL_SENTINEL = np.uint64(0xD1B54A32D192ED03)
 
+#: version of the canonical hash kernels.  Bump whenever any kernel
+#: changes the hash VALUE of some input (v1 → v2: the >16 KiB long-row
+#: word-lane kernel changed long-string hashes).  Checkpointed sketch
+#: partials record this version; resuming a checkpoint written under a
+#: different version would mix incompatible hashes in one sketch (HLL
+#: double-counts, Bloom misses membership), so the aggregate layer
+#: refuses/warns instead of silently merging (see
+#: ``aggregate._check_checkpoint_hash_format``).
+HASH_FORMAT = 2
+
 _U64 = np.uint64
 
 

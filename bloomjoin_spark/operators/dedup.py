@@ -165,6 +165,24 @@ def _schema_without(df: DataFrame, drop: str):
             yield f.name, f.dataType.simpleString()
 
 
+#: per-operator stats from the LAST _drop_oversized_buckets run in this
+#: process — filled even when the caller passes no ``dropped_report``,
+#: so pipelines that filter warnings can still DETECT a recall change
+#: programmatically (``last_dropped_stats``).
+_LAST_DROPPED: dict[str, dict] = {}
+
+
+def last_dropped_stats(op_name: str | None = None) -> dict:
+    """Bucket-cap stats of the most recent capped operator run(s):
+    {op_name: {dropped_buckets, dropped_bucket_rows, max_bucket_size}}
+    (or one op's dict when ``op_name`` is given; empty dict if that op
+    has not run).  Driver-side, process-local — check it right after
+    the operator call whose recall you care about."""
+    if op_name is not None:
+        return dict(_LAST_DROPPED.get(op_name, {}))
+    return {k: dict(v) for k, v in _LAST_DROPPED.items()}
+
+
 def _drop_oversized_buckets(
     exploded: DataFrame,
     group_cols: list[str],
@@ -195,14 +213,14 @@ def _drop_oversized_buckets(
         F.count(F.lit(1)).alias("nb"),
         F.coalesce(F.sum("__bn"), F.lit(0)).alias("nr"),
     ).first()
+    stats = {
+        "dropped_buckets": int(row["nb"]),
+        "dropped_bucket_rows": int(row["nr"]),
+        "max_bucket_size": max_bucket_size,
+    }
+    _LAST_DROPPED[op_name] = stats
     if dropped_report is not None:
-        dropped_report.update(
-            {
-                "dropped_buckets": int(row["nb"]),
-                "dropped_bucket_rows": int(row["nr"]),
-                "max_bucket_size": max_bucket_size,
-            }
-        )
+        dropped_report.update(stats)
     if not row["nb"]:
         return exploded
     warnings.warn(

@@ -50,10 +50,14 @@ def iceberg_session_conf(
     production job can do ``for k, v in iceberg_session_conf().items():
     builder.config(k, v)`` and read tables as ``ice.db.tbl`` through
     ``read_table``.  Requires the ``iceberg-spark-runtime`` jar on the
-    cluster (NOT present in this sandbox — the catalog-NAME path is
-    integration-tested here against Spark's built-in ``spark_catalog``
-    instead, which exercises the identical ``spark.read.table`` code
-    path; the Iceberg-specific part is configuration, not engine code)."""
+    cluster (NOT present in this sandbox — a full offline filesystem /
+    ivy / maven-cache sweep in round 4 confirmed no vendorable copy
+    exists, so the jar-gated integration test ``tests/test_iceberg.py``
+    stays skip-marked and runs wherever a jar is provided.  The
+    catalog-NAME path is integration-tested here against Spark's
+    built-in ``spark_catalog`` instead, which exercises the identical
+    ``spark.read.table`` code path; the Iceberg-specific part is
+    configuration, not engine code)."""
     return {
         f"spark.sql.catalog.{catalog}": catalog_impl,
         f"spark.sql.catalog.{catalog}.type": catalog_type,

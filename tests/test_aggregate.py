@@ -65,6 +65,45 @@ def test_checkpoint_resume(spark, tmp_path):
     assert set(lineage.columns) >= {"partition_id", "n_rows", "fingerprint", "blob"}
 
 
+def test_checkpoint_hash_format_guard(spark, tmp_path):
+    """ADVICE r3: resuming a checkpoint written under a different hash
+    kernel version must be detected at resume time, not left to a
+    docstring — mismatched version raises, a marker-less (pre-stamping)
+    checkpoint warns, a same-version resume is silent."""
+    import os
+    import warnings as W
+
+    import pytest
+
+    from bloomjoin_spark.aggregate import _HASH_FORMAT_MARKER
+
+    n = 2000
+    ckpt = str(tmp_path / "fmt_ckpt")
+    df = spark.range(0, n).repartition(3).select(F.col("id").alias("k"))
+    build_sketch(df, lambda: BloomSketch(n, 0.01), cols=["k"], checkpoint_dir=ckpt)
+    marker = os.path.join(ckpt, _HASH_FORMAT_MARKER)
+    assert os.path.exists(marker)
+
+    # same version → silent resume (errors only on OUR warnings; py4j
+    # emits unrelated ResourceWarnings during JVM roundtrips)
+    with W.catch_warnings():
+        W.simplefilter("error", UserWarning)
+        build_sketch(df, lambda: BloomSketch(n, 0.01), cols=["k"], checkpoint_dir=ckpt)
+
+    # version mismatch → refuse
+    with open(marker, "w") as f:
+        f.write("1")
+    with pytest.raises(ValueError, match="hash-format v1"):
+        build_sketch(df, lambda: BloomSketch(n, 0.01), cols=["k"], checkpoint_dir=ckpt)
+
+    # marker missing (pre-upgrade checkpoint) → loud warning, proceeds
+    os.remove(marker)
+    with pytest.warns(UserWarning, match="no hash-format marker"):
+        r = build_sketch(df, lambda: BloomSketch(n, 0.01), cols=["k"],
+                         checkpoint_dir=ckpt)
+    assert r.n_rows == n
+
+
 def test_token_array_ingestion(spark):
     # build over exploded-free array<int> column
     rows = [(i, list(range(i % 5))) for i in range(1000)]

@@ -135,6 +135,13 @@ def test_lsh_drop_warns_even_without_report(spark):
         "lsh_candidate_pairs" in str(w.message) and "dropped" in str(w.message)
         for w in caught
     )
+    # ADVICE r3: the drop is also detectable PROGRAMMATICALLY with no
+    # dropped_report dict (pipelines that filter warnings)
+    from bloomjoin_spark.operators import last_dropped_stats
+
+    stats = last_dropped_stats("lsh_candidate_pairs")
+    assert stats["dropped_buckets"] >= 1 and stats["max_bucket_size"] == 100
+    assert "lsh_candidate_pairs" in last_dropped_stats()
 
 
 def test_degenerate_simhash_bucket_capped(spark):

@@ -172,6 +172,75 @@ def test_hash_keys_public_cross_type(spark):
     assert len(set(hb)) == 3
 
 
+def test_hash_keys_decimal_gate(spark):
+    """ADVICE r3: high-precision decimals must not collapse through an
+    unconditional double cast — DECIMAL(38,0) ids beyond 2^53 hash
+    their exact native bits (same magnitude branch as bigint), while
+    narrow decimals (precision−scale ≤ 15) and wide-but-small values
+    keep the cross-type double canonicalisation."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from bloomjoin_spark.functions import hash_keys64
+
+    # adjacent wide-decimal ids that are the SAME double
+    base = Decimal(1 << 53)
+    wide = spark.createDataFrame(
+        [(base + 1,), (base + 2,), (base + 3,)], "k decimal(38,0)"
+    )
+    hw = [r["key_hash64"] for r in hash_keys64(wide, "k").collect()]
+    assert len(set(hw)) == 3
+    # wide type, small magnitude → still cross-type canonical with int
+    small_wide = spark.createDataFrame(
+        [(Decimal(5),), (Decimal(42),)], "k decimal(38,0)"
+    )
+    ints = spark.createDataFrame([(5,), (42,)], "k int")
+    assert [r["key_hash64"] for r in hash_keys64(small_wide, "k").collect()] == [
+        r["key_hash64"] for r in hash_keys64(ints, "k").collect()
+    ]
+    # narrow decimal (fits 2^53 by type) → always double-canonical
+    narrow = spark.createDataFrame(
+        [(Decimal("5.00"),), (Decimal("42.00"),)], "k decimal(10,2)"
+    )
+    dbls = spark.createDataFrame([(5.0,), (42.0,)], "k double")
+    assert [r["key_hash64"] for r in hash_keys64(narrow, "k").collect()] == [
+        r["key_hash64"] for r in hash_keys64(dbls, "k").collect()
+    ]
+
+
+def test_hash_keys_pandas_cross_type_and_distinct_kernels():
+    """The pandas-side public hasher carries the same cross-type
+    canonicalisation contract (int == double == nullable Int64; bigint
+    beyond 2^53 exact) — and is documented as NOT interchangeable with
+    the JVM hasher: same keys, different values."""
+    import pandas as pd
+
+    from bloomjoin_spark.functions import hash_keys_pandas
+
+    pi = hash_keys_pandas(pd.DataFrame({"k": pd.array([1, 2, 7], dtype="int64")}), "k")
+    pdl = hash_keys_pandas(pd.DataFrame({"k": [1.0, 2.0, 7.0]}), "k")
+    pn = hash_keys_pandas(pd.DataFrame({"k": pd.array([1, 2, 7], dtype="Int64")}), "k")
+    assert (pi == pdl).all() and (pi == pn).all()
+    big = pd.DataFrame({"k": [(1 << 53) + 1, (1 << 53) + 2, (1 << 53) + 3]})
+    assert len(set(hash_keys_pandas(big, "k").tolist())) == 3
+
+
+def test_two_public_hashers_differ(spark):
+    """hash_keys64 (JVM xxhash64) and hash_keys_pandas (numpy
+    splitmix64) are each canonical but deliberately DISTINCT kernels —
+    pin that they disagree so nobody silently mixes them across a
+    build/probe pair (docstrings cross-reference this)."""
+    import pandas as pd
+
+    from bloomjoin_spark.functions import hash_keys64, hash_keys_pandas
+
+    df = spark.createDataFrame([(1,), (2,), (7,)], "k bigint")
+    jvm = [r["key_hash64"] for r in hash_keys64(df, "k").collect()]
+    py = hash_keys_pandas(pd.DataFrame({"k": [1, 2, 7]}), "k")
+    assert [v & ((1 << 64) - 1) for v in jvm] != py.tolist()
+
+
 def test_utf8_arrow_kernel_matches_hash_strings():
     """The Arrow ingest fast path and the pandas query path share ONE
     string-hash kernel — sliced arrays, large_string, unicode, empties
