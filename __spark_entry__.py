@@ -80,6 +80,27 @@ def _bloom_inner_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bloom_inner_auto_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 4: AUTO mode on a small probe — the probe-size floor
+    (plans/planner.py:MIN_PROBE_BYTES, the Spark re-expression of the
+    reference's probe_rows < 1024 gate, R/bloomjoin.R:385-387) skips the
+    prefilter on plan stats alone, and the output must still hash-match
+    the plain-SQL join: the skip path is output-transparent under the
+    driver's value-hash oracle."""
+    from bloomjoin_spark import bloom_join
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % 10 == 0)
+        .select("p_partkey", "p_name")
+    )
+    return bloom_join(
+        li, part, on={"l_partkey": "p_partkey"}, how="inner",
+        collect_metrics=False,
+    )
+
+
 def _bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bloomjoin_spark import bloom_join
 
@@ -865,6 +886,7 @@ def _stateful_hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bloom_inner_join": _bloom_inner,
+        "bloom_inner_join_auto_floor": _bloom_inner_auto_floor,
         "bloom_inner_join_native": _bloom_inner_native,
         "bloom_semi_join": _bloom_semi,
         "bloom_anti_join": _bloom_anti,
@@ -919,6 +941,12 @@ def oracle_sql() -> dict[str, str]:
               ON l.l_partkey = p.p_partkey
         """,
         "bloom_inner_join_native": """
+            SELECT l.l_orderkey, l.l_partkey, l.l_quantity, p.p_partkey, p.p_name
+            FROM lineitem l
+            JOIN (SELECT p_partkey, p_name FROM part WHERE p_partkey % 10 = 0) p
+              ON l.l_partkey = p.p_partkey
+        """,
+        "bloom_inner_join_auto_floor": """
             SELECT l.l_orderkey, l.l_partkey, l.l_quantity, p.p_partkey, p.p_name
             FROM lineitem l
             JOIN (SELECT p_partkey, p_name FROM part WHERE p_partkey % 10 = 0) p
