@@ -101,6 +101,40 @@ def _bloom_inner_auto_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hash_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 4: deterministic md5-prefix train/val/test split — the
+    rule is plain SQL, so the DuckDB oracle computes the IDENTICAL
+    assignment (portability is the operator's whole point: a row's
+    split never depends on engine, partitioning, or corpus size)."""
+    from bloomjoin_spark.operators import split_sizes
+
+    docs = _t(spark, sf_dir, "documents")
+    return split_sizes(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+
+
+def _pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 4: greedy partition-local sequence packing at
+    max_tokens=64 over whitespace-tokenized documents.  Pack layout is
+    partition-dependent, but doc/token conservation, the oversize
+    count, and the per-pack bound are exact — those are what the
+    oracle pins (sketch-verification style: exact values + an
+    in-bound boolean)."""
+    from bloomjoin_spark.operators import pack_sequences, pack_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    packs = pack_sequences(docs, max_tokens=64, text_col="text")
+    st = pack_stats(packs, 64).first()
+    return spark.createDataFrame(
+        [(
+            int(st["n_docs"]),
+            int(st["total_tokens"]),
+            int(st["oversize_packs"]),
+            bool(st["max_regular_pack"] <= 64),
+        )],
+        "n_docs bigint, total_tokens bigint, oversize_packs bigint, bound_ok boolean",
+    )
+
+
 def _bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bloomjoin_spark import bloom_join
 
@@ -887,6 +921,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bloom_inner_join": _bloom_inner,
         "bloom_inner_join_auto_floor": _bloom_inner_auto_floor,
+        "hash_split_docs": _hash_split_docs,
+        "pack_documents": _pack_documents,
         "bloom_inner_join_native": _bloom_inner_native,
         "bloom_semi_join": _bloom_semi,
         "bloom_anti_join": _bloom_anti,
@@ -951,6 +987,27 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem l
             JOIN (SELECT p_partkey, p_name FROM part WHERE p_partkey % 10 = 0) p
               ON l.l_partkey = p.p_partkey
+        """,
+        "hash_split_docs": """
+            SELECT CASE WHEN substr(md5(doc_id::VARCHAR || '|'), 1, 4) < 'cccd' THEN 'train'
+                        WHEN substr(md5(doc_id::VARCHAR || '|'), 1, 4) < 'e666' THEN 'val'
+                        ELSE 'test' END AS split,
+                   COUNT(*)::BIGINT AS n_rows
+            FROM documents
+            GROUP BY 1
+            ORDER BY 1
+        """,
+        "pack_documents": """
+            WITH tok AS (
+              SELECT CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\\s+')) END AS n
+              FROM documents
+            )
+            SELECT COUNT(*)::BIGINT AS n_docs,
+                   SUM(n)::BIGINT AS total_tokens,
+                   SUM(CASE WHEN n > 64 THEN 1 ELSE 0 END)::BIGINT AS oversize_packs,
+                   TRUE AS bound_ok
+            FROM tok
         """,
         "bloom_semi_join": """
             SELECT d.doc_id, d.source, d.n_chars

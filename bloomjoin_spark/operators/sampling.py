@@ -1,0 +1,248 @@
+"""Deterministic dataset splitting and sequence packing — the two
+pipeline steps between "corpus is clean" and "batches hit the trainer".
+
+Both are designed for the 100 TB shape:
+
+- ``hash_split`` is one stateless whole-stage-codegen expression per
+  row (md5 prefix bucketing): no shuffle, no sampling state, stable
+  under re-runs/backfills, and a row's split NEVER changes when the
+  corpus grows — the property random `randomSplit` cannot give you
+  (its assignment depends on partition layout and seed plumbing).
+- ``pack_sequences`` is a single partition-local pass (``mapInArrow``
+  with carry state across batches): packing is a bin-packing problem
+  that does not need global optimality — per-partition greedy fill to
+  ``max_tokens`` is what production training pipelines do, because a
+  global pack would serialize the corpus through one node for ~1%
+  better fill.
+
+No counterpart in the reference (scope: its Bloom prefilter); these
+extend the training-pipeline operator set (SURVEY.md §2 extras).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: hex digits of the md5 used as the split bucket — 4 digits = 65536
+#: buckets, so requested fractions are honored to ±1/65536 exactly.
+_SPLIT_HEX_DIGITS = 4
+_SPLIT_BUCKETS = 16 ** _SPLIT_HEX_DIGITS
+
+
+def hash_split_col(
+    key: Column,
+    fractions: dict[str, float],
+    salt: str = "",
+) -> Column:
+    """Split-label Column for a key expression: the first 4 hex digits
+    of ``md5(key || '|' || salt)`` select a bucket in [0, 65536), and
+    cumulative-fraction thresholds map buckets to labels.  Hex strings
+    compare lexicographically in bucket order, so the whole expression
+    is a CASE over string comparisons — portable to ANY engine with
+    md5 (the DuckDB oracle replicates it verbatim), deterministic
+    across runs/partitionings/engine versions, and stable per key as
+    the corpus grows.  Change ``salt`` to draw an independent split."""
+    if not fractions:
+        raise ValueError("fractions must be a non-empty {label: fraction} dict")
+    total = sum(fractions.values())
+    if not (0.999 <= total <= 1.001):
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    h = F.substring(F.md5(F.concat_ws("|", key.cast("string"), F.lit(salt))), 1,
+                    _SPLIT_HEX_DIGITS)
+    labels = list(fractions)
+    cum = 0.0
+    expr = None
+    for label in labels[:-1]:
+        cum += fractions[label]
+        threshold = format(min(_SPLIT_BUCKETS, round(cum * _SPLIT_BUCKETS)),
+                           f"0{_SPLIT_HEX_DIGITS}x")
+        cond = h < F.lit(threshold)
+        expr = F.when(cond, F.lit(label)) if expr is None else expr.when(
+            cond, F.lit(label)
+        )
+    last = F.lit(labels[-1])
+    return last if expr is None else expr.otherwise(last)
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    fractions: dict[str, float],
+    salt: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test split by key hash: adds ``out_col``
+    with the label from ``fractions`` (e.g. ``{"train": .9, "val": .05,
+    "test": .05}``).  Same key → same split, forever — including across
+    engines (see ``hash_split_col``) — which is what makes held-out
+    sets leak-proof under incremental ingestion.  Rows with a NULL key
+    land in the LAST label (the residual bucket), deterministically."""
+    return df.withColumn(out_col, hash_split_col(F.col(key_col), fractions, salt))
+
+
+def split_sizes(df: DataFrame, key_col: str, fractions: dict[str, float],
+                salt: str = "") -> DataFrame:
+    """Per-split row counts (one aggregation) — the quick calibration
+    check that the md5 buckets honor the requested fractions."""
+    return (
+        hash_split(df, key_col, fractions, salt)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("split")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    max_tokens: int,
+    id_col: str = "doc_id",
+    count_col: str | None = None,
+    tokens_col: str | None = None,
+    text_col: str | None = None,
+) -> DataFrame:
+    """Greedy partition-local packing of documents into training
+    sequences of at most ``max_tokens`` tokens.
+
+    Exactly one token-source must be given:
+
+    - ``count_col`` — precomputed per-doc token count (cheapest);
+    - ``tokens_col`` — an ``array<int>`` token-id column: output packs
+      also carry the concatenated ``tokens`` array (Arrow list
+      buffers concatenated via numpy, no per-token Python);
+    - ``text_col`` — whitespace tokenization (``token_count_col``'s
+      rule, matching the text_stats oracle) counted JVM-side first.
+
+    Output: one row per pack — ``pack_id`` (globally unique:
+    partition_id * 2^40 + local index), ``doc_ids`` array, ``n_docs``,
+    ``n_tokens``, ``oversize`` (true for a single document that alone
+    exceeds ``max_tokens``: it becomes its own pack, untruncated —
+    truncation policy belongs to the trainer, not the packer), plus
+    ``tokens`` when ``tokens_col`` was given.
+
+    Packing is greedy in partition order: a document that would
+    overflow the open pack closes it.  Fill efficiency is bounded below
+    by 50% for docs ≤ max_tokens and in practice is ~90%+ when
+    max_tokens ≫ median doc length; the operator is ONE scan with no
+    shuffle and no driver state — at 100 TB each executor packs its
+    partitions independently, which is the standard production
+    trade-off (a globally optimal pack would serialize the corpus)."""
+    import numpy as np
+    import pyarrow as pa
+    from pyspark import TaskContext
+
+    sources = [s for s in (count_col, tokens_col, text_col) if s is not None]
+    if len(sources) != 1:
+        raise ValueError("pass exactly one of count_col / tokens_col / text_col")
+    if max_tokens < 1:
+        raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
+
+    carry_tokens = tokens_col is not None
+    idc = F.col(id_col).cast("long").alias("__id")  # integral doc ids
+    if count_col is not None:
+        keyed = df.select(idc, F.col(count_col).cast("long").alias("__n"))
+    elif tokens_col is not None:
+        keyed = df.select(idc, F.col(tokens_col).alias("__toks"),
+                          F.size(F.col(tokens_col)).cast("long").alias("__n"))
+    else:
+        from .text import token_count_col
+
+        keyed = df.select(idc, token_count_col(F.col(text_col)).cast("long").alias("__n"))
+
+    out_fields = "pack_id bigint, doc_ids array<bigint>, n_docs int, " \
+                 "n_tokens bigint, oversize boolean"
+    if carry_tokens:
+        out_fields += ", tokens array<int>"
+
+    def pack_fn(it):
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else 0
+        next_pack = np.int64(pid) << np.int64(40)
+        open_ids: list = []
+        open_tok_chunks: list = []
+        open_n = 0
+
+        def emit(ids, n, oversize, tok_chunks):
+            cols = [
+                pa.array([int(next_pack)], pa.int64()),
+                pa.array([ids], pa.list_(pa.int64())),
+                pa.array([len(ids)], pa.int32()),
+                pa.array([int(n)], pa.int64()),
+                pa.array([oversize], pa.bool_()),
+            ]
+            names = ["pack_id", "doc_ids", "n_docs", "n_tokens", "oversize"]
+            if carry_tokens:
+                flat = (
+                    np.concatenate(tok_chunks)
+                    if tok_chunks
+                    else np.empty(0, dtype=np.int32)
+                )
+                cols.append(pa.array([flat], pa.list_(pa.int32())))
+                names.append("tokens")
+            return pa.RecordBatch.from_arrays(cols, names=names)
+
+        for batch in it:
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            if carry_tokens:
+                la = batch.column(1)
+                # one zero-copy flatten per batch; per-row views are
+                # numpy slices of it (no per-row Arrow scalars)
+                flat = la.flatten().to_numpy(zero_copy_only=False).astype(
+                    np.int32, copy=False
+                )
+                offs = np.asarray(la.offsets, dtype=np.int64)
+                offs = offs - offs[0]
+                ns = batch.column(2).to_numpy(zero_copy_only=False)
+            else:
+                ns = batch.column(1).to_numpy(zero_copy_only=False)
+            for i in range(len(ids)):
+                # NaN (null count) → 0; Spark size(NULL array) = -1 → 0
+                n = max(0, int(ns[i])) if ns[i] == ns[i] else 0
+                tok = None
+                if carry_tokens:
+                    tok = flat[offs[i] : offs[i + 1]]
+                if n > max_tokens and not open_ids:
+                    yield emit([int(ids[i])], n, True,
+                               [tok] if tok is not None else [])
+                    next_pack += 1
+                    continue
+                if open_n + n > max_tokens and open_ids:
+                    yield emit(open_ids, open_n, False, open_tok_chunks)
+                    next_pack += 1
+                    open_ids, open_tok_chunks, open_n = [], [], 0
+                    if n > max_tokens:  # oversize doc after closing
+                        yield emit([int(ids[i])], n, True,
+                                   [tok] if tok is not None else [])
+                        next_pack += 1
+                        continue
+                open_ids.append(int(ids[i]))
+                if tok is not None:
+                    open_tok_chunks.append(tok)
+                open_n += n
+        if open_ids:
+            yield emit(open_ids, open_n, False, open_tok_chunks)
+
+    return keyed.mapInArrow(pack_fn, schema=out_fields)
+
+
+def pack_stats(packs: DataFrame, max_tokens: int) -> DataFrame:
+    """One-row packing summary (the invariants a training job asserts
+    before trusting a packed corpus): pack count, docs, total tokens,
+    max non-oversize pack size, bound/fill diagnostics."""
+    return packs.agg(
+        F.count(F.lit(1)).alias("n_packs"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.coalesce(
+            F.max(F.when(~F.col("oversize"), F.col("n_tokens"))), F.lit(0)
+        ).cast("long").alias("max_regular_pack"),
+        F.sum(F.when(F.col("oversize"), 1).otherwise(0)).cast("long").alias(
+            "oversize_packs"
+        ),
+        F.coalesce(
+            F.round(
+                F.avg(F.when(~F.col("oversize"), F.col("n_tokens"))) / max_tokens, 4
+            ),
+            F.lit(0.0),
+        ).alias("avg_fill_ratio"),
+    )

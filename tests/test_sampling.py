@@ -1,0 +1,154 @@
+"""hash_split (deterministic md5-bucket splits) and pack_sequences
+(partition-local greedy context packing): determinism, portability of
+the split rule (the DuckDB oracle runs the same SQL), packing
+invariants (token conservation, bound, oversize handling), and the
+token-array carrying path."""
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bloomjoin_spark.operators import (
+    hash_split,
+    pack_sequences,
+    pack_stats,
+    split_sizes,
+)
+
+FRACS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def test_split_deterministic_and_stable_under_growth(spark):
+    """Same key → same split, regardless of partitioning or corpus
+    size: the leak-proofness property incremental ingestion needs."""
+    small = spark.range(0, 2_000).withColumnRenamed("id", "k")
+    big = spark.range(0, 20_000, 1, 16).withColumnRenamed("id", "k")
+    s_small = {r["k"]: r["split"] for r in hash_split(small, "k", FRACS).collect()}
+    s_big = {r["k"]: r["split"] for r in hash_split(big, "k", FRACS).collect()}
+    assert all(s_big[k] == v for k, v in s_small.items())
+    # repartitioning never moves a key across splits
+    s_re = {
+        r["k"]: r["split"]
+        for r in hash_split(big.repartition(7), "k", FRACS).collect()
+    }
+    assert s_re == s_big
+
+
+def test_split_fractions_honored(spark):
+    df = spark.range(0, 50_000).withColumnRenamed("id", "k")
+    sizes = {r["split"]: r["n_rows"] for r in
+             split_sizes(df, "k", FRACS).collect()}
+    assert set(sizes) == set(FRACS)
+    for label, frac in FRACS.items():
+        assert abs(sizes[label] / 50_000 - frac) < 0.01, (label, sizes)
+
+
+def test_split_matches_duckdb_sql(spark):
+    """The split rule is plain md5-prefix SQL — DuckDB computes the
+    IDENTICAL labels (this is what makes the rule portable and
+    auditable outside Spark)."""
+    df = spark.range(0, 5_000).withColumnRenamed("id", "k")
+    got = {r["k"]: r["split"] for r in hash_split(df, "k", FRACS).collect()}
+    con = duckdb.connect()
+    rows = con.execute(
+        """
+        SELECT k,
+               CASE WHEN substr(md5(k::VARCHAR || '|'), 1, 4) < 'cccd' THEN 'train'
+                    WHEN substr(md5(k::VARCHAR || '|'), 1, 4) < 'e666' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM range(0, 5000) t(k)
+        """
+    ).fetchall()
+    assert {k: s for k, s in rows} == got
+
+
+def test_split_salt_draws_independent_assignment(spark):
+    df = spark.range(0, 20_000).withColumnRenamed("id", "k")
+    a = {r["k"]: r["split"] for r in hash_split(df, "k", FRACS).collect()}
+    b = {r["k"]: r["split"] for r in hash_split(df, "k", FRACS, salt="v2").collect()}
+    moved = sum(1 for k in a if a[k] != b[k])
+    assert 0.1 < moved / len(a) < 0.5  # ~1 - sum(f^2) = .34 expected
+
+
+def test_split_validation():
+    from bloomjoin_spark.operators import hash_split_col
+
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split_col(F.col("k"), {"a": 0.5, "b": 0.1})
+    with pytest.raises(ValueError, match="non-empty"):
+        hash_split_col(F.col("k"), {})
+
+
+def test_pack_invariants_counts(spark):
+    """Token conservation, per-pack bound, oversize isolation — over a
+    multi-partition count-column input."""
+    rows = [(i, (i * 37) % 900 + 10) for i in range(3_000)]
+    rows += [(90_000 + j, 5_000) for j in range(3)]  # oversize docs
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long").repartition(8)
+    packs = pack_sequences(df, max_tokens=2048, count_col="n_tok")
+    pdf = packs.toPandas()
+    # conservation: every doc packed exactly once
+    all_ids = sorted(i for ids in pdf["doc_ids"] for i in ids)
+    assert all_ids == sorted(r[0] for r in rows)
+    assert int(pdf["n_tokens"].sum()) == sum(r[1] for r in rows)
+    # bound: every non-oversize pack fits; oversize rows are single-doc
+    reg = pdf[~pdf["oversize"]]
+    ove = pdf[pdf["oversize"]]
+    assert (reg["n_tokens"] <= 2048).all()
+    assert len(ove) == 3 and (ove["n_docs"] == 1).all()
+    assert (ove["n_tokens"] == 5000).all()
+    # pack ids globally unique
+    assert pdf["pack_id"].is_unique
+    st = pack_stats(packs, 2048).first()
+    assert st["n_docs"] == len(rows)
+    assert st["total_tokens"] == sum(r[1] for r in rows)
+    assert st["max_regular_pack"] <= 2048
+    assert st["oversize_packs"] == 3
+    assert 0.5 < st["avg_fill_ratio"] <= 1.0
+
+
+def test_pack_carries_token_arrays(spark):
+    """tokens_col mode: packs carry the concatenated token ids, in doc
+    order, with no loss."""
+    rows = [(i, list(range(i % 7 + 1))) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>").repartition(3)
+    packs = pack_sequences(df, max_tokens=16, tokens_col="tokens").toPandas()
+    truth = {i: t for i, t in rows}
+    for _, row in packs.iterrows():
+        expect = [tok for d in row["doc_ids"] for tok in truth[d]]
+        assert list(row["tokens"]) == expect
+        assert row["n_tokens"] == len(expect)
+        if not row["oversize"]:
+            assert row["n_tokens"] <= 16
+    packed_tokens = sum(len(r["tokens"]) for _, r in packs.iterrows())
+    assert packed_tokens == sum(len(t) for _, t in rows)
+
+
+def test_pack_from_text_matches_text_stats_rule(spark):
+    """text_col mode tokenizes exactly like add_text_stats (whitespace
+    rule) — total packed tokens equal the n_tokens sum."""
+    from bloomjoin_spark.operators import add_text_stats
+
+    docs = spark.createDataFrame(
+        [(1, "a b  c"), (2, ""), (3, "  "), (4, "one two three four")],
+        "doc_id long, text string",
+    )
+    expected = (
+        add_text_stats(docs).agg(F.sum("n_tokens")).first()[0]
+    )
+    st = pack_stats(
+        pack_sequences(docs, max_tokens=3, text_col="text"), 3
+    ).first()
+    assert st["total_tokens"] == expected
+    assert st["n_docs"] == 4
+
+
+def test_pack_validation(spark):
+    df = spark.range(1).withColumn("n", F.lit(1))
+    with pytest.raises(ValueError, match="exactly one"):
+        pack_sequences(df, 10)
+    with pytest.raises(ValueError, match="exactly one"):
+        pack_sequences(df, 10, count_col="n", text_col="n")
+    with pytest.raises(ValueError, match="max_tokens"):
+        pack_sequences(df, 0, count_col="n")
