@@ -112,6 +112,25 @@ def _hash_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_sizes(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
 
 
+def _weighted_mixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 4: deterministic training-mix sampling — per-source rates
+    decided by the same portable md5 bucket as hash_split; the oracle
+    replicates the rule verbatim and must keep the IDENTICAL rows
+    (pinned here as per-source kept counts)."""
+    from bloomjoin_spark.operators import weighted_mixture
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = weighted_mixture(
+        docs, "doc_id", {"src0": 0.25, "src1": 1.0}, stratum_col="source",
+        default_rate=0.5,
+    )
+    return (
+        kept.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("source")
+    )
+
+
 def _pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 4: greedy partition-local sequence packing at
     max_tokens=64 over whitespace-tokenized documents.  Pack layout is
@@ -922,6 +941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_inner_join": _bloom_inner,
         "bloom_inner_join_auto_floor": _bloom_inner_auto_floor,
         "hash_split_docs": _hash_split_docs,
+        "weighted_mixture_docs": _weighted_mixture_docs,
         "pack_documents": _pack_documents,
         "bloom_inner_join_native": _bloom_inner_native,
         "bloom_semi_join": _bloom_semi,
@@ -996,6 +1016,16 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY 1
             ORDER BY 1
+        """,
+        "weighted_mixture_docs": """
+            SELECT source, COUNT(*)::BIGINT AS n_rows
+            FROM documents
+            WHERE substr(md5(doc_id::VARCHAR || '|'), 1, 4) <
+                  CASE WHEN source = 'src0' THEN '4000'
+                       WHEN source = 'src1' THEN 'g'
+                       ELSE '8000' END
+            GROUP BY source
+            ORDER BY source
         """,
         "pack_documents": """
             WITH tok AS (

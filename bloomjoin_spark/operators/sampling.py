@@ -30,6 +30,18 @@ _SPLIT_HEX_DIGITS = 4
 _SPLIT_BUCKETS = 16 ** _SPLIT_HEX_DIGITS
 
 
+def _threshold_str(rate: float) -> str:
+    """Lexicographic threshold string for ``bucket < threshold``.
+    Buckets are fixed-width hex; a rate of 1.0 must keep EVERY bucket,
+    and the naive ``format(65536, '04x')`` = '10000' is five chars and
+    sorts BELOW 'ffff' — so full rate returns 'g', which every hex
+    digit precedes."""
+    b = min(_SPLIT_BUCKETS, round(rate * _SPLIT_BUCKETS))
+    if b >= _SPLIT_BUCKETS:
+        return "g"
+    return format(b, f"0{_SPLIT_HEX_DIGITS}x")
+
+
 def hash_split_col(
     key: Column,
     fractions: dict[str, float],
@@ -55,8 +67,7 @@ def hash_split_col(
     expr = None
     for label in labels[:-1]:
         cum += fractions[label]
-        threshold = format(min(_SPLIT_BUCKETS, round(cum * _SPLIT_BUCKETS)),
-                           f"0{_SPLIT_HEX_DIGITS}x")
+        threshold = _threshold_str(cum)
         cond = h < F.lit(threshold)
         expr = F.when(cond, F.lit(label)) if expr is None else expr.when(
             cond, F.lit(label)
@@ -79,6 +90,65 @@ def hash_split(
     sets leak-proof under incremental ingestion.  Rows with a NULL key
     land in the LAST label (the residual bucket), deterministically."""
     return df.withColumn(out_col, hash_split_col(F.col(key_col), fractions, salt))
+
+
+def _bucket_col(key: Column, salt: str) -> Column:
+    """The shared md5-prefix bucket string in [0000, ffff]."""
+    return F.substring(
+        F.md5(F.concat_ws("|", key.cast("string"), F.lit(salt))), 1,
+        _SPLIT_HEX_DIGITS,
+    )
+
+
+def hash_sample(
+    df: DataFrame,
+    key_col: str,
+    fraction: float,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic Bernoulli sample by key: keep a row iff its md5
+    bucket falls under ``fraction`` (honored to ±1/65536).  Same
+    portable-SQL rule as ``hash_split`` — the sample is reproducible
+    across engines and STABLE under corpus growth (a kept key stays
+    kept), which `df.sample()` cannot promise.  Change ``salt`` for an
+    independent draw."""
+    if not (0.0 <= fraction <= 1.0):
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    threshold = _threshold_str(fraction)
+    return df.filter(_bucket_col(F.col(key_col), salt) < F.lit(threshold))
+
+
+def weighted_mixture(
+    df: DataFrame,
+    key_col: str,
+    rates: dict[str, float],
+    stratum_col: str = "source",
+    default_rate: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Training-mix composition: keep each row with its STRATUM's
+    sampling rate (e.g. ``{"web": 0.1, "books": 1.0, "code": 0.5}``),
+    decided by the same deterministic md5 bucket as ``hash_split`` —
+    so the mixture is reproducible, engine-portable, and stable as
+    sources grow.  Strata missing from ``rates`` use ``default_rate``
+    (0 = drop).  One stateless expression per row: no shuffle, no
+    sampling state, composes with any downstream plan."""
+    for s, r in rates.items():
+        if not (0.0 <= r <= 1.0):
+            raise ValueError(f"rate for {s!r} must be in [0, 1], got {r}")
+    if not (0.0 <= default_rate <= 1.0):
+        raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
+    bucket = _bucket_col(F.col(key_col), salt)
+
+    expr = None
+    for stratum, rate in rates.items():
+        cond = F.col(stratum_col) == F.lit(stratum)
+        lim = F.lit(_threshold_str(rate))
+        expr = F.when(cond, lim) if expr is None else expr.when(cond, lim)
+    limit = F.lit(_threshold_str(default_rate)) if expr is None else expr.otherwise(
+        F.lit(_threshold_str(default_rate))
+    )
+    return df.filter(bucket < limit)
 
 
 def split_sizes(df: DataFrame, key_col: str, fractions: dict[str, float],

@@ -71,6 +71,66 @@ def test_split_salt_draws_independent_assignment(spark):
     assert 0.1 < moved / len(a) < 0.5  # ~1 - sum(f^2) = .34 expected
 
 
+def test_hash_sample_deterministic_subset_of_itself(spark):
+    """Kept keys at fraction f are a SUBSET of kept keys at f' > f
+    (same salt): the nested-sample property md5 bucketing gives for
+    free (df.sample cannot), which makes downsampling curves
+    consistent."""
+    from bloomjoin_spark.operators import hash_sample
+
+    df = spark.range(0, 30_000).withColumnRenamed("id", "k")
+    k10 = {r["k"] for r in hash_sample(df, "k", 0.1).collect()}
+    k30 = {r["k"] for r in hash_sample(df, "k", 0.3).collect()}
+    assert k10 <= k30
+    assert abs(len(k10) / 30_000 - 0.1) < 0.01
+    assert abs(len(k30) / 30_000 - 0.3) < 0.01
+    # idempotent re-run
+    assert {r["k"] for r in hash_sample(df, "k", 0.1).collect()} == k10
+
+
+def test_weighted_mixture_rates_per_stratum(spark):
+    from bloomjoin_spark.operators import weighted_mixture
+
+    df = spark.createDataFrame(
+        [(i, ["web", "books", "code"][i % 3]) for i in range(30_000)],
+        "k long, source string",
+    )
+    out = weighted_mixture(
+        df, "k", {"web": 0.1, "books": 1.0, "code": 0.5}, "source"
+    )
+    counts = {r["source"]: r["n"] for r in
+              out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert abs(counts["web"] / 10_000 - 0.1) < 0.02
+    assert counts["books"] == 10_000  # rate 1.0 keeps everything
+    assert abs(counts["code"] / 10_000 - 0.5) < 0.02
+    # unknown stratum → default_rate 0 drops
+    extra = spark.createDataFrame([(99_999, "forum")], "k long, source string")
+    assert weighted_mixture(extra, "k", {"web": 0.1}, "source").count() == 0
+    assert weighted_mixture(
+        extra, "k", {"web": 0.1}, "source", default_rate=1.0
+    ).count() == 1
+    # deterministic: the kept web keys are the hash_sample(0.1) keys
+    from bloomjoin_spark.operators import hash_sample
+
+    web = df.filter(F.col("source") == "web")
+    assert (
+        {r["k"] for r in out.filter(F.col("source") == "web").collect()}
+        == {r["k"] for r in hash_sample(web, "k", 0.1).collect()}
+    )
+
+
+def test_sampling_validation_errors(spark):
+    from bloomjoin_spark.operators import hash_sample, weighted_mixture
+
+    df = spark.range(1).withColumnRenamed("id", "k").withColumn("source", F.lit("a"))
+    with pytest.raises(ValueError, match="fraction"):
+        hash_sample(df, "k", 1.5)
+    with pytest.raises(ValueError, match="rate for"):
+        weighted_mixture(df, "k", {"a": -0.1})
+    with pytest.raises(ValueError, match="default_rate"):
+        weighted_mixture(df, "k", {"a": 0.5}, default_rate=2.0)
+
+
 def test_split_validation():
     from bloomjoin_spark.operators import hash_split_col
 
