@@ -184,3 +184,37 @@ def test_lsh_signature_udf_runs_once(spark):
     n_udf_stages = plan.count("MapInArrow") + plan.count("MapInPandas")
     assert n_udf_stages <= 1, f"signature UDF appears {n_udf_stages}× in plan"
     assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan or n_udf_stages == 0
+
+
+def test_pack_sequences_scan_is_pruned(spark):
+    """pack_sequences over a parquet table must prune the scan to the
+    id + token-source columns — packing a 100 TB corpus must not read
+    the payload columns (check ReadSchema), and the pack function must
+    be one Arrow stage with no Exchange below it (partition-local)."""
+    from bloomjoin_spark.operators import pack_sequences
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(pack_sequences(docs, max_tokens=128, text_col="text"))
+    rs = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "doc_id" in rs and "text" in rs
+    # payload columns not scanned
+    assert "lang" not in rs and "source" not in rs and "n_chars" not in rs
+    assert "Exchange" not in plan  # single partition-local pass
+    assert "MapInArrow" in plan or "ArrowEvalPython" in plan
+
+
+def test_hash_split_pushdown_survives(spark):
+    """hash_split is a stateless projection: a filter on the split
+    label must not block pushdown of OTHER predicates to the scan."""
+    from bloomjoin_spark.operators import hash_split
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = hash_split(docs, "doc_id", {"train": 0.9, "val": 0.1}).filter(
+        (F.col("split") == "train") & (F.col("n_chars") > 100)
+    )
+    plan = _plan(out)
+    assert "PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars,100)]" in plan \
+        or "GreaterThan(n_chars,100)" in plan
+    # no shuffle, no Python stage — pure codegen expression
+    assert "Exchange" not in plan
+    assert "Python" not in plan
