@@ -744,17 +744,28 @@ def _check_checkpoint_hash_format(spark: SparkSession, path: str) -> None:
     from .hashing import HASH_FORMAT
 
     recorded: int | None = None
+    present = False
     try:
         local = _local_marker_path(path)
         if local is not None:
-            if os.path.exists(local):
-                with open(local, "rb") as f:
-                    recorded = int(f.read(16).decode("ascii").strip() or "0")
+            present = os.path.exists(local)
         else:
             jvm = spark.sparkContext._jvm
             p = jvm.org.apache.hadoop.fs.Path(path, _HASH_FORMAT_MARKER)
             fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-            if fs.exists(p):
+            present = bool(fs.exists(p))
+    except Exception:
+        present = False  # existence genuinely unknowable → absence path
+    if present:
+        # an EXISTING marker that cannot be read or parsed must REFUSE
+        # the resume, not downgrade to the absence warning — an
+        # unreadable/corrupt version is exactly the unknown-version
+        # case the guard exists for
+        try:
+            if local is not None:
+                with open(local, "rb") as f:
+                    raw_txt = f.read(16).decode("ascii")
+            else:
                 stream = fs.open(p)
                 try:
                     buf = []
@@ -764,9 +775,15 @@ def _check_checkpoint_hash_format(spark: SparkSession, path: str) -> None:
                         b = stream.read()
                 finally:
                     stream.close()
-                recorded = int(bytes(buf).decode("ascii").strip() or "0")
-    except Exception:
-        recorded = None
+                raw_txt = bytes(buf).decode("ascii")
+            recorded = int(raw_txt.strip())
+        except Exception as ex:
+            raise ValueError(
+                f"checkpoint {path!r} has a hash-format marker that cannot "
+                f"be read/parsed ({ex!r}); refusing to resume — treat it as "
+                "an unknown hash-kernel version and rebuild fresh (or fix "
+                "the marker file)"
+            ) from ex
     if recorded is None:
         warnings.warn(
             f"checkpoint {path!r} has no hash-format marker (written before "

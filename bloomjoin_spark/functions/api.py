@@ -85,17 +85,28 @@ def _canonical_col_hash64(df: DataFrame, col: str):
     ``tests/testthat/test-cross-type-keys.R:16-44``).  Rules, matching
     the Python-side ``hash_numeric_array`` dispatch exactly:
 
-    - numerics hash as double (int 5 == double 5.0), EXCEPT bigint and
-      high-precision decimal magnitudes beyond 2^53, which hash as
-      exact native bits — casting those to double conflates distinct
-      keys (snowflake-style ids 2^53+1 and 2^53+2 become the same
-      double); cross-type equality against double is lossy in that
-      range anyway.  A decimal with integer-digit budget ≤ 15
-      (precision − scale ≤ 15 ⇒ |value| < 10^15 < 2^53) always casts;
-      wider decimals get the same magnitude branch as bigint.  In the
-      exact branch the decimal hashes its (unscaled, scale)
-      representation, so equal values at DIFFERENT declared scales
-      hash differently — keep key columns on one decimal type;
+    - numerics hash as double (int 5 == double 5.0), EXCEPT values a
+      double cannot keep DISTINCT, which hash exact native bits:
+      bigint magnitudes beyond 2^53 (snowflake-style ids 2^53+1 and
+      2^53+2 become the same double), and decimals that overflow
+      float64's ~15.95 significant digits.  A decimal column with
+      total precision ≤ 15 always casts (15-digit decimals round-trip
+      float64 injectively — note the gate is on TOTAL precision, not
+      integer digits: decimal(16,1) values 999999999999990.2 vs .3 are
+      distinct keys one double must conflate).  Wider decimals branch
+      per value on the UNSCALED magnitude: |value|·10^scale ≤ 2^53
+      guarantees 1-unit-in-last-place spacing survives the cast
+      (relative spacing 1/unscaled ≥ 2^-53 ≥ double ULP).
+      CAVEAT on the exact branches: each hashes its column's native
+      representation, so join-EQUAL values of DIFFERENT types beyond
+      the double-safe range (bigint 2^53+1 vs decimal(38,0) 2^53+1 —
+      equal under Spark's decimal-widening join equality) hash
+      DIFFERENTLY; for such cross-type joins cast both key columns to
+      one type before hashing.  (Inside bloom_join this cannot cause
+      false negatives — both sides share one `_common_cast` — the
+      caveat is for hashes you build and probe yourself.)  Equal
+      values at different declared decimal scales also hash
+      differently in the exact branch — keep key columns on one type;
     - date hashes as timestamp (equal instants match);
     - everything else hashes its native bits."""
     from pyspark.sql import functions as F
@@ -107,10 +118,17 @@ def _canonical_col_hash64(df: DataFrame, col: str):
             prec, scale = (int(v) for v in dt[dt.index("(") + 1 : -1].split(","))
         except ValueError:
             prec, scale = 38, 18  # unparsable → assume the widest
-        if prec - scale <= 15:
+        if prec <= 15:
             return F.xxhash64(c.cast("double"))
+        if scale == 0:
+            # integer decimals ≤ 2^53 are exactly representable
+            safe_mag = float(_SAFE_DOUBLE_INT)
+        else:
+            # fractional: 10^-scale key spacing must exceed one double
+            # ULP with margin — relative spacing 1/unscaled ≥ 2^-52
+            safe_mag = float(1 << 52) / (10 ** min(scale, 30))
         return F.when(
-            F.abs(c) <= F.lit(_SAFE_DOUBLE_INT), F.xxhash64(c.cast("double"))
+            F.abs(c) <= F.lit(safe_mag), F.xxhash64(c.cast("double"))
         ).otherwise(F.xxhash64(c))
     if dt in ("tinyint", "smallint", "int", "float", "double"):
         return F.xxhash64(c.cast("double"))

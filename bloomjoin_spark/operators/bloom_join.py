@@ -554,24 +554,47 @@ def _plan_size_bytes(df: DataFrame) -> int | None:
         return None
 
 
+_BYTE_SUFFIX = {"": 1, "b": 1, "k": 1 << 10, "kb": 1 << 10, "m": 1 << 20,
+                "mb": 1 << 20, "g": 1 << 30, "gb": 1 << 30, "t": 1 << 40,
+                "tb": 1 << 40}
+
+
+def _parse_byte_string(raw: str) -> int:
+    """Spark-style byte string ('128m', '2g', '1024') → bytes.  Parsed
+    in Python (no JVM reach-through, works on Connect); raises
+    ValueError on malformed input — a user-set conf must never be
+    silently ignored."""
+    s = raw.strip().lower()
+    num = s.rstrip("kmgtb")
+    mult = _BYTE_SUFFIX.get(s[len(num):])
+    if mult is None or not num:
+        raise ValueError(f"cannot parse byte string {raw!r}")
+    return int(float(num) * mult)
+
+
 def _resolve_min_probe_bytes(spark, param: int | None) -> int:
     """Probe-floor resolution: explicit param → session conf
     ``spark.bloomjoin.minProbeBytes`` (accepts Spark byte strings like
-    "128m"; "0" disables) → planner.MIN_PROBE_BYTES default."""
+    "128m"; "0" disables) → planner.MIN_PROBE_BYTES default.  A SET
+    conf that fails to parse raises — silently substituting the
+    default would make the planner contradict explicit operator
+    config."""
     from ..plans.planner import MIN_PROBE_BYTES
 
     if param is not None:
         return int(param)
     try:
         raw = spark.conf.get("spark.bloomjoin.minProbeBytes", None)
-        if raw is not None:
-            return int(
-                spark.sparkContext._jvm.org.apache.spark.util.Utils.byteStringAsBytes(
-                    raw
-                )
-            )
     except Exception:
-        pass
+        raw = None  # conf API itself unavailable → default
+    if raw is not None:
+        try:
+            return _parse_byte_string(raw)
+        except ValueError as ex:
+            raise ValueError(
+                f"spark.bloomjoin.minProbeBytes={raw!r} is not a valid byte "
+                "string (examples: '0', '256m', '2g')"
+            ) from ex
     return MIN_PROBE_BYTES
 
 

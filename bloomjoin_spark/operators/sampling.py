@@ -60,8 +60,7 @@ def hash_split_col(
     total = sum(fractions.values())
     if not (0.999 <= total <= 1.001):
         raise ValueError(f"fractions must sum to 1, got {total}")
-    h = F.substring(F.md5(F.concat_ws("|", key.cast("string"), F.lit(salt))), 1,
-                    _SPLIT_HEX_DIGITS)
+    h = _bucket_col(key, salt)
     labels = list(fractions)
     cum = 0.0
     expr = None
@@ -93,11 +92,20 @@ def hash_split(
 
 
 def _bucket_col(key: Column, salt: str) -> Column:
-    """The shared md5-prefix bucket string in [0000, ffff]."""
-    return F.substring(
+    """The shared md5-prefix bucket string in [0000, ffff] — or the
+    sentinel 'zzzz' for a NULL key, which sorts ABOVE every hex bucket
+    and above the full-rate threshold 'g'.  Consequences, identical to
+    the DuckDB oracle's NULL semantics (md5(NULL) → NULL → CASE ELSE /
+    WHERE drops): ``hash_split`` routes null keys to the LAST label
+    (the residual bucket) regardless of salt; ``hash_sample`` and
+    ``weighted_mixture`` always DROP null-key rows.  Without the
+    sentinel, ``concat_ws`` silently skips the NULL and the bucket
+    degenerates to md5(salt) — an arbitrary salt-dependent label."""
+    bucket = F.substring(
         F.md5(F.concat_ws("|", key.cast("string"), F.lit(salt))), 1,
         _SPLIT_HEX_DIGITS,
     )
+    return F.when(key.isNull(), F.lit("z" * _SPLIT_HEX_DIGITS)).otherwise(bucket)
 
 
 def hash_sample(
@@ -110,8 +118,9 @@ def hash_sample(
     bucket falls under ``fraction`` (honored to ±1/65536).  Same
     portable-SQL rule as ``hash_split`` — the sample is reproducible
     across engines and STABLE under corpus growth (a kept key stays
-    kept), which `df.sample()` cannot promise.  Change ``salt`` for an
-    independent draw."""
+    kept), which `df.sample()` cannot promise.  NULL keys are always
+    dropped (SQL WHERE semantics — see ``_bucket_col``).  Change
+    ``salt`` for an independent draw."""
     if not (0.0 <= fraction <= 1.0):
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
     threshold = _threshold_str(fraction)
@@ -131,8 +140,9 @@ def weighted_mixture(
     decided by the same deterministic md5 bucket as ``hash_split`` —
     so the mixture is reproducible, engine-portable, and stable as
     sources grow.  Strata missing from ``rates`` use ``default_rate``
-    (0 = drop).  One stateless expression per row: no shuffle, no
-    sampling state, composes with any downstream plan."""
+    (0 = drop); NULL keys are always dropped (SQL WHERE semantics —
+    see ``_bucket_col``).  One stateless expression per row: no
+    shuffle, no sampling state, composes with any downstream plan."""
     for s, r in rates.items():
         if not (0.0 <= r <= 1.0):
             raise ValueError(f"rate for {s!r} must be in [0, 1], got {r}")
@@ -207,8 +217,16 @@ def pack_sequences(
     if max_tokens < 1:
         raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
 
+    id_type = dict(df.dtypes).get(id_col, "").lower()
+    if id_type not in ("tinyint", "smallint", "int", "integer", "bigint", "long"):
+        raise ValueError(
+            f"pack_sequences requires an integral id_col; {id_col!r} is "
+            f"{id_type or 'missing'} — remap string/uuid ids to a dense "
+            "integer id first (a silent cast would turn them into NULLs "
+            "deep inside the executor)"
+        )
     carry_tokens = tokens_col is not None
-    idc = F.col(id_col).cast("long").alias("__id")  # integral doc ids
+    idc = F.col(id_col).cast("long").alias("__id")
     if count_col is not None:
         keyed = df.select(idc, F.col(count_col).cast("long").alias("__n"))
     elif tokens_col is not None:

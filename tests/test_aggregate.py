@@ -96,6 +96,15 @@ def test_checkpoint_hash_format_guard(spark, tmp_path):
     with pytest.raises(ValueError, match="hash-format v1"):
         build_sketch(df, lambda: BloomSketch(n, 0.01), cols=["k"], checkpoint_dir=ckpt)
 
+    # corrupt marker (code-review r4 fix): an EXISTING marker that
+    # cannot be parsed must REFUSE the resume, not downgrade to the
+    # absence warning — it is an unknown hash-kernel version
+    with open(marker, "w") as f:
+        f.write("not-a-version")
+    with pytest.raises(ValueError, match="cannot be read/parsed"):
+        build_sketch(df, lambda: BloomSketch(n, 0.01), cols=["k"],
+                     checkpoint_dir=ckpt)
+
     # marker missing (pre-upgrade checkpoint) → loud warning, proceeds
     os.remove(marker)
     with pytest.warns(UserWarning, match="no hash-format marker"):

@@ -319,6 +319,19 @@ def test_probe_floor_skips_small_probe(spark):
         _, rep4 = bloom_join(x, y, on="id", how="inner", return_report=True,
                              force_prefilter=True, min_probe_bytes=1 << 30)
         assert rep4.used_prefilter
+        # code-review r4 fix: a SET conf that fails to parse must raise
+        # — never silently fall back to the 256 MB default
+        spark.conf.set("spark.bloomjoin.minProbeBytes", "lots")
+        with pytest.raises(ValueError, match="minProbeBytes"):
+            bloom_join(x, y, on="id", how="inner")
+        spark.conf.unset("spark.bloomjoin.minProbeBytes")
+        # byte-suffix forms parse without the JVM helper
+        from bloomjoin_spark.operators.bloom_join import _parse_byte_string
+
+        assert _parse_byte_string("256m") == 256 << 20
+        assert _parse_byte_string("2g") == 2 << 30
+        assert _parse_byte_string("1024") == 1024
+        assert _parse_byte_string("1.5k") == 1536
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 

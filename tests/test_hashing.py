@@ -207,6 +207,31 @@ def test_hash_keys_decimal_gate(spark):
     assert [r["key_hash64"] for r in hash_keys64(narrow, "k").collect()] == [
         r["key_hash64"] for r in hash_keys64(dbls, "k").collect()
     ]
+    # code-review r4 fix: the gate is TOTAL precision, not integer
+    # digits — decimal(16,1) keys 999999999999990.2 vs .3 are distinct
+    # keys one double must conflate, so they take the exact branch
+    frac = spark.createDataFrame(
+        [(Decimal("999999999999990.2"),), (Decimal("999999999999990.3"),)],
+        "k decimal(16,1)",
+    )
+    hf = [r["key_hash64"] for r in hash_keys64(frac, "k").collect()]
+    assert len(set(hf)) == 2
+    # and wide fractional decimals near 2^53 stay distinct too
+    big_frac = spark.createDataFrame(
+        [(Decimal(1 << 53) + Decimal("0.1"),),
+         (Decimal(1 << 53) + Decimal("0.2"),)],
+        "k decimal(20,1)",
+    )
+    hbf = [r["key_hash64"] for r in hash_keys64(big_frac, "k").collect()]
+    assert len(set(hbf)) == 2
+    # small-magnitude values in a wide fractional column keep the
+    # cross-type double canonicalisation
+    small_frac = spark.createDataFrame(
+        [(Decimal("5.0"),), (Decimal("42.0"),)], "k decimal(20,1)"
+    )
+    assert [r["key_hash64"] for r in hash_keys64(small_frac, "k").collect()] == [
+        r["key_hash64"] for r in hash_keys64(dbls, "k").collect()
+    ]
 
 
 def test_hash_keys_pandas_cross_type_and_distinct_kernels():

@@ -119,6 +119,31 @@ def test_weighted_mixture_rates_per_stratum(spark):
     )
 
 
+def test_null_keys_deterministic_semantics(spark):
+    """Code-review r4 fix: concat_ws silently SKIPS a NULL key, so the
+    bucket degenerated to md5(salt) — an arbitrary salt-dependent
+    label.  Now NULL keys deterministically take the LAST split label
+    (matching the DuckDB CASE-ELSE the oracle runs) and are always
+    DROPPED by hash_sample/weighted_mixture (SQL WHERE semantics)."""
+    from bloomjoin_spark.operators import hash_sample, weighted_mixture
+
+    df = spark.createDataFrame(
+        [(1, "a"), (None, "a"), (None, "b")], "k long, source string"
+    )
+    for salt in ("", "v2", "v3"):
+        splits = [
+            r["split"]
+            for r in hash_split(df, "k", FRACS, salt=salt).filter(
+                F.col("k").isNull()
+            ).collect()
+        ]
+        assert splits == ["test", "test"], (salt, splits)  # last label, any salt
+    assert hash_sample(df, "k", 0.99).filter(F.col("k").isNull()).count() == 0
+    kept = weighted_mixture(df, "k", {"a": 1.0, "b": 1.0}, "source")
+    assert kept.filter(F.col("k").isNull()).count() == 0
+    assert kept.count() == 1  # the non-null row at rate 1.0 survives
+
+
 def test_sampling_validation_errors(spark):
     from bloomjoin_spark.operators import hash_sample, weighted_mixture
 
@@ -212,3 +237,8 @@ def test_pack_validation(spark):
         pack_sequences(df, 10, count_col="n", text_col="n")
     with pytest.raises(ValueError, match="max_tokens"):
         pack_sequences(df, 0, count_col="n")
+    # code-review r4 fix: string ids must fail UP FRONT, not as an
+    # int(NaN) crash deep inside the executor after a silent long cast
+    sdf = spark.createDataFrame([("doc-1", 3)], "doc_id string, n long")
+    with pytest.raises(ValueError, match="integral id_col"):
+        pack_sequences(sdf, 10, count_col="n")
