@@ -171,6 +171,15 @@ def bloom_join(
     (``plans.planner.MIN_PROBE_BYTES``); ``0`` disables the floor.
     ``force_prefilter=True`` bypasses it like every other gate.
 
+    Memory-starved executors + ``engine="bloom"``: the sketch probe is
+    an ArrowEvalPython stage that queues FULL-WIDTH probe rows while
+    their hashes round-trip through Python; on small heaps that queue
+    is the bottleneck.  Cap
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` to ~16384 there
+    (measured at a 3 GiB heap over 8 M wide rows: 65536→7.3 s,
+    16384→6.4 s, 4096→7.5 s — BENCH.md).  ``engine="auto"`` sidesteps
+    this entirely by dispatching the all-JVM native probe.
+
     Returns the joined DataFrame (identical to ``x.join(y, on, how)``),
     or ``(df, BloomJoinReport)`` when ``return_report=True``.
     """
