@@ -156,6 +156,29 @@ def test_sampling_validation_errors(spark):
         weighted_mixture(df, "k", {"a": 0.5}, default_rate=2.0)
 
 
+def test_threshold_str_properties():
+    """Pure-kernel properties of the lexicographic threshold (the
+    round-4 review found rate=1.0 formatting as 5-char '10000', which
+    sorts BELOW 'ffff'): monotone in rate, endpoints exact, and every
+    threshold must sort strictly above the buckets it admits."""
+    from bloomjoin_spark.operators.sampling import _threshold_str
+
+    assert _threshold_str(0.0) == "0000"  # admits nothing
+    assert _threshold_str(1.0) == "g"  # admits every hex bucket
+    assert "ffff" < _threshold_str(1.0)
+    prev = _threshold_str(0.0)
+    for i in range(0, 101):
+        t = _threshold_str(i / 100)
+        assert t >= prev
+        prev = t
+    # admitted-bucket count matches the rate to bucket granularity
+    buckets = [format(b, "04x") for b in range(0, 65536, 257)]
+    for rate in (0.25, 0.5, 0.9, 1.0):
+        t = _threshold_str(rate)
+        admitted = sum(1 for b in buckets if b < t)
+        assert abs(admitted / len(buckets) - rate) < 0.01
+
+
 def test_split_validation():
     from bloomjoin_spark.operators import hash_split_col
 
