@@ -206,7 +206,14 @@ def pack_sequences(
     max_tokens ≫ median doc length; the operator is ONE scan with no
     shuffle and no driver state — at 100 TB each executor packs its
     partitions independently, which is the standard production
-    trade-off (a globally optimal pack would serialize the corpus)."""
+    trade-off (a globally optimal pack would serialize the corpus).
+
+    Vectorized: the greedy recurrence iterates per PACK, not per row —
+    each pack boundary is one ``searchsorted`` into the batch's token
+    cumsum, and doc ids / token ids move as numpy slice copies into
+    ONE output RecordBatch per input batch (ListArray offsets built
+    from the pack lengths).  Python-level work is O(packs), not
+    O(rows)."""
     import numpy as np
     import pyarrow as pa
     from pyspark import TaskContext
@@ -245,36 +252,74 @@ def pack_sequences(
     def pack_fn(it):
         tc = TaskContext.get()
         pid = tc.partitionId() if tc is not None else 0
-        next_pack = np.int64(pid) << np.int64(40)
-        open_ids: list = []
+        next_pack = int(np.int64(pid) << np.int64(40))
+        # open (carried) pack: numpy slice chunks spanning batches
+        open_id_chunks: list = []
         open_tok_chunks: list = []
         open_n = 0
+        open_docs = 0
 
-        def emit(ids, n, oversize, tok_chunks):
+        def close_open():
+            nonlocal open_id_chunks, open_tok_chunks, open_n, open_docs
+            p = {"ids": open_id_chunks, "tok": open_tok_chunks,
+                 "n": open_n, "docs": open_docs, "oversize": False}
+            open_id_chunks, open_tok_chunks, open_n, open_docs = [], [], 0, 0
+            return p
+
+        def flush(closed):
+            """ONE RecordBatch for every pack closed in this batch."""
+            nonlocal next_pack
+            m = len(closed)
+            id_chunks = [c for p in closed for c in p["ids"]]
+            flat_ids = (
+                np.concatenate(id_chunks) if id_chunks
+                else np.empty(0, dtype=np.int64)
+            )
+            lens = np.fromiter((p["docs"] for p in closed), np.int64, m)
+            id_offs = np.zeros(m + 1, dtype=np.int32)
+            np.cumsum(lens, out=id_offs[1:])
             cols = [
-                pa.array([int(next_pack)], pa.int64()),
-                pa.array([ids], pa.list_(pa.int64())),
-                pa.array([len(ids)], pa.int32()),
-                pa.array([int(n)], pa.int64()),
-                pa.array([oversize], pa.bool_()),
+                pa.array(next_pack + np.arange(m, dtype=np.int64)),
+                pa.ListArray.from_arrays(
+                    pa.array(id_offs, pa.int32()), pa.array(flat_ids, pa.int64())
+                ),
+                pa.array(lens.astype(np.int32)),
+                pa.array(np.fromiter((p["n"] for p in closed), np.int64, m)),
+                pa.array(np.fromiter((p["oversize"] for p in closed), bool, m)),
             ]
             names = ["pack_id", "doc_ids", "n_docs", "n_tokens", "oversize"]
             if carry_tokens:
-                flat = (
-                    np.concatenate(tok_chunks)
-                    if tok_chunks
+                tok_chunks = [c for p in closed for c in p["tok"]]
+                flat_tok = (
+                    np.concatenate(tok_chunks) if tok_chunks
                     else np.empty(0, dtype=np.int32)
                 )
-                cols.append(pa.array([flat], pa.list_(pa.int32())))
+                tlens = np.fromiter(
+                    (sum(len(c) for c in p["tok"]) for p in closed), np.int64, m
+                )
+                t_offs = np.zeros(m + 1, dtype=np.int32)
+                np.cumsum(tlens, out=t_offs[1:])
+                cols.append(pa.ListArray.from_arrays(
+                    pa.array(t_offs, pa.int32()), pa.array(flat_tok, pa.int32())
+                ))
                 names.append("tokens")
+            next_pack += m
             return pa.RecordBatch.from_arrays(cols, names=names)
 
         for batch in it:
+            n_rows = batch.num_rows
+            if n_rows == 0:
+                continue
             ids = batch.column(0).to_numpy(zero_copy_only=False)
+            if ids.dtype.kind != "i":
+                raise ValueError(
+                    "pack_sequences: id column contains NULLs — every "
+                    "document needs a non-null integral id"
+                )
             if carry_tokens:
                 la = batch.column(1)
-                # one zero-copy flatten per batch; per-row views are
-                # numpy slices of it (no per-row Arrow scalars)
+                # one zero-copy flatten per batch; per-pack runs are
+                # contiguous numpy slices of it
                 flat = la.flatten().to_numpy(zero_copy_only=False).astype(
                     np.int32, copy=False
                 )
@@ -283,32 +328,41 @@ def pack_sequences(
                 ns = batch.column(2).to_numpy(zero_copy_only=False)
             else:
                 ns = batch.column(1).to_numpy(zero_copy_only=False)
-            for i in range(len(ids)):
-                # NaN (null count) → 0; Spark size(NULL array) = -1 → 0
-                n = max(0, int(ns[i])) if ns[i] == ns[i] else 0
-                tok = None
-                if carry_tokens:
-                    tok = flat[offs[i] : offs[i + 1]]
-                if n > max_tokens and not open_ids:
-                    yield emit([int(ids[i])], n, True,
-                               [tok] if tok is not None else [])
-                    next_pack += 1
-                    continue
-                if open_n + n > max_tokens and open_ids:
-                    yield emit(open_ids, open_n, False, open_tok_chunks)
-                    next_pack += 1
-                    open_ids, open_tok_chunks, open_n = [], [], 0
-                    if n > max_tokens:  # oversize doc after closing
-                        yield emit([int(ids[i])], n, True,
-                                   [tok] if tok is not None else [])
-                        next_pack += 1
-                        continue
-                open_ids.append(int(ids[i]))
-                if tok is not None:
-                    open_tok_chunks.append(tok)
-                open_n += n
-        if open_ids:
-            yield emit(open_ids, open_n, False, open_tok_chunks)
+            # NaN (null count) → 0; Spark size(NULL array) = -1 → 0
+            if ns.dtype.kind == "f":
+                ns = np.nan_to_num(ns, nan=0.0)
+            ns = np.maximum(ns, 0).astype(np.int64)
+            cum = np.cumsum(ns)
+            closed: list = []
+            i = 0
+            while i < n_rows:
+                base = int(cum[i - 1]) if i else 0
+                budget = max_tokens - open_n
+                # largest j: rows i..j-1 fit the open pack's budget
+                j = int(np.searchsorted(cum, base + budget, side="right"))
+                if j > i:
+                    open_id_chunks.append(ids[i:j])
+                    if carry_tokens:
+                        open_tok_chunks.append(flat[offs[i] : offs[j]])
+                    open_n += int(cum[j - 1]) - base
+                    open_docs += j - i
+                    i = j
+                    if i < n_rows:  # next row doesn't fit → pack is full
+                        closed.append(close_open())
+                elif open_docs:
+                    closed.append(close_open())  # retry row i, empty pack
+                else:
+                    # empty pack and row i alone exceeds max_tokens
+                    closed.append({
+                        "ids": [ids[i : i + 1]],
+                        "tok": [flat[offs[i] : offs[i + 1]]] if carry_tokens else [],
+                        "n": int(ns[i]), "docs": 1, "oversize": True,
+                    })
+                    i += 1
+            if closed:
+                yield flush(closed)
+        if open_docs:
+            yield flush([close_open()])
 
     return keyed.mapInArrow(pack_fn, schema=out_fields)
 
