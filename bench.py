@@ -460,10 +460,27 @@ def run_headline(spark) -> dict[str, float]:
     qs["kll_ntok"], _ = timed_min_q("kll_ntok", 
         lambda: build_sketch(toks, lambda: KllSketch(200), cols=["n_tok"])
     )
-    qs["bloom_build_docids"], _ = timed_min_q("bloom_build_docids", 
+    qs["bloom_build_docids"], _ = timed_min_q("bloom_build_docids",
         lambda: build_sketch(
             toks, lambda: BloomSketch(TOKEN_ROWS, 0.01), cols=["doc_id"]
         )
+    )
+
+    # --- splits & packing over the 2M-row token table (round-4 ops):
+    # hash_split is one codegen expression; pack_sequences is one
+    # partition-local Arrow pass over (rid, n_tok)
+    from bloomjoin_spark.operators import hash_split, pack_sequences
+
+    qs["hash_split_tokens"], _ = timed_min_q("hash_split_tokens",
+        lambda: hash_split(
+            toks, "doc_id", {"train": 0.98, "val": 0.01, "test": 0.01}
+        ).groupBy("split").count().collect()
+    )
+    toks_rid = toks.withColumn("rid", F.monotonically_increasing_id())
+    qs["pack_tokens_2m"], _ = timed_min_q("pack_tokens_2m",
+        lambda: pack_sequences(
+            toks_rid, 2048, id_col="rid", count_col="n_tok"
+        ).agg(F.sum("n_tokens")).first()
     )
 
     # --- pipeline operators
