@@ -361,6 +361,14 @@ def pack_sequences(
                     i += 1
             if closed:
                 yield flush(closed)
+            if open_docs:
+                # consolidate the carried pack into owned arrays: its
+                # chunks are VIEWS into this batch's buffers, and a
+                # view would pin the whole batch in memory until the
+                # pack closes in some later batch
+                open_id_chunks = [np.concatenate(open_id_chunks)]
+                if open_tok_chunks:
+                    open_tok_chunks = [np.concatenate(open_tok_chunks)]
         if open_docs:
             yield flush([close_open()])
 
