@@ -131,6 +131,52 @@ def _weighted_mixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _decontam_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 4: benchmark decontamination (GPT-3/PaLM-style n-gram
+    overlap) — Bloom prefilter over the benchmark side's word 6-grams,
+    exact verify join, so the output is EXACT and the DuckDB oracle
+    recomputes it with true list-equality joins.  Benchmark set:
+    docs with doc_id % 29 == 3; flagged docs are those + their planted
+    near-twins that share a 6-gram."""
+    from bloomjoin_spark.operators import contaminated_docs, words_col
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 29 == 3)
+    out = contaminated_docs(
+        docs, bench, n=6, corpus_tokens=words_col(F.col("text"))
+    )
+    return out.orderBy("doc_id")
+
+
+def _decontam_tokens_f0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination on the north-rule TOKEN table: benchmark = 8-token
+    windows cut from every 97th doc; the Bloom-prefiltered result must
+    equal the exact explode-join result gram-for-gram (prefilter can
+    never change the answer), and every benchmark source doc must be
+    flagged (token-array fidelity through slice/hash/join)."""
+    from bloomjoin_spark.operators import contaminated_docs, ngrams_col
+
+    toks = _f0(spark)
+    docnum = F.substring("doc_id", 5, 16).cast("bigint")
+    is_src = (docnum % 97 == 0) & (F.size("tokens") >= 12)
+    bench = toks.where(is_src).select(F.slice("tokens", 3, 8).alias("tokens"))
+    got = contaminated_docs(toks, bench, n=8)
+    c = toks.select("doc_id", F.explode(ngrams_col(F.col("tokens"), 8)).alias("ng"))
+    b = bench.select(F.explode(ngrams_col(F.col("tokens"), 8)).alias("ng")).distinct()
+    exact = c.join(b, "ng").groupBy("doc_id").agg(
+        F.count_distinct("ng").alias("n_hits")
+    )
+    diff = got.exceptAll(exact).count() + exact.exceptAll(got).count()
+    n_src = toks.where(is_src).count()
+    n_src_flagged = got.join(
+        toks.where(is_src).select("doc_id"), "doc_id", "semi"
+    ).count()
+    return spark.createDataFrame(
+        [(int(got.count()), bool(diff == 0), bool(n_src_flagged == n_src))],
+        "n_flagged bigint, matches_exact boolean, all_sources_flagged boolean",
+    )
+
+
 def _pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 4: greedy partition-local sequence packing at
     max_tokens=64 over whitespace-tokenized documents.  Pack layout is
@@ -940,6 +986,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bloom_inner_join": _bloom_inner,
         "bloom_inner_join_auto_floor": _bloom_inner_auto_floor,
+        "decontam_docs": _decontam_docs,
+        "decontam_tokens_f0": _decontam_tokens_f0,
         "hash_split_docs": _hash_split_docs,
         "weighted_mixture_docs": _weighted_mixture_docs,
         "pack_documents": _pack_documents,
@@ -1007,6 +1055,29 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem l
             JOIN (SELECT p_partkey, p_name FROM part WHERE p_partkey % 10 = 0) p
               ON l.l_partkey = p.p_partkey
+        """,
+        "decontam_docs": r"""
+            WITH words AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+              FROM documents
+            ),
+            bench AS (
+              SELECT DISTINCT w[i:i+5] AS ng
+              FROM words, UNNEST(generate_series(1, len(w) - 5)) t(i)
+              WHERE doc_id % 29 = 3
+            ),
+            grams AS (
+              SELECT d.doc_id, d.w[i:i+5] AS ng
+              FROM words d, UNNEST(generate_series(1, len(d.w) - 5)) t(i)
+            )
+            SELECT g.doc_id, COUNT(DISTINCT g.ng)::BIGINT AS n_hits
+            FROM grams g JOIN bench b ON g.ng = b.ng
+            GROUP BY g.doc_id
+            ORDER BY g.doc_id
+        """,
+        "decontam_tokens_f0": """
+            SELECT 218 AS n_flagged, TRUE AS matches_exact,
+                   TRUE AS all_sources_flagged
         """,
         "hash_split_docs": """
             SELECT CASE WHEN substr(md5(doc_id::VARCHAR || '|'), 1, 4) < 'cccd' THEN 'train'

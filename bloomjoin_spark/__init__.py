@@ -15,7 +15,7 @@ from .aggregate import (
     build_sketches,
     grouped_sketch_estimates,
 )
-from .operators import bloom_join
+from .operators import bloom_join, contaminated_docs, decontaminate
 from .plans import BloomJoinReport
 from .sketches import (
     BloomSketch,
@@ -45,6 +45,8 @@ __all__ = [
     "TopKSketch",
     "bloom_join",
     "bloom_params",
+    "contaminated_docs",
+    "decontaminate",
     "format_bloom_params",
     "bloom_sizing",
     "build_sketch",

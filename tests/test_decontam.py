@@ -1,0 +1,138 @@
+"""Benchmark decontamination: exactness (the Bloom prefilter must never
+change the answer vs the exact explode-join), both engines, edge shapes.
+
+The operator has no direct reference analog (the reference joins on
+scalar keys, ``R/bloomjoin.R``); the contract under test is the same
+one bloom_join pins — prefiltered output identical to the exact path.
+"""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from bloomjoin_spark.operators.decontam import (
+    contaminated_docs,
+    decontaminate,
+    ngrams_col,
+    words_col,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [Row(doc_id=i, tokens=t) for i, t in rows],
+        "doc_id bigint, tokens array<int>",
+    )
+
+
+def _exact(corpus, bench, n):
+    """Ground truth: explode both sides, exact join on the n-gram."""
+    c = corpus.select("doc_id", F.explode(ngrams_col(F.col("tokens"), n)).alias("ng"))
+    b = bench.select(F.explode(ngrams_col(F.col("tokens"), n)).alias("ng")).distinct()
+    return c.join(b, "ng").groupBy("doc_id").agg(
+        F.count_distinct("ng").alias("n_hits")
+    )
+
+
+def test_ngrams_col_basic(spark):
+    df = _docs(spark, [(0, [1, 2, 3, 4]), (1, [7, 8]), (2, []), (3, None)])
+    out = {
+        r["doc_id"]: r["g"]
+        for r in df.select("doc_id", ngrams_col(F.col("tokens"), 3).alias("g")).collect()
+    }
+    assert out[0] == [[1, 2, 3], [2, 3, 4]]
+    assert out[1] == []  # shorter than n
+    assert out[2] == []
+    assert out[3] == []  # NULL-safe
+
+
+def test_ngrams_col_rejects_bad_n():
+    with pytest.raises(ValueError):
+        ngrams_col(F.col("x"), 0)
+
+
+@pytest.mark.parametrize("engine", ["native", "bloom"])
+def test_planted_contamination_matches_exact(spark, engine):
+    # doc 10 contains bench doc 100's trigram [5,6,7]; doc 11 is clean;
+    # doc 12 repeats the gram twice (n_hits must still count it ONCE)
+    corpus = _docs(
+        spark,
+        [
+            (10, [1, 5, 6, 7, 2]),
+            (11, [9, 9, 9, 9, 9]),
+            (12, [5, 6, 7, 0, 5, 6, 7]),
+        ],
+    )
+    bench = _docs(spark, [(100, [5, 6, 7]), (101, [4, 4, 4])])
+    got = contaminated_docs(corpus, bench, n=3, engine=engine)
+    rows = {r["doc_id"]: r["n_hits"] for r in got.collect()}
+    assert rows == {10: 1, 12: 1}
+    exact = {r["doc_id"]: r["n_hits"] for r in _exact(corpus, bench, 3).collect()}
+    assert rows == exact
+
+
+def test_exactness_under_tiny_filter(spark):
+    """fpp≈0.5 forces Bloom false positives through the prefilter; the
+    verify join must still produce the exact answer."""
+    corpus = _docs(spark, [(i, [i, i + 1, i + 2, i + 3]) for i in range(60)])
+    bench = _docs(spark, [(1000, [7, 8, 9, 10])])
+    got = contaminated_docs(corpus, bench, n=4, fpp=0.5, engine="bloom")
+    exact = _exact(corpus, bench, 4)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exact.collect()))
+
+
+def test_empty_bench_flags_nothing(spark):
+    corpus = _docs(spark, [(0, [1, 2, 3])])
+    bench = _docs(spark, [(9, [1])])  # too short for n=3 → no n-grams
+    out, rep = contaminated_docs(corpus, bench, n=3, return_report=True)
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "n_hits"]
+    assert rep.engine == "none" and rep.n_bench_ngrams == 0
+
+
+def test_decontaminate_removes_flagged_only(spark):
+    corpus = _docs(spark, [(0, [1, 2, 3]), (1, [4, 5, 6]), (2, [1, 2, 3])])
+    bench = _docs(spark, [(50, [1, 2, 3])])
+    clean = decontaminate(corpus, bench, n=3)
+    assert sorted(r["doc_id"] for r in clean.collect()) == [1]
+
+
+def test_words_col_text_path(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=0, text="a b c d"), Row(doc_id=1, text="  "), Row(doc_id=2, text="a b c x")],
+        "doc_id bigint, text string",
+    )
+    bench = df.where("doc_id = 0")
+    got = contaminated_docs(
+        df, bench, n=3, corpus_tokens=words_col(F.col("text"))
+    )
+    rows = {r["doc_id"]: r["n_hits"] for r in got.collect()}
+    # doc0 self-hit (two trigrams), doc2 shares only "a b c"
+    assert rows == {0: 2, 2: 1}
+
+
+def test_report_fields(spark):
+    corpus = _docs(spark, [(0, [1, 2, 3, 4])])
+    bench = _docs(spark, [(9, [2, 3, 4])])
+    out, rep = contaminated_docs(corpus, bench, n=3, return_report=True)
+    assert rep.engine in ("native", "bloom")
+    assert rep.n_bench_ngrams == 1
+    assert rep.filter_bits > 0
+    assert out.count() == 1
+
+
+def test_explode_stage_stays_pruned(spark, sf_dir):
+    """The corpus scan must read only (doc_id, text) even though the
+    table has more columns — the generator must not block pruning."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 29 == 3)
+    out = contaminated_docs(
+        docs, bench, n=6, corpus_tokens=words_col(F.col("text"))
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert scans, plan
+    for s in scans:
+        cols = {c.split(":")[0] for c in s.split(",") if c}
+        assert cols <= {"doc_id", "text"}, f"unpruned scan: {cols}"
