@@ -177,6 +177,43 @@ def _decontam_tokens_f0(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 4: Gopher-style within-doc repetition signals — duplicate
+    word fraction / duplicate-word char fraction (pure JVM array
+    functions) plus the most-frequent word 2-gram's count and char
+    coverage (one partial-agg groupBy, deterministic tie-break on
+    (count, gram chars)).  Every value is plain arithmetic over the
+    word array, so the oracle pins all four columns exactly."""
+    from bloomjoin_spark.operators import add_repetition_stats, top_ngram_frac
+
+    docs = _t(spark, sf_dir, "documents")
+    rep = add_repetition_stats(docs).select(
+        "doc_id", "dup_word_frac", "dup_word_char_frac"
+    )
+    top = top_ngram_frac(docs, n=2)
+    return rep.join(top, "doc_id").orderBy("doc_id")
+
+
+def _quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 4: Gopher-style rule-based quality filter — five boolean
+    rules (word count, mean word length, duplicate-word cap, alpha-word
+    fraction, stopword presence) and their conjunction, per document.
+    Rules are JVM-side comparisons on exact integer/double arithmetic,
+    replicated verbatim by the oracle."""
+    from bloomjoin_spark.operators import add_quality_rules
+
+    docs = _t(spark, sf_dir, "documents")
+    return add_quality_rules(docs).select(
+        "doc_id",
+        "rule_word_count",
+        "rule_mean_word_len",
+        "rule_dup_words",
+        "rule_alpha_words",
+        "rule_stopwords",
+        "passes_quality",
+    ).orderBy("doc_id")
+
+
 def _pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 4: greedy partition-local sequence packing at
     max_tokens=64 over whitespace-tokenized documents.  Pack layout is
@@ -987,6 +1024,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_inner_join": _bloom_inner,
         "bloom_inner_join_auto_floor": _bloom_inner_auto_floor,
         "decontam_docs": _decontam_docs,
+        "repetition_docs": _repetition_docs,
+        "quality_docs": _quality_docs,
         "decontam_tokens_f0": _decontam_tokens_f0,
         "hash_split_docs": _hash_split_docs,
         "weighted_mixture_docs": _weighted_mixture_docs,
@@ -1078,6 +1117,84 @@ def oracle_sql() -> dict[str, str]:
         "decontam_tokens_f0": """
             SELECT 218 AS n_flagged, TRUE AS matches_exact,
                    TRUE AS all_sources_flagged
+        """,
+        "repetition_docs": r"""
+            WITH words AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                          ELSE string_split_regex(trim(text), '\s+') END AS w
+              FROM documents
+            ),
+            rep AS (
+              SELECT doc_id,
+                     round(CASE WHEN len(w) > 0 THEN
+                       (len(w) - len(list_distinct(w)))::DOUBLE / len(w)
+                       ELSE 0 END, 6) AS dup_word_frac,
+                     round(CASE WHEN coalesce(list_sum(list_transform(w, x -> length(x))), 0) > 0 THEN
+                       (list_sum(list_transform(w, x -> length(x)))
+                        - list_sum(list_transform(list_distinct(w), x -> length(x))))::DOUBLE
+                       / list_sum(list_transform(w, x -> length(x)))
+                       ELSE 0 END, 6) AS dup_word_char_frac,
+                     coalesce(list_sum(list_transform(w, x -> length(x))), 0) AS cs
+              FROM words
+            ),
+            grams AS (
+              SELECT doc_id, w[i:i+1] AS ng
+              FROM words, UNNEST(generate_series(1, len(w) - 1)) t(i)
+            ),
+            counts AS (
+              SELECT doc_id, ng, COUNT(*) AS c,
+                     list_sum(list_transform(ng, x -> length(x))) AS g
+              FROM grams GROUP BY doc_id, ng
+            ),
+            top AS (
+              SELECT doc_id, c, g FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY doc_id ORDER BY c DESC, g DESC) AS rn
+                FROM counts
+              ) WHERE rn = 1
+            )
+            SELECT r.doc_id, r.dup_word_frac, r.dup_word_char_frac,
+                   t.c::BIGINT AS top_ngram_count,
+                   round(CASE WHEN r.cs > 0 THEN (t.c * t.g)::DOUBLE / r.cs
+                         ELSE 0 END, 6) AS top_ngram_char_frac
+            FROM rep r JOIN top t USING (doc_id)
+            ORDER BY r.doc_id
+        """,
+        "quality_docs": r"""
+            WITH words AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                          ELSE string_split_regex(trim(lower(text)), '\s+') END AS w
+              FROM documents
+            ),
+            m AS (
+              SELECT doc_id, len(w) AS nw,
+                     coalesce(list_sum(list_transform(w, x -> length(x))), 0) AS cs,
+                     len(list_distinct(w)) AS nd,
+                     len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS na,
+                     len(list_intersect(list_distinct(w),
+                         ['the','a','and','of','to','in','is','it','that','for'])) AS ns
+              FROM words
+            )
+            SELECT doc_id,
+                   nw >= 30 AND nw <= 100000 AS rule_word_count,
+                   (CASE WHEN nw > 0 THEN cs::DOUBLE / nw ELSE 0 END) >= 2.0
+                   AND (CASE WHEN nw > 0 THEN cs::DOUBLE / nw ELSE 0 END) <= 12.0
+                     AS rule_mean_word_len,
+                   (CASE WHEN nw > 0 THEN (nw - nd)::DOUBLE / nw ELSE 0 END) <= 0.6
+                     AS rule_dup_words,
+                   (CASE WHEN nw > 0 THEN na::DOUBLE / nw ELSE 0 END) >= 0.8
+                     AS rule_alpha_words,
+                   ns >= 1 AS rule_stopwords,
+                   (nw >= 30 AND nw <= 100000)
+                   AND ((CASE WHEN nw > 0 THEN cs::DOUBLE / nw ELSE 0 END) >= 2.0
+                        AND (CASE WHEN nw > 0 THEN cs::DOUBLE / nw ELSE 0 END) <= 12.0)
+                   AND ((CASE WHEN nw > 0 THEN (nw - nd)::DOUBLE / nw ELSE 0 END) <= 0.6)
+                   AND ((CASE WHEN nw > 0 THEN na::DOUBLE / nw ELSE 0 END) >= 0.8)
+                   AND (ns >= 1) AS passes_quality
+            FROM m
+            ORDER BY doc_id
         """,
         "hash_split_docs": """
             SELECT CASE WHEN substr(md5(doc_id::VARCHAR || '|'), 1, 4) < 'cccd' THEN 'train'

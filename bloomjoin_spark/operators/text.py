@@ -138,3 +138,155 @@ def winnowing_fingerprints(
         F.array(F.xxhash64(F.lower(F.trim(F.col(text_col)))))
     )
     return df.withColumn(out_col, fps)
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition stats and quality rules (Rae et al. 2021 §A1;
+# public heuristics).  All pure JVM higher-order functions — every value
+# is SQL-portable so the DuckDB oracle pins it exactly.
+# ---------------------------------------------------------------------------
+
+def _sum_len(arr: Column) -> Column:
+    """Total characters across an array of strings (JVM aggregate)."""
+    return F.aggregate(arr, F.lit(0), lambda acc, x: acc + F.length(x))
+
+
+def _frac(num: Column, den: Column) -> Column:
+    return F.round(
+        F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0)), 6
+    )
+
+
+def add_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Within-document repetition signals (Gopher-style), zero Python:
+
+    - ``dup_line_frac`` / ``dup_line_char_frac`` — fraction of lines
+      (split on newline) / of line characters occurring more than once;
+    - ``dup_word_frac`` / ``dup_word_char_frac`` — the same at the
+      whitespace-word level.
+
+    "Duplicate" mass is counted as total minus one-copy-each
+    (``size(x) − size(array_distinct(x))``), the standard formulation;
+    blank docs score 0 everywhere."""
+    t = F.trim(F.col(text_col))
+    lines = F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(F.col(text_col), r"\n")
+    )
+    words = F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+    out = df
+    for name, arr in (("line", lines), ("word", words)):
+        dis = F.array_distinct(arr)
+        out = out.withColumn(
+            f"dup_{name}_frac", _frac(F.size(arr) - F.size(dis), F.size(arr))
+        ).withColumn(
+            f"dup_{name}_char_frac", _frac(_sum_len(arr) - _sum_len(dis), _sum_len(arr))
+        )
+    return out
+
+
+def top_ngram_frac(
+    df: DataFrame,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per document: the most frequent word ``n``-gram's occurrence
+    count and the fraction of word characters it covers (Gopher's
+    "fraction of characters in the most common n-gram").
+
+    Plan shape: explode n-grams inside the scan stage → ONE partial-agg
+    groupBy (doc, gram) → ONE groupBy (doc) taking ``max(struct(count,
+    chars))`` — no window, no second shuffle beyond the key change, and
+    ties resolve on (count, chars-per-occurrence) so the resulting
+    fraction is deterministic even when the argmax gram is not unique.
+
+    Returns ``(id_col, top_ngram_count, top_ngram_char_frac)``.
+    """
+    from .decontam import ngrams_col, words_col
+
+    words = words_col(F.col(text_col))
+    base = df.select(
+        F.col(id_col), words.alias("__w"), _sum_len(words).alias("__chars")
+    )
+    grams = base.select(
+        id_col, "__chars", F.explode(ngrams_col(F.col("__w"), n)).alias("__ng")
+    )
+    counts = grams.groupBy(id_col, "__ng").agg(
+        F.count(F.lit(1)).alias("__c"), F.first("__chars").alias("__chars")
+    )
+    top = counts.groupBy(id_col).agg(
+        F.max(F.struct(F.col("__c"), _sum_len(F.col("__ng")).alias("__g"))).alias("__t"),
+        F.first("__chars").alias("__chars"),
+    )
+    return top.select(
+        F.col(id_col),
+        F.col("__t.__c").alias("top_ngram_count"),
+        _frac(F.col("__t.__c") * F.col("__t.__g"), F.col("__chars")).alias(
+            "top_ngram_char_frac"
+        ),
+    )
+
+
+def add_quality_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 30,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    max_dup_word_frac: float = 0.6,
+    min_alpha_word_frac: float = 0.8,
+    min_distinct_stopwords: int = 1,
+) -> DataFrame:
+    """Gopher-style rule columns (each a boolean) + ``passes_quality``:
+
+    - ``rule_word_count``: word count within [min_words, max_words];
+    - ``rule_mean_word_len``: mean word length within bounds;
+    - ``rule_dup_words``: duplicate-word fraction ≤ cap;
+    - ``rule_alpha_words``: ≥ ``min_alpha_word_frac`` of words contain
+      a letter;
+    - ``rule_stopwords``: ≥ ``min_distinct_stopwords`` distinct
+      stopwords present (Gopher's "has common English words" proxy).
+
+    Thresholds are data-dependent knobs, not constants to trust — the
+    defaults suit the synthetic corpus; tune per corpus."""
+    t = F.trim(F.lower(F.col(text_col)))
+    words = F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+    nw = F.size(words)
+    mean_len = F.when(nw > 0, _sum_len(words).cast("double") / nw).otherwise(F.lit(0.0))
+    dup_frac = F.when(
+        nw > 0, (nw - F.size(F.array_distinct(words))).cast("double") / nw
+    ).otherwise(F.lit(0.0))
+    alpha = F.size(F.filter(words, lambda x: x.rlike("[a-z]")))
+    alpha_frac = F.when(nw > 0, alpha.cast("double") / nw).otherwise(F.lit(0.0))
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(F.array_intersect(F.array_distinct(words), stop_arr))
+    out = (
+        df.withColumn("rule_word_count", (nw >= min_words) & (nw <= max_words))
+        .withColumn(
+            "rule_mean_word_len",
+            (mean_len >= min_mean_word_len) & (mean_len <= max_mean_word_len),
+        )
+        .withColumn("rule_dup_words", dup_frac <= max_dup_word_frac)
+        .withColumn("rule_alpha_words", alpha_frac >= min_alpha_word_frac)
+        .withColumn("rule_stopwords", n_stop >= min_distinct_stopwords)
+    )
+    return out.withColumn(
+        "passes_quality",
+        F.col("rule_word_count")
+        & F.col("rule_mean_word_len")
+        & F.col("rule_dup_words")
+        & F.col("rule_alpha_words")
+        & F.col("rule_stopwords"),
+    )
+
+
+def quality_filter(df: DataFrame, text_col: str = "text", **thresholds) -> DataFrame:
+    """``df`` restricted to rows passing every quality rule, original
+    schema preserved (rule columns are internal to the filter)."""
+    ruled = add_quality_rules(df, text_col=text_col, **thresholds)
+    return ruled.where(F.col("passes_quality")).select(*df.columns)

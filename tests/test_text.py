@@ -107,3 +107,100 @@ def test_winnowing_fingerprints(spark):
     again = {r["doc_id"]: set(r["winnow_fps"]) for r in
              winnowing_fingerprints(docs).collect()}
     assert again == rows
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition stats and quality rules
+# ---------------------------------------------------------------------------
+
+def _tdf(spark, rows):
+    from pyspark.sql import Row
+
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in rows], "doc_id bigint, text string"
+    )
+
+
+def test_repetition_stats_word_level(spark):
+    from bloomjoin_spark.operators import add_repetition_stats
+
+    df = _tdf(spark, [(0, "a b a b c"), (1, "x y z"), (2, "   ")])
+    out = {
+        r["doc_id"]: r
+        for r in add_repetition_stats(df).collect()
+    }
+    # doc0: 5 words, 3 distinct → dup_frac 0.4; chars 5, distinct chars 3 → 0.4
+    assert out[0]["dup_word_frac"] == 0.4
+    assert out[0]["dup_word_char_frac"] == 0.4
+    assert out[1]["dup_word_frac"] == 0.0
+    assert out[2]["dup_word_frac"] == 0.0  # blank → 0, not null
+
+
+def test_repetition_stats_line_level(spark):
+    from bloomjoin_spark.operators import add_repetition_stats
+
+    df = _tdf(spark, [(0, "aa\nbb\naa"), (1, "only one line")])
+    out = {r["doc_id"]: r for r in add_repetition_stats(df).collect()}
+    assert round(out[0]["dup_line_frac"], 6) == round(1 / 3, 6)
+    assert round(out[0]["dup_line_char_frac"], 6) == round(2 / 6, 6)
+    assert out[1]["dup_line_frac"] == 0.0
+
+
+def test_top_ngram_frac_exact(spark):
+    from bloomjoin_spark.operators import top_ngram_frac
+
+    # "a b" occurs 3× in 7 words; gram chars 2, total word chars 7
+    df = _tdf(spark, [(0, "a b a b a b c")])
+    r = top_ngram_frac(df, n=2).collect()[0]
+    assert r["top_ngram_count"] == 3
+    assert r["top_ngram_char_frac"] == round(3 * 2 / 7, 6)
+
+
+def test_top_ngram_frac_tie_deterministic(spark):
+    from bloomjoin_spark.operators import top_ngram_frac
+
+    # two grams tie on count; ("bb","bb") has more chars → wins
+    df = _tdf(spark, [(0, "a a x bb bb y a a z bb bb")])
+    r = top_ngram_frac(df, n=2).collect()[0]
+    assert r["top_ngram_count"] == 2
+    assert r["top_ngram_char_frac"] == round(2 * 4 / 15, 6)
+
+
+def test_top_ngram_frac_drops_short_docs(spark):
+    from bloomjoin_spark.operators import top_ngram_frac
+
+    df = _tdf(spark, [(0, "solo"), (1, "two words")])
+    rows = {r["doc_id"] for r in top_ngram_frac(df, n=2).collect()}
+    assert rows == {1}
+
+
+def test_quality_rules_each_rule_trips(spark):
+    from bloomjoin_spark.operators import add_quality_rules
+
+    good = "the and " + " ".join(f"word{i}" for i in range(28))  # 30 words, low dup
+    df = _tdf(
+        spark,
+        [
+            (0, good),
+            (1, "too short"),                      # word count
+            (2, ("ab " * 50) + "the"),            # dup words (ab repeated)
+            (3, ("123 456 " * 25) + "the"),       # alpha fraction
+            (4, "zz yy xx ww vv uu tt ss rr qq " * 5),  # no stopwords
+        ],
+    )
+    out = {r["doc_id"]: r for r in add_quality_rules(df, min_words=20).collect()}
+    assert out[0]["passes_quality"]
+    assert not out[1]["rule_word_count"]
+    assert not out[2]["rule_dup_words"]
+    assert not out[3]["rule_alpha_words"]
+    assert not out[4]["rule_stopwords"]
+
+
+def test_quality_filter_preserves_schema(spark):
+    from bloomjoin_spark.operators import quality_filter
+
+    good = "the and " + " ".join(f"word{i}" for i in range(28))
+    df = _tdf(spark, [(0, good), (1, "nope")])
+    kept = quality_filter(df, min_words=20)
+    assert kept.columns == ["doc_id", "text"]
+    assert [r["doc_id"] for r in kept.collect()] == [0]
