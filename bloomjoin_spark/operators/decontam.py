@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from ..aggregate import build_sketch
 from ..sketches.bloom import BloomSketch
 from .bloom_join import (
+    _NATIVE_FILTER_CAP_BYTES,
     _make_probe_udf,
     _native_build_filter,
     _native_might_contain,
@@ -164,6 +165,14 @@ def contaminated_docs(
             blob = _native_build_filter(
                 keyed.select(F.col(_H).alias("__bj_key64")), n_bench, fpp
             )
+            if len(blob) > _NATIVE_FILTER_CAP_BYTES:
+                # same plan-literal cap as bloom_join: the blob is
+                # re-serialized into every task binary; a huge eval
+                # suite belongs on the sketch engine (broadcast once)
+                raise RuntimeError(
+                    f"serialized native filter is {len(blob) >> 20} MiB, above "
+                    f"the {_NATIVE_FILTER_CAP_BYTES >> 20} MiB plan-literal cap"
+                )
             probe_col = _native_might_contain(spark, blob, F.col(_H))
             report.engine = "native"
             report.filter_bits = len(blob) * 8
@@ -187,7 +196,12 @@ def contaminated_docs(
 
     # prefilter, then EXACT verify on n-gram equality (no false
     # positives in the output); Spark/AQE picks broadcast vs shuffle
-    # for the verify join based on the benchmark side's actual size
+    # for the verify join based on the benchmark side's actual size.
+    # Known plan wart (native engine only): constraint propagation
+    # copies the might_contain filter onto the BENCH side of the verify
+    # join, where it is a tautology — wasted probes bounded by the
+    # (small) benchmark n-gram count, never by corpus size; the sketch
+    # engine's probe UDF is asNondeterministic() and is not copied
     hits = exploded.where(probe_col).join(bench_ngs, on=_NG, how="inner")
     out = hits.groupBy(id_col).agg(F.count_distinct(_NG).alias("n_hits"))
     return (out, report) if return_report else out

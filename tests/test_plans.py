@@ -218,3 +218,53 @@ def test_hash_split_pushdown_survives(spark):
     # no shuffle, no Python stage — pure codegen expression
     assert "Exchange" not in plan
     assert "Python" not in plan
+
+
+def test_decontam_probe_is_all_jvm_and_pre_shuffle(spark):
+    """Decontamination, native engine: the Bloom probe must be a
+    codegen Filter (no Python stage anywhere) sitting on the pruned
+    corpus scan BEFORE any exchange — at 100 TB the only rows that may
+    shuffle are verified-candidate n-grams."""
+    from bloomjoin_spark.operators import contaminated_docs, words_col
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 29 == 3)
+    out, rep = contaminated_docs(
+        docs, bench, n=6, corpus_tokens=words_col(F.col("text")),
+        return_report=True,
+    )
+    if rep.engine != "native":
+        import pytest
+
+        pytest.skip("native engine unavailable in this JVM")
+    # raw plan string: keys stay on the operator lines (formatted mode
+    # moves them to a details section)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "might_contain" in plan
+    # the probe filter must be BELOW the verify join: the corpus-side
+    # branch (':- Filter' child of the join) carries the probe
+    join_line = next(
+        i for i, l in enumerate(plan.splitlines()) if "Join" in l and "__bj_ng" in l
+    )
+    below = "\n".join(plan.splitlines()[join_line:])
+    assert "might_contain" in below
+    # the corpus branch has no Exchange between scan and probe filter
+    probe_branch = below[below.find("might_contain"):]
+    scan_pos = probe_branch.find("Scan parquet")
+    assert scan_pos != -1
+    assert "Exchange" not in probe_branch[:scan_pos]
+
+
+def test_top_ngram_frac_single_chain_no_window(spark):
+    """top_ngram_frac: explode → two hash aggregates, no Window
+    operator (a per-doc window over all grams would re-shuffle and
+    sort the full gram stream at scale)."""
+    from bloomjoin_spark.operators import top_ngram_frac
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(top_ngram_frac(docs, n=2))
+    assert "Window" not in plan
+    assert "EvalPython" not in plan
+    rs = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "lang" not in rs and "source" not in rs
