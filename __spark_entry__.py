@@ -177,6 +177,20 @@ def _decontam_tokens_f0(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _boilerplate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 4: corpus-level boilerplate line removal (CCNet-style) —
+    lines in ≥2 distinct docs are dropped, text reassembled in order,
+    rows never dropped.  The synthetic corpus has single-line docs, so
+    boilerplate here = planted exact-dup texts: those docs come back
+    with empty text and everything else is byte-identical.  The oracle
+    recomputes the whole pipeline with true string equality."""
+    from bloomjoin_spark.operators import remove_boilerplate_lines
+
+    docs = _t(spark, sf_dir, "documents")
+    out = remove_boilerplate_lines(docs, min_docs=2)
+    return out.select("doc_id", "text").orderBy("doc_id")
+
+
 def _repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 4: Gopher-style within-doc repetition signals — duplicate
     word fraction / duplicate-word char fraction (pure JVM array
@@ -1026,6 +1040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_docs": _decontam_docs,
         "repetition_docs": _repetition_docs,
         "quality_docs": _quality_docs,
+        "boilerplate_docs": _boilerplate_docs,
         "decontam_tokens_f0": _decontam_tokens_f0,
         "hash_split_docs": _hash_split_docs,
         "weighted_mixture_docs": _weighted_mixture_docs,
@@ -1117,6 +1132,30 @@ def oracle_sql() -> dict[str, str]:
         "decontam_tokens_f0": """
             SELECT 218 AS n_flagged, TRUE AS matches_exact,
                    TRUE AS all_sources_flagged
+        """,
+        "boilerplate_docs": """
+            WITH split AS (
+              SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents
+            ),
+            lines AS (
+              SELECT doc_id, i AS ord, ls[i] AS line
+              FROM split, UNNEST(generate_series(1, len(ls))) t(i)
+            ),
+            common AS (
+              SELECT line FROM lines WHERE length(line) > 0
+              GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 2
+            ),
+            kept AS (
+              SELECT l.doc_id, l.ord, l.line FROM lines l
+              ANTI JOIN common c ON l.line = c.line
+            ),
+            rebuilt AS (
+              SELECT doc_id, string_agg(line, chr(10) ORDER BY ord) AS clean
+              FROM kept GROUP BY doc_id
+            )
+            SELECT d.doc_id, coalesce(r.clean, '') AS text
+            FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+            ORDER BY d.doc_id
         """,
         "repetition_docs": r"""
             WITH words AS (

@@ -497,6 +497,34 @@ def run_headline(spark) -> dict[str, float]:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     qs["ann_cosine_topk"], _ = timed_min_q("ann_cosine_topk", lambda: cosine_topk(emb, queries_df, k=10).count())
+
+    # --- round-4 decontam + text-quality operators.
+    # decontam over the 2M-row token table is the scale-shaped cell:
+    # ~TOKEN_ROWS×(n_tok−7) n-grams explode inside the scan stage and
+    # the native codegen probe drops ~all of them pre-shuffle; timing
+    # includes the per-call filter build (that IS the operator cost).
+    from bloomjoin_spark.operators import (
+        add_repetition_stats,
+        contaminated_docs,
+        quality_filter,
+        top_ngram_frac,
+    )
+
+    bench_side = toks.where(
+        (F.xxhash64("doc_id") % 1009 == 0) & (F.col("n_tok") >= 12)
+    ).select(F.slice("tokens", 3, 8).alias("tokens"))
+    qs["decontam_tokens"], _ = timed_min_q("decontam_tokens",
+        lambda: contaminated_docs(toks, bench_side, n=8).count()
+    )
+    qs["repetition_docs"], _ = timed_min_q("repetition_docs",
+        lambda: add_repetition_stats(docs).agg(F.sum("dup_word_frac")).first()
+    )
+    qs["top_ngram_docs"], _ = timed_min_q("top_ngram_docs",
+        lambda: top_ngram_frac(docs, n=2).agg(F.sum("top_ngram_char_frac")).first()
+    )
+    qs["quality_filter_docs"], _ = timed_min_q("quality_filter_docs",
+        lambda: quality_filter(docs).count()
+    )
     toks.unpersist()
     lk.unpersist()
     return qs
