@@ -1000,6 +1000,31 @@ def _streaming_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _decontam_stream_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 4: STREAMING decontamination — per-row hash-set probe
+    (no state, no watermark) flags exactly the docs the batch operator
+    flags; the oracle recomputes the flagged count with true list
+    equality in SQL."""
+    from bloomjoin_spark.operators import words_col
+    from bloomjoin_spark.streaming import decontaminate_stream, documents_stream
+    from bloomjoin_spark.streaming.sketch_stream import run_stream_to_memory
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 29 == 3)
+    flagged = decontaminate_stream(
+        documents_stream(spark, sf_dir), bench, n=6,
+        tokens=words_col(F.col("text")), mode="flag",
+    )
+    name = run_stream_to_memory(
+        flagged.select("doc_id", "contaminated"), "q_decontam_stream",
+        output_mode="append",
+    )
+    return spark.table(name).agg(
+        F.sum(F.col("contaminated").cast("bigint")).alias("n_flagged"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+
+
 def _stateful_hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState):
     per-event-type running HLL over user_id; exact n_rows pinned by the
@@ -1071,6 +1096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_bloom_join": _streaming_bloom_join,
         "hll_distinct_by_source": _hll_distinct_by_source,
         "stateful_hll_stream": _stateful_hll_stream,
+        "decontam_stream_docs": _decontam_stream_docs,
         "minhash_full_dedup": _minhash_full_dedup,
         "simhash_planted": _simhash_planted,
         "ann_lsh_recall": _ann_lsh_recall,
@@ -1156,6 +1182,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, coalesce(r.clean, '') AS text
             FROM documents d LEFT JOIN rebuilt r USING (doc_id)
             ORDER BY d.doc_id
+        """,
+        "decontam_stream_docs": r"""
+            WITH words AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+              FROM documents
+            ),
+            bench AS (
+              SELECT DISTINCT w[i:i+5] AS ng
+              FROM words, UNNEST(generate_series(1, len(w) - 5)) t(i)
+              WHERE doc_id % 29 = 3
+            ),
+            flagged AS (
+              SELECT DISTINCT d.doc_id
+              FROM words d, UNNEST(generate_series(1, len(d.w) - 5)) t(i)
+              JOIN bench b ON d.w[i:i+5] = b.ng
+            )
+            SELECT (SELECT COUNT(*) FROM flagged)::BIGINT AS n_flagged,
+                   (SELECT COUNT(*) FROM documents)::BIGINT AS n_total
         """,
         "repetition_docs": r"""
             WITH words AS (

@@ -1,6 +1,8 @@
 from .sketch_stream import (
     StreamingSketchCollector,
     bloom_join_stream,
+    decontaminate_stream,
+    documents_stream,
     events_stream,
     windowed_counts,
 )
@@ -8,6 +10,8 @@ from .sketch_stream import (
 __all__ = [
     "StreamingSketchCollector",
     "bloom_join_stream",
+    "decontaminate_stream",
+    "documents_stream",
     "events_stream",
     "windowed_counts",
 ]

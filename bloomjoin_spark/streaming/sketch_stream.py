@@ -19,6 +19,8 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -277,3 +279,93 @@ def stateful_sketch_stream(
     return stream.groupBy(group_col).applyInPandasWithState(
         fn, out_schema, state_schema, "update", "NoTimeout"
     )
+
+
+DOCS_SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+
+
+def documents_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1):
+    """File-source stream over the documents table (tests/demos; same
+    symlink trick as ``events_stream``)."""
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="bj_docs_stream_")
+    os.symlink(f"{sf_dir}/documents.parquet", f"{d}/documents-000.parquet")
+    return (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(d)
+    )
+
+
+def decontaminate_stream(
+    stream: DataFrame,
+    bench: DataFrame,
+    n: int = 8,
+    tokens="tokens",
+    bench_tokens=None,
+    fpp: float = 0.01,
+    mode: str = "drop",
+    flag_col: str = "contaminated",
+) -> DataFrame:
+    """STREAMING benchmark decontamination: drop (or flag) stream
+    documents sharing any token ``n``-gram with a static benchmark set.
+
+    The batch operator's verify join needs a per-doc aggregation, which
+    a streaming sink can't re-aggregate cheaply — but contamination is
+    a PER-ROW predicate (does ANY n-gram of this doc hit the set?), so
+    the streaming form needs no state at all: the benchmark side's
+    distinct n-gram **64-bit hashes** are computed once (a batch job at
+    call time), collected sorted (8 bytes per n-gram — eval suites are
+    small by nature; a 1M-n-gram suite is 8 MB), broadcast, and every
+    micro-batch evaluates one vectorized Arrow probe per document
+    (JVM computes the per-doc hash array via
+    ``transform(ngrams, xxhash64)``; numpy ``searchsorted`` decides).
+
+    Membership is EXACT at the hash level — no Bloom false positives;
+    two distinct n-grams colliding in 64 bits (≈2⁻⁶⁴) could wrongly
+    flag a doc, the standard dedup-hash caveat.  Same static-snapshot
+    caveat as ``bloom_join_stream``: the set is frozen at call time.
+
+    ``mode='drop'`` returns the stream without contaminated docs;
+    ``mode='flag'`` returns it with a boolean ``flag_col``.
+    """
+    from ..operators.decontam import ngrams_col
+
+    if mode not in ("drop", "flag"):
+        raise ValueError(f"mode must be 'drop' or 'flag', got {mode!r}")
+    bcol = bench_tokens if bench_tokens is not None else tokens
+    bcol = F.col(bcol) if isinstance(bcol, str) else bcol
+    scol = F.col(tokens) if isinstance(tokens, str) else tokens
+
+    bh_pdf = (
+        bench.select(F.explode(ngrams_col(bcol, n)).alias("__ng"))
+        .select(F.xxhash64("__ng").alias("h"))
+        .distinct()
+        .toPandas()
+    )
+    bh = np.unique(bh_pdf["h"].to_numpy(dtype=np.int64))
+    bc = stream.sparkSession.sparkContext.broadcast(bh)
+
+    @F.pandas_udf("boolean")
+    def any_hit(hs: pd.Series) -> pd.Series:
+        ref = bc.value
+        lens = np.fromiter((0 if v is None else len(v) for v in hs), dtype=np.int64,
+                           count=len(hs))
+        if len(ref) == 0 or lens.sum() == 0:
+            return pd.Series(np.zeros(len(hs), dtype=bool))
+        flat = np.concatenate([np.asarray(v, dtype=np.int64) for v in hs
+                               if v is not None and len(v)])
+        idx = np.searchsorted(ref, flat)
+        hit = (idx < len(ref)) & (ref[np.minimum(idx, len(ref) - 1)] == flat)
+        cs = np.concatenate([[0], np.cumsum(hit)])
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        return pd.Series(cs[ends] > cs[starts])
+
+    hashes = F.transform(ngrams_col(scol, n), lambda g: F.xxhash64(g))
+    flagged = any_hit(hashes)
+    if mode == "flag":
+        return stream.withColumn(flag_col, flagged)
+    return stream.filter(~flagged)

@@ -159,3 +159,70 @@ def test_grouped_partials_one_pass_matches_per_key(spark):
             df.filter(F.col("g") == key), lambda: HllSketch(12), cols=["v"]
         )
         assert merged[key].estimate() == solo.sketch.estimate()
+
+
+def test_decontaminate_stream_matches_batch(spark, sf_dir):
+    """Streaming decontam (per-row hash-set probe) must flag exactly
+    the docs the batch operator flags on the same corpus/benchmark."""
+    from pyspark.sql import functions as F
+
+    from bloomjoin_spark.operators import contaminated_docs, words_col
+    from bloomjoin_spark.streaming import decontaminate_stream, documents_stream
+    from bloomjoin_spark.streaming.sketch_stream import run_stream_to_memory
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 29 == 3)
+    expected = {
+        r["doc_id"]
+        for r in contaminated_docs(
+            docs, bench, n=6, corpus_tokens=words_col(F.col("text"))
+        ).collect()
+    }
+    flagged_stream = decontaminate_stream(
+        documents_stream(spark, sf_dir),
+        bench,
+        n=6,
+        tokens=words_col(F.col("text")),
+        mode="flag",
+    )
+    name = run_stream_to_memory(
+        flagged_stream.select("doc_id", "contaminated"),
+        "q_decontam_stream",
+        output_mode="append",
+    )
+    rows = spark.table(name).collect()
+    got = {r["doc_id"] for r in rows if r["contaminated"]}
+    assert got == expected
+    assert len(rows) == docs.count()  # flag mode keeps every row
+
+
+def test_decontaminate_stream_drop_mode_and_empty_bench(spark, sf_dir):
+    from pyspark.sql import Row, functions as F
+
+    from bloomjoin_spark.streaming import decontaminate_stream
+
+    # batch DataFrames are accepted too (the probe is stateless)
+    corpus = spark.createDataFrame(
+        [Row(doc_id=0, tokens=[1, 2, 3, 4]), Row(doc_id=1, tokens=[9, 9, 9, 9])],
+        "doc_id bigint, tokens array<int>",
+    )
+    bench = spark.createDataFrame(
+        [Row(tokens=[2, 3, 4])], "tokens array<int>"
+    )
+    kept = decontaminate_stream(corpus, bench, n=3)
+    assert [r["doc_id"] for r in kept.collect()] == [1]
+    # empty benchmark: nothing dropped
+    none = spark.createDataFrame([], "tokens array<int>")
+    assert decontaminate_stream(corpus, none, n=3).count() == 2
+
+
+def test_decontaminate_stream_validates_mode(spark):
+    from pyspark.sql import Row
+
+    from bloomjoin_spark.streaming import decontaminate_stream
+
+    df = spark.createDataFrame([Row(tokens=[1])], "tokens array<int>")
+    import pytest
+
+    with pytest.raises(ValueError):
+        decontaminate_stream(df, df, mode="bogus")
