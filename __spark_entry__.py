@@ -228,6 +228,19 @@ def _quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _source_divergence_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 4: corpus-mixture monitoring — exact KL(source ‖ corpus)
+    over per-source WORD distributions (no smoothing needed: source
+    support ⊆ corpus support).  One corpus-sized shuffle, then
+    vocabulary-sized arithmetic the oracle replicates step by step."""
+    from bloomjoin_spark.operators import group_token_divergence, words_col
+
+    docs = _t(spark, sf_dir, "documents")
+    return group_token_divergence(
+        docs, group_col="source", tokens=words_col(F.col("text"))
+    ).orderBy("source")
+
+
 def _pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 4: greedy partition-local sequence packing at
     max_tokens=64 over whitespace-tokenized documents.  Pack layout is
@@ -1066,6 +1079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_docs": _repetition_docs,
         "quality_docs": _quality_docs,
         "boilerplate_docs": _boilerplate_docs,
+        "source_divergence_docs": _source_divergence_docs,
         "decontam_tokens_f0": _decontam_tokens_f0,
         "hash_split_docs": _hash_split_docs,
         "weighted_mixture_docs": _weighted_mixture_docs,
@@ -1200,6 +1214,29 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT (SELECT COUNT(*) FROM flagged)::BIGINT AS n_flagged,
                    (SELECT COUNT(*) FROM documents)::BIGINT AS n_total
+        """,
+        "source_divergence_docs": r"""
+            WITH words AS (
+              SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS token
+              FROM documents WHERE length(trim(text)) > 0
+            ),
+            per AS (
+              SELECT source, token, COUNT(*)::DOUBLE AS n
+              FROM words GROUP BY source, token
+            ),
+            totals AS (SELECT source, SUM(n) AS gn FROM per GROUP BY source),
+            corpus AS (SELECT token, SUM(n) AS cn FROM per GROUP BY token),
+            ct AS (SELECT SUM(cn) AS ct FROM corpus)
+            SELECT p.source,
+                   t.gn::BIGINT AS n_tokens,
+                   COUNT(*)::BIGINT AS n_distinct_tokens,
+                   round(SUM((p.n / t.gn) * ln((p.n / t.gn) / (c.cn / ct.ct))), 6)
+                     AS kl_vs_corpus
+            FROM per p
+            JOIN corpus c USING (token)
+            JOIN totals t USING (source), ct
+            GROUP BY p.source, t.gn
+            ORDER BY p.source
         """,
         "repetition_docs": r"""
             WITH words AS (

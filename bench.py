@@ -256,6 +256,7 @@ def timed_min_q(name: str, fn, repeats: int = 3):
     capacity noise lands on whichever single repeat it likes); three
     repeats put the min back in the steady-state band."""
     SAMPLER.label = name
+    print(f"[bench] {name} ...", file=sys.stderr, flush=True)
     try:
         return timed_min(fn, repeats)
     finally:
