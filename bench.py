@@ -526,6 +526,21 @@ def run_headline(spark) -> dict[str, float]:
     qs["quality_filter_docs"], _ = timed_min_q("quality_filter_docs",
         lambda: quality_filter(docs).count()
     )
+    from bloomjoin_spark.operators import (
+        group_token_divergence,
+        remove_boilerplate_lines,
+        words_col,
+    )
+
+    qs["boilerplate_docs"], _ = timed_min_q("boilerplate_docs",
+        lambda: remove_boilerplate_lines(docs).agg(
+            F.sum(F.length("text"))).first()
+    )
+    qs["source_divergence_docs"], _ = timed_min_q("source_divergence_docs",
+        lambda: group_token_divergence(
+            docs, group_col="source", tokens=words_col(F.col("text"))
+        ).agg(F.sum("kl_vs_corpus")).first()
+    )
     toks.unpersist()
     lk.unpersist()
     return qs
