@@ -9,11 +9,11 @@ appendix C / PaLM-style 8-gram overlap decontamination):
 1. the benchmark side's distinct n-grams are small — build a Bloom
    filter over their 64-bit hashes (one treeAggregate / one JVM
    ``stat.bloomFilter`` job, never collected as raw n-grams);
-2. each corpus document computes ONE rolling-hash ladder over its
-   tokens (``ngram_hashes_col``: per-token xxhash64 + n−1 ``zip_with``
-   passes — O(n·L) long ops, no gram arrays, no explode) and is probed
-   with a short-circuiting per-document ANY, so the probe stage sees
-   |corpus| rows, not |corpus|·L;
+2. each corpus document computes ONE window-hash array over its
+   tokens (``ngram_hashes_col``: a single ``transform`` whose element
+   is the variadic ``xxhash64(arr[i..i+n−1])`` — no gram arrays, no
+   explode) and is probed with a short-circuiting per-document ANY, so
+   the probe stage sees |corpus| rows, not |corpus|·L;
 3. only candidate documents (true hits + ~L·fpp per-doc false
    positives — hence the 1e-4 default fpp) materialize their gram
    arrays, and an EXACT join on n-gram equality removes every false
@@ -50,6 +50,7 @@ _NG = "__bj_ng"
 _H = "__bj_ngh"
 
 __all__ = [
+    "ngram_hashes_col",
     "ngrams_col",
     "words_col",
     "contaminated_docs",

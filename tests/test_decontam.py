@@ -136,3 +136,32 @@ def test_explode_stage_stays_pruned(spark, sf_dir):
     for s in scans:
         cols = {c.split(":")[0] for c in s.split(",") if c}
         assert cols <= {"doc_id", "text"}, f"unpruned scan: {cols}"
+
+
+def test_ngram_hashes_match_gram_hashes(spark):
+    """The window hash of a doc at position i must equal the window
+    hash of the isolated gram — the cross-side contract the build and
+    probe rely on."""
+    from bloomjoin_spark.operators import ngram_hashes_col, ngrams_col
+
+    df = _docs(spark, [(0, [5, 6, 7, 8, 9])])
+    row = df.select(
+        ngram_hashes_col(F.col("tokens"), 3).alias("h"),
+        ngrams_col(F.col("tokens"), 3).alias("g"),
+    ).collect()[0]
+    gram_hashes = []
+    for g in row["g"]:
+        gdf = spark.createDataFrame([(g,)], "tokens array<int>")
+        gram_hashes.append(
+            gdf.select(ngram_hashes_col(F.col("tokens"), 3).alias("h")).collect()[0]["h"][0]
+        )
+    assert row["h"] == gram_hashes
+
+
+def test_sketch_engine_handles_null_and_short_rows(spark):
+    corpus = _docs(
+        spark, [(0, [1, 2, 3]), (1, None), (2, []), (3, [9])]
+    )
+    bench = _docs(spark, [(50, [1, 2, 3])])
+    got = contaminated_docs(corpus, bench, n=3, engine="bloom")
+    assert {(r["doc_id"], r["n_hits"]) for r in got.collect()} == {(0, 1)}
