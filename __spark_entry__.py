@@ -241,6 +241,32 @@ def _source_divergence_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
+def _scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 4: PII scrubbing (Dolma/C4-style masking) — emails, URLs
+    and IPv4s planted deterministically per doc (the corpus itself is
+    PII-free), masked by the RE2-compatible default patterns; the
+    oracle rebuilds the same planted text and applies the identical
+    regexes, pinning both the scrubbed string and the match counts."""
+    from bloomjoin_spark.operators import scrub_patterns
+
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.concat(F.lit(" cc admin"), F.col("doc_id").cast("string"),
+                            F.lit("@ex.org"))).otherwise(F.lit("")),
+            F.lit(" see https://site.io/p?q="), F.col("doc_id").cast("string"),
+            F.lit(" at 10.0.0."), (F.col("doc_id") % 256).cast("string"),
+        ).alias("text"),
+    )
+    out = scrub_patterns(planted)
+    return out.select("doc_id", "text", "n_email", "n_url", "n_ipv4").orderBy("doc_id")
+
+
 def _pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 4: greedy partition-local sequence packing at
     max_tokens=64 over whitespace-tokenized documents.  Pack layout is
@@ -1080,6 +1106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_docs": _quality_docs,
         "boilerplate_docs": _boilerplate_docs,
         "source_divergence_docs": _source_divergence_docs,
+        "scrub_docs": _scrub_docs,
         "decontam_tokens_f0": _decontam_tokens_f0,
         "hash_split_docs": _hash_split_docs,
         "weighted_mixture_docs": _weighted_mixture_docs,
@@ -1237,6 +1264,35 @@ def oracle_sql() -> dict[str, str]:
             JOIN totals t USING (source), ct
             GROUP BY p.source, t.gn
             ORDER BY p.source
+        """,
+        "scrub_docs": r"""
+            WITH planted AS (
+              SELECT doc_id,
+                     text || ' contact user' || doc_id::VARCHAR || '@example.com'
+                     || CASE WHEN doc_id % 3 = 0
+                             THEN ' cc admin' || doc_id::VARCHAR || '@ex.org'
+                             ELSE '' END
+                     || ' see https://site.io/p?q=' || doc_id::VARCHAR
+                     || ' at 10.0.0.' || (doc_id % 256)::VARCHAR AS text
+              FROM documents
+            )
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(text,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                         '<EMAIL>', 'g'),
+                       'https?://[^\s]+', '<URL>', 'g'),
+                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')
+                     AS text,
+                   len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::INT
+                     AS n_email,
+                   len(regexp_extract_all(text, 'https?://[^\s]+'))::INT AS n_url,
+                   len(regexp_extract_all(text,
+                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::INT AS n_ipv4
+            FROM planted
+            ORDER BY doc_id
         """,
         "repetition_docs": r"""
             WITH words AS (

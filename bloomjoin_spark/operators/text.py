@@ -290,3 +290,48 @@ def quality_filter(df: DataFrame, text_col: str = "text", **thresholds) -> DataF
     schema preserved (rule columns are internal to the filter)."""
     ruled = add_quality_rules(df, text_col=text_col, **thresholds)
     return ruled.where(F.col("passes_quality")).select(*df.columns)
+
+
+# ---------------------------------------------------------------------------
+# PII / pattern scrubbing (Dolma/C4-style masking).  Patterns are kept
+# RE2-compatible (no lookaround, no backrefs) so the same regex runs
+# identically on Spark (Java regex) and the DuckDB oracle (RE2).
+# ---------------------------------------------------------------------------
+
+#: name -> (pattern, replacement). Order matters: URL before EMAIL would
+#: not change results here, but the dict order is the applied order.
+DEFAULT_SCRUB_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "url": (r"https?://[^\s]+", "<URL>"),
+    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+}
+
+
+def scrub_patterns(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: dict[str, tuple[str, str]] | None = None,
+    out_col: str | None = None,
+    with_counts: bool = True,
+) -> DataFrame:
+    """Mask PII-ish spans in ``text_col`` (default: emails, URLs, IPv4)
+    and, with ``with_counts``, add an ``n_<name>`` match count per
+    pattern — all whole-stage-codegen ``regexp_replace`` /
+    ``regexp_count`` expressions, no Python.
+
+    Counts are computed on the ORIGINAL text (before any replacement),
+    so pattern order cannot hide matches from the counts; replacements
+    are applied in dict order.  Masking is heuristic, not a guarantee —
+    the default patterns trade recall for precision (no phone numbers:
+    locale formats false-positive too much on numeric corpora)."""
+    out_col = out_col or text_col
+    patterns = DEFAULT_SCRUB_PATTERNS if patterns is None else patterns
+    t = F.col(text_col)
+    out = df
+    if with_counts:
+        for name, (pat, _) in patterns.items():
+            out = out.withColumn(f"n_{name}", F.regexp_count(t, F.lit(pat)))
+    scrubbed = t
+    for _, (pat, repl) in patterns.items():
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return out.withColumn(out_col, scrubbed)

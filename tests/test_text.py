@@ -204,3 +204,39 @@ def test_quality_filter_preserves_schema(spark):
     kept = quality_filter(df, min_words=20)
     assert kept.columns == ["doc_id", "text"]
     assert [r["doc_id"] for r in kept.collect()] == [0]
+
+
+def test_scrub_patterns_masks_and_counts(spark):
+    from bloomjoin_spark.operators import scrub_patterns
+
+    df = _tdf(
+        spark,
+        [
+            (0, "mail a.b+c@ex-site.org and http://x.io/p?q=1 from 10.0.0.1"),
+            (1, "nothing here"),
+            (2, "two mails x@y.zz w@v.com"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in scrub_patterns(df).collect()}
+    assert out[0]["text"] == "mail <EMAIL> and <URL> from <IP>"
+    assert (out[0]["n_email"], out[0]["n_url"], out[0]["n_ipv4"]) == (1, 1, 1)
+    assert out[1]["text"] == "nothing here" and out[1]["n_email"] == 0
+    assert out[2]["n_email"] == 2 and out[2]["text"] == "two mails <EMAIL> <EMAIL>"
+
+
+def test_scrub_patterns_out_col_and_no_counts(spark):
+    from bloomjoin_spark.operators import scrub_patterns
+
+    df = _tdf(spark, [(0, "x@y.zz")])
+    out = scrub_patterns(df, out_col="clean", with_counts=False)
+    assert set(out.columns) == {"doc_id", "text", "clean"}
+    r = out.collect()[0]
+    assert r["text"] == "x@y.zz" and r["clean"] == "<EMAIL>"
+
+
+def test_scrub_patterns_stays_jvm(spark, sf_dir):
+    from bloomjoin_spark.operators import scrub_patterns
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = scrub_patterns(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Exchange" not in plan
