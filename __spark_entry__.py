@@ -267,6 +267,16 @@ def _scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "text", "n_email", "n_url", "n_ipv4").orderBy("doc_id")
 
 
+def _chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 4: context-window chunking — ≤32-word chunks with 4 words
+    of overlap, row-local codegen (no shuffle, no Python).  The oracle
+    recomputes every chunk string with identical slicing arithmetic."""
+    from bloomjoin_spark.operators import chunk_words
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_words(docs, max_words=32, overlap=4).orderBy("doc_id", "chunk_id")
+
+
 def _pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 4: greedy partition-local sequence packing at
     max_tokens=64 over whitespace-tokenized documents.  Pack layout is
@@ -1107,6 +1117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_docs": _boilerplate_docs,
         "source_divergence_docs": _source_divergence_docs,
         "scrub_docs": _scrub_docs,
+        "chunk_docs": _chunk_docs,
         "decontam_tokens_f0": _decontam_tokens_f0,
         "hash_split_docs": _hash_split_docs,
         "weighted_mixture_docs": _weighted_mixture_docs,
@@ -1293,6 +1304,25 @@ def oracle_sql() -> dict[str, str]:
                      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::INT AS n_ipv4
             FROM planted
             ORDER BY doc_id
+        """,
+        "chunk_docs": r"""
+            WITH words AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                          ELSE string_split_regex(trim(text), '\s+') END AS w
+              FROM documents
+            ),
+            ch AS (
+              SELECT doc_id, i::INT AS chunk_id,
+                     array_to_string(w[(i-1)*28+1 : (i-1)*28+32], ' ') AS chunk_text,
+                     len(w[(i-1)*28+1 : (i-1)*28+32])::INT AS n_words
+              FROM words, UNNEST(generate_series(1,
+                    CASE WHEN len(w) = 0 THEN 0
+                         WHEN len(w) <= 32 THEN 1
+                         ELSE cast(ceil((len(w) - 32) / 28.0) AS INT) + 1 END)) t(i)
+            )
+            SELECT doc_id, chunk_id, chunk_text, n_words
+            FROM ch ORDER BY doc_id, chunk_id
         """,
         "repetition_docs": r"""
             WITH words AS (

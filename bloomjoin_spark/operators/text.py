@@ -335,3 +335,52 @@ def scrub_patterns(
     for _, (pat, repl) in patterns.items():
         scrubbed = F.regexp_replace(scrubbed, pat, repl)
     return out.withColumn(out_col, scrubbed)
+
+
+def chunk_words(
+    df: DataFrame,
+    max_words: int = 512,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into training-context chunks of ≤ ``max_words``
+    whitespace words with ``overlap`` words of context carry-over —
+    ``(id_col, chunk_id, chunk_text, n_words)``, chunk_id 1-based in
+    document order.  Chunking is row-local whole-stage codegen
+    (``sequence`` → ``transform`` → ``slice`` → ``array_join`` →
+    ``posexplode``): no shuffle, no Python, and a 100 TB corpus chunks
+    in a single map stage.  Blank docs produce no chunks; the word
+    count of every chunk except possibly the last equals ``max_words``
+    and the last is the remainder (conservation: sum(n_words) =
+    doc words + overlap·(chunks−1))."""
+    if max_words < 1:
+        raise ValueError(f"max_words must be >= 1, got {max_words}")
+    if not (0 <= overlap < max_words):
+        raise ValueError(f"overlap must be in [0, max_words), got {overlap}")
+    stride = max_words - overlap
+    t = F.trim(F.col(text_col))
+    words = F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+    base = df.select(F.col(id_col), words.alias("__cw_w"))
+    nw = F.size("__cw_w")
+    n_chunks = F.when(
+        nw <= max_words, F.least(nw, F.lit(1))
+    ).otherwise(F.ceil((nw - F.lit(max_words)) / F.lit(stride)) + 1)
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_chunks, F.lit(1))),
+        lambda i: F.slice(F.col("__cw_w"), (i - 1) * stride + 1, max_words),
+    )
+    out = base.select(
+        F.col(id_col),
+        F.posexplode(F.when(nw >= 1, chunks).otherwise(
+            F.array().cast("array<array<string>>")
+        )).alias("__cw_pos", "__cw_chunk"),
+    )
+    return out.select(
+        F.col(id_col),
+        (F.col("__cw_pos") + 1).alias("chunk_id"),
+        F.array_join("__cw_chunk", " ").alias("chunk_text"),
+        F.size("__cw_chunk").alias("n_words"),
+    )

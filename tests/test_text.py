@@ -240,3 +240,57 @@ def test_scrub_patterns_stays_jvm(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     plan = scrub_patterns(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "Exchange" not in plan
+
+
+def test_chunk_words_exact_boundaries(spark):
+    from bloomjoin_spark.operators import chunk_words
+
+    df = _tdf(spark, [(0, "a b c d e f g"), (1, "x y"), (2, "   ")])
+    rows = sorted(
+        (r["doc_id"], r["chunk_id"], r["chunk_text"], r["n_words"])
+        for r in chunk_words(df, max_words=3).collect()
+    )
+    assert rows == [
+        (0, 1, "a b c", 3),
+        (0, 2, "d e f", 3),
+        (0, 3, "g", 1),
+        (1, 1, "x y", 2),
+    ]  # blank doc produces no chunks
+
+
+def test_chunk_words_overlap_and_conservation(spark):
+    from bloomjoin_spark.operators import chunk_words
+
+    df = _tdf(spark, [(0, " ".join(f"w{i}" for i in range(10)))])
+    rows = sorted(
+        (r["chunk_id"], r["chunk_text"]) for r in
+        chunk_words(df, max_words=4, overlap=1).collect()
+    )
+    # stride 3: [0:4], [3:7], [6:10]
+    assert rows == [
+        (1, "w0 w1 w2 w3"),
+        (2, "w3 w4 w5 w6"),
+        (3, "w6 w7 w8 w9"),
+    ]
+
+
+def test_chunk_words_single_chunk_and_validation(spark):
+    from bloomjoin_spark.operators import chunk_words
+
+    df = _tdf(spark, [(0, "a b")])
+    rows = chunk_words(df, max_words=10).collect()
+    assert len(rows) == 1 and rows[0]["chunk_text"] == "a b"
+    import pytest
+
+    with pytest.raises(ValueError):
+        chunk_words(df, max_words=0)
+    with pytest.raises(ValueError):
+        chunk_words(df, max_words=4, overlap=4)
+
+
+def test_chunk_words_no_shuffle(spark, sf_dir):
+    from bloomjoin_spark.operators import chunk_words
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = chunk_words(docs, 32)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
