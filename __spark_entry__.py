@@ -160,12 +160,14 @@ def _decontam_tokens_f0(spark: SparkSession, sf_dir: str) -> DataFrame:
     docnum = F.substring("doc_id", 5, 16).cast("bigint")
     is_src = (docnum % 97 == 0) & (F.size("tokens") >= 12)
     bench = toks.where(is_src).select(F.slice("tokens", 3, 8).alias("tokens"))
-    got = contaminated_docs(toks, bench, n=8)
+    # localCheckpoint: got/exact feed four comparison actions below —
+    # without it each action rebuilds the filter and rescans the table
+    got = contaminated_docs(toks, bench, n=8).localCheckpoint(eager=False)
     c = toks.select("doc_id", F.explode(ngrams_col(F.col("tokens"), 8)).alias("ng"))
     b = bench.select(F.explode(ngrams_col(F.col("tokens"), 8)).alias("ng")).distinct()
     exact = c.join(b, "ng").groupBy("doc_id").agg(
         F.count_distinct("ng").alias("n_hits")
-    )
+    ).localCheckpoint(eager=False)
     diff = got.exceptAll(exact).count() + exact.exceptAll(got).count()
     n_src = toks.where(is_src).count()
     n_src_flagged = got.join(

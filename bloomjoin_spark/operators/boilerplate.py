@@ -10,8 +10,12 @@ Scale shape (the part that must survive 100 TB):
   pairs — 16 bytes/row, never the line text — into one
   partial-aggregated distinct count per line hash;
 - the boilerplate set (lines in ≥ min_docs docs) is proportional to
-  the amount of TRUE boilerplate, so Spark broadcasts it and the
-  removal anti-join never shuffles the corpus;
+  the amount of TRUE boilerplate, so in the common case AQE converts
+  the removal anti-join to a broadcast join at runtime (its size is
+  known post-aggregation) and the corpus never re-shuffles for the
+  removal; a pathological corpus whose duplicated-line vocabulary is
+  itself huge degrades to a shuffled anti-join instead of OOMing a
+  forced broadcast;
 - reassembly is the one unavoidable corpus-wide shuffle: group by
   doc_id, ``array_sort`` on position, ``array_join`` — partial
   collect_list on the map side, doc-sized rows on the reduce side.
@@ -85,7 +89,11 @@ def remove_boilerplate_lines(
         .where(F.col("__bp_n") >= min_docs)
         .select(_LH)
     )
-    kept = lines.join(F.broadcast(common), on=_LH, how="left_anti")
+    # no forced broadcast: AQE sees the aggregate's actual output size
+    # and picks broadcast (common case) or shuffle (pathological corpus
+    # where the boilerplate set itself is huge) — a forced F.broadcast
+    # would OOM at exactly the scale this module claims to survive
+    kept = lines.join(common, on=_LH, how="left_anti")
     rebuilt = kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(

@@ -45,6 +45,7 @@ from .bloom_join import (
     _native_build_filter,
     _native_might_contain,
 )
+from .text import words_col  # canonical tokenization (re-exported)
 
 _NG = "__bj_ng"
 _H = "__bj_ngh"
@@ -98,23 +99,40 @@ def ngram_hashes_col(arr: Column, n: int) -> Column:
     first for exactly this reason."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
+    if n > 63:
+        raise ValueError(f"n must be <= 63 (null-bitmask width), got {n}")
     m = F.size(arr) - F.lit(n - 1)
-    return F.when(
-        m >= 1,
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
-            lambda i: F.xxhash64(*[F.element_at(arr, i + j) for j in range(n)]),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
 
+    # xxhash64 SKIPS null arguments, so windows differing only in null
+    # placement would collide deterministically ([null,a,b] == [a,null,b]
+    # == [a,b]+null-elsewhere).  Every window therefore hashes with a
+    # trailing null-bitmask argument: a constant 0 on the no-null fast
+    # path (same domain, negligible cost), the real per-window mask on
+    # rows that contain a null — only those pay the 2× element lookups.
+    # the mask lane is ALWAYS bigint: xxhash64 hashes int and bigint
+    # values differently, so a type flip between the two paths (or
+    # between n ≤ 31 and n > 31, where the bit constants leave int32
+    # range) would silently split the hash domain
+    def window(i: Column) -> Column:
+        return F.xxhash64(
+            *[F.element_at(arr, i + j) for j in range(n)],
+            F.lit(0).cast("bigint"),
+        )
 
-def words_col(text: Column) -> Column:
-    """Whitespace word array of a text column (empty for blank text) —
-    the word-level tokenization the DuckDB oracle mirrors with
-    ``string_split_regex(trim(text), '\\s+')``."""
-    t = F.trim(text)
-    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
-        F.split(t, r"\s+")
+    def window_nullsafe(i: Column) -> Column:
+        mask = F.lit(0).cast("bigint")
+        for j in range(n):
+            mask = mask + F.when(
+                F.element_at(arr, i + j).isNull(), F.lit(1 << j).cast("bigint")
+            ).otherwise(F.lit(0).cast("bigint"))
+        return F.xxhash64(*[F.element_at(arr, i + j) for j in range(n)], mask)
+
+    seq = F.sequence(F.lit(1), F.greatest(m, F.lit(1)))
+    has_null = F.exists(arr, lambda x: x.isNull())
+    return F.when(m < 1, F.array().cast("array<bigint>")).otherwise(
+        F.when(has_null, F.transform(seq, window_nullsafe)).otherwise(
+            F.transform(seq, window)
+        )
     )
 
 
@@ -133,28 +151,36 @@ def _resolve_col(df: DataFrame, col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+def segmented_any(hs: pd.Series, hit_fn) -> pd.Series:
+    """Per-document ANY over a batch of ``array<bigint>`` hash rows:
+    flatten the batch, run ``hit_fn(flat_int64) -> bool[]`` ONCE, then
+    segment-ANY via cumsum — the shared scaffolding of every vectorized
+    membership probe (batch sketch engine here, exact hash-set probe in
+    ``streaming.decontaminate_stream``).  NULL/empty rows → False."""
+    lens = np.fromiter(
+        (0 if v is None else len(v) for v in hs), dtype=np.int64, count=len(hs)
+    )
+    if int(lens.sum()) == 0:
+        return pd.Series(np.zeros(len(hs), dtype=bool))
+    flat = np.concatenate(
+        [np.asarray(v, dtype=np.int64) for v in hs if v is not None and len(v)]
+    )
+    hit = np.asarray(hit_fn(flat), dtype=bool)
+    cs = np.concatenate([[0], np.cumsum(hit)])
+    ends = np.cumsum(lens)
+    return pd.Series(cs[ends] > cs[ends - lens])
+
+
 def _any_in_bloom_udf(bc):
     """Vectorized per-document ANY-gram-in-filter probe over an
-    ``array<bigint>`` hash column (sketch engine): flatten the batch,
-    one ``contains_hashes`` pass, segment-ANY via cumsum — no per-row
-    Python.  ``asNondeterministic`` for the same constraint-propagation
-    reason as ``bloom_join._make_probe_udf``."""
+    ``array<bigint>`` hash column (sketch engine) — ``segmented_any``
+    with a Bloom membership test.  ``asNondeterministic`` for the same
+    constraint-propagation reason as ``bloom_join._make_probe_udf``."""
 
     @F.pandas_udf("boolean")
     def probe(hs: pd.Series) -> pd.Series:
         bf = bc.value
-        lens = np.fromiter(
-            (0 if v is None else len(v) for v in hs), dtype=np.int64, count=len(hs)
-        )
-        if int(lens.sum()) == 0:
-            return pd.Series(np.zeros(len(hs), dtype=bool))
-        flat = np.concatenate(
-            [np.asarray(v, dtype=np.int64) for v in hs if v is not None and len(v)]
-        )
-        hit = bf.contains_hashes(flat.view(np.uint64))
-        cs = np.concatenate([[0], np.cumsum(hit)])
-        ends = np.cumsum(lens)
-        return pd.Series(cs[ends] > cs[ends - lens])
+        return segmented_any(hs, lambda flat: bf.contains_hashes(flat.view(np.uint64)))
 
     return probe.asNondeterministic()
 

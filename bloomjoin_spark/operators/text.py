@@ -27,6 +27,18 @@ LANG_MARKERS = {
 STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it", "that", "for"]
 
 
+def words_col(text: Column) -> Column:
+    """Whitespace word array of a text column (empty for blank text) —
+    THE canonical tokenization every text operator shares, and what the
+    DuckDB oracles mirror with ``string_split_regex(trim(text),
+    '\\s+')``.  Change it here and every operator (and oracle) moves
+    together."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
 def token_count_col(text: Column) -> Column:
     """Whitespace token count (0 for empty/blank)."""
     t = F.trim(text)
@@ -172,9 +184,7 @@ def add_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     lines = F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
         F.split(F.col(text_col), r"\n")
     )
-    words = F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
-        F.split(t, r"\s+")
-    )
+    words = words_col(F.col(text_col))
     out = df
     for name, arr in (("line", lines), ("word", words)):
         dis = F.array_distinct(arr)
@@ -204,7 +214,7 @@ def top_ngram_frac(
 
     Returns ``(id_col, top_ngram_count, top_ngram_char_frac)``.
     """
-    from .decontam import ngrams_col, words_col
+    from .decontam import ngrams_col
 
     words = words_col(F.col(text_col))
     base = df.select(
@@ -251,11 +261,26 @@ def add_quality_rules(
       stopwords present (Gopher's "has common English words" proxy).
 
     Thresholds are data-dependent knobs, not constants to trust — the
-    defaults suit the synthetic corpus; tune per corpus."""
-    t = F.trim(F.lower(F.col(text_col)))
-    words = F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
-        F.split(t, r"\s+")
-    )
+    defaults suit the synthetic corpus; tune per corpus.  Existing
+    columns with these names are OVERWRITTEN (recompute semantics);
+    use ``quality_filter`` when you only want the predicate."""
+    for name, col in _quality_rule_cols(
+        text_col, min_words, max_words, min_mean_word_len, max_mean_word_len,
+        max_dup_word_frac, min_alpha_word_frac, min_distinct_stopwords,
+    ).items():
+        df = df.withColumn(name, col)
+    return df
+
+
+def _quality_rule_cols(
+    text_col, min_words, max_words, min_mean_word_len, max_mean_word_len,
+    max_dup_word_frac, min_alpha_word_frac, min_distinct_stopwords,
+) -> "dict[str, Column]":
+    """The rule expressions themselves, name → boolean Column — shared
+    by ``add_quality_rules`` (materializes columns, OVERWRITING any
+    same-named caller columns) and ``quality_filter`` (filters on the
+    conjunction directly, so caller columns are never touched)."""
+    words = words_col(F.lower(F.col(text_col)))
     nw = F.size(words)
     mean_len = F.when(nw > 0, _sum_len(words).cast("double") / nw).otherwise(F.lit(0.0))
     dup_frac = F.when(
@@ -265,31 +290,41 @@ def add_quality_rules(
     alpha_frac = F.when(nw > 0, alpha.cast("double") / nw).otherwise(F.lit(0.0))
     stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
     n_stop = F.size(F.array_intersect(F.array_distinct(words), stop_arr))
-    out = (
-        df.withColumn("rule_word_count", (nw >= min_words) & (nw <= max_words))
-        .withColumn(
-            "rule_mean_word_len",
-            (mean_len >= min_mean_word_len) & (mean_len <= max_mean_word_len),
-        )
-        .withColumn("rule_dup_words", dup_frac <= max_dup_word_frac)
-        .withColumn("rule_alpha_words", alpha_frac >= min_alpha_word_frac)
-        .withColumn("rule_stopwords", n_stop >= min_distinct_stopwords)
-    )
-    return out.withColumn(
-        "passes_quality",
-        F.col("rule_word_count")
-        & F.col("rule_mean_word_len")
-        & F.col("rule_dup_words")
-        & F.col("rule_alpha_words")
-        & F.col("rule_stopwords"),
-    )
+    rules = {
+        "rule_word_count": (nw >= min_words) & (nw <= max_words),
+        "rule_mean_word_len": (mean_len >= min_mean_word_len)
+        & (mean_len <= max_mean_word_len),
+        "rule_dup_words": dup_frac <= max_dup_word_frac,
+        "rule_alpha_words": alpha_frac >= min_alpha_word_frac,
+        "rule_stopwords": n_stop >= min_distinct_stopwords,
+    }
+    passes = None
+    for col in rules.values():
+        passes = col if passes is None else passes & col
+    rules["passes_quality"] = passes
+    return rules
 
 
-def quality_filter(df: DataFrame, text_col: str = "text", **thresholds) -> DataFrame:
-    """``df`` restricted to rows passing every quality rule, original
-    schema preserved (rule columns are internal to the filter)."""
-    ruled = add_quality_rules(df, text_col=text_col, **thresholds)
-    return ruled.where(F.col("passes_quality")).select(*df.columns)
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 30,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    max_dup_word_frac: float = 0.6,
+    min_alpha_word_frac: float = 0.8,
+    min_distinct_stopwords: int = 1,
+) -> DataFrame:
+    """``df`` restricted to rows passing every quality rule — the
+    predicate is applied directly (no intermediate columns), so
+    pre-existing caller columns named ``rule_*``/``passes_quality``
+    are neither read nor clobbered and the schema is preserved."""
+    rules = _quality_rule_cols(
+        text_col, min_words, max_words, min_mean_word_len, max_mean_word_len,
+        max_dup_word_frac, min_alpha_word_frac, min_distinct_stopwords,
+    )
+    return df.where(rules["passes_quality"])
 
 
 # ---------------------------------------------------------------------------
@@ -321,7 +356,8 @@ def scrub_patterns(
 
     Counts are computed on the ORIGINAL text (before any replacement),
     so pattern order cannot hide matches from the counts; replacements
-    are applied in dict order.  Masking is heuristic, not a guarantee —
+    are applied in dict order.  Existing ``n_<name>``/``out_col``
+    columns are overwritten.  Masking is heuristic, not a guarantee —
     the default patterns trade recall for precision (no phone numbers:
     locale formats false-positive too much on numeric corpora)."""
     out_col = out_col or text_col
@@ -359,11 +395,7 @@ def chunk_words(
     if not (0 <= overlap < max_words):
         raise ValueError(f"overlap must be in [0, max_words), got {overlap}")
     stride = max_words - overlap
-    t = F.trim(F.col(text_col))
-    words = F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
-        F.split(t, r"\s+")
-    )
-    base = df.select(F.col(id_col), words.alias("__cw_w"))
+    base = df.select(F.col(id_col), words_col(F.col(text_col)).alias("__cw_w"))
     nw = F.size("__cw_w")
     n_chunks = F.when(
         nw <= max_words, F.least(nw, F.lit(1))

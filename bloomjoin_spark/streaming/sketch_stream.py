@@ -305,7 +305,6 @@ def decontaminate_stream(
     n: int = 8,
     tokens="tokens",
     bench_tokens=None,
-    fpp: float = 0.01,
     mode: str = "drop",
     flag_col: str = "contaminated",
 ) -> DataFrame:
@@ -323,7 +322,8 @@ def decontaminate_stream(
     (JVM computes the per-doc hash array via
     ``transform(ngrams, xxhash64)``; numpy ``searchsorted`` decides).
 
-    Membership is EXACT at the hash level — no Bloom false positives;
+    Membership is EXACT at the hash level — there is NO Bloom filter in
+    this path (hence no ``fpp`` knob, unlike the batch operator);
     two distinct n-grams colliding in 64 bits (≈2⁻⁶⁴) could wrongly
     flag a doc, the standard dedup-hash caveat.  Same static-snapshot
     caveat as ``bloom_join_stream``: the set is frozen at call time.
@@ -351,21 +351,19 @@ def decontaminate_stream(
     bh = np.unique(bh_pdf["h"].to_numpy(dtype=np.int64))
     bc = stream.sparkSession.sparkContext.broadcast(bh)
 
+    from ..operators.decontam import segmented_any
+
     @F.pandas_udf("boolean")
     def any_hit(hs: pd.Series) -> pd.Series:
         ref = bc.value
-        lens = np.fromiter((0 if v is None else len(v) for v in hs), dtype=np.int64,
-                           count=len(hs))
-        if len(ref) == 0 or lens.sum() == 0:
-            return pd.Series(np.zeros(len(hs), dtype=bool))
-        flat = np.concatenate([np.asarray(v, dtype=np.int64) for v in hs
-                               if v is not None and len(v)])
-        idx = np.searchsorted(ref, flat)
-        hit = (idx < len(ref)) & (ref[np.minimum(idx, len(ref) - 1)] == flat)
-        cs = np.concatenate([[0], np.cumsum(hit)])
-        ends = np.cumsum(lens)
-        starts = ends - lens
-        return pd.Series(cs[ends] > cs[starts])
+
+        def hit_fn(flat):
+            if len(ref) == 0:
+                return np.zeros(len(flat), dtype=bool)
+            idx = np.searchsorted(ref, flat)
+            return (idx < len(ref)) & (ref[np.minimum(idx, len(ref) - 1)] == flat)
+
+        return segmented_any(hs, hit_fn)
 
     base = stream.withColumn("__bj_toks", scol)
     flagged = any_hit(ngram_hashes_col(F.col("__bj_toks"), n))

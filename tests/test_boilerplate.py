@@ -88,8 +88,12 @@ def test_corpus_shuffle_is_hash_only_and_anti_join_broadcasts(spark, sf_dir):
     the removal itself."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     out = remove_boilerplate_lines(docs)
+    out.count()  # materialize: the anti-join strategy is AQE's runtime
+    # choice (no forced broadcast — a huge boilerplate set must be able
+    # to degrade to shuffle), so inspect the FINAL adaptive plan
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
     # count-side exchange carries only the hash + doc id
     import re
 

@@ -165,3 +165,37 @@ def test_sketch_engine_handles_null_and_short_rows(spark):
     bench = _docs(spark, [(50, [1, 2, 3])])
     got = contaminated_docs(corpus, bench, n=3, engine="bloom")
     assert {(r["doc_id"], r["n_hits"]) for r in got.collect()} == {(0, 1)}
+
+
+def test_null_tokens_do_not_collide_windows(spark):
+    """xxhash64 skips null args — the null-bitmask lane must keep
+    [null,a,b], [a,null,b] and [a,b,null] in distinct hash domains,
+    and a clean window must hash identically whether or not its row
+    contains a null elsewhere."""
+    from bloomjoin_spark.operators import ngram_hashes_col
+
+    df = _docs(
+        spark,
+        [
+            (0, [None, 7, 8]),
+            (1, [7, None, 8]),
+            (2, [7, 8, None]),
+            (3, [7, 8, 9, None]),   # clean window [7,8,9] in a dirty row
+            (4, [7, 8, 9]),         # same window in a clean row
+        ],
+    )
+    rows = {
+        r["doc_id"]: r["h"]
+        for r in df.select(
+            "doc_id", ngram_hashes_col(F.col("tokens"), 3).alias("h")
+        ).collect()
+    }
+    assert len({rows[0][0], rows[1][0], rows[2][0]}) == 3
+    assert rows[3][0] == rows[4][0]
+
+
+def test_ngram_hashes_rejects_oversize_n():
+    from bloomjoin_spark.operators import ngram_hashes_col
+
+    with pytest.raises(ValueError):
+        ngram_hashes_col(F.col("x"), 64)

@@ -294,3 +294,20 @@ def test_chunk_words_no_shuffle(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     plan = chunk_words(docs, 32)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_quality_filter_does_not_clobber_caller_rule_columns(spark):
+    """A caller's own rule_*/passes_quality columns must ride through
+    quality_filter untouched (the predicate is applied directly)."""
+    from pyspark.sql import Row
+
+    from bloomjoin_spark.operators import quality_filter
+
+    good = "the and " + " ".join(f"word{i}" for i in range(28))
+    df = spark.createDataFrame(
+        [Row(doc_id=0, text=good, passes_quality="caller-owned")],
+        "doc_id bigint, text string, passes_quality string",
+    )
+    out = quality_filter(df, min_words=20)
+    assert out.columns == ["doc_id", "text", "passes_quality"]
+    assert out.collect()[0]["passes_quality"] == "caller-owned"
