@@ -279,6 +279,28 @@ def _chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_words(docs, max_words=32, overlap=4).orderBy("doc_id", "chunk_id")
 
 
+def _token_budget_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 4: budget-driven training mix — each budgeted source is
+    sampled to ≈budget chars (rate = min(1, budget/actual), doc-level
+    Bernoulli on the portable md5 bucket); the oracle recomputes the
+    totals, rates, hex thresholds, and the IDENTICAL kept rows."""
+    from bloomjoin_spark.operators import token_budget_mixture
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = token_budget_mixture(
+        docs, "doc_id", {"src0": 500, "src1": 2000},
+        count_col="n_chars", keep_unbudgeted=False,
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_chars").alias("kept_chars"),
+        )
+        .orderBy("source")
+    )
+
+
 def _pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 4: greedy partition-local sequence packing at
     max_tokens=64 over whitespace-tokenized documents.  Pack layout is
@@ -1120,6 +1142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_divergence_docs": _source_divergence_docs,
         "scrub_docs": _scrub_docs,
         "chunk_docs": _chunk_docs,
+        "token_budget_docs": _token_budget_docs,
         "decontam_tokens_f0": _decontam_tokens_f0,
         "hash_split_docs": _hash_split_docs,
         "weighted_mixture_docs": _weighted_mixture_docs,
@@ -1325,6 +1348,30 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, chunk_id, chunk_text, n_words
             FROM ch ORDER BY doc_id, chunk_id
+        """,
+        "token_budget_docs": """
+            WITH totals AS (
+              SELECT source, SUM(n_chars)::DOUBLE AS t
+              FROM documents GROUP BY source
+            ),
+            th AS (
+              SELECT source,
+                     CASE WHEN rate >= 1.0 THEN 'g'
+                          ELSE printf('%04x', CAST(round(rate * 65536) AS INT))
+                     END AS lim
+              FROM (
+                SELECT source,
+                       LEAST(1.0, CASE source WHEN 'src0' THEN 500.0
+                                              WHEN 'src1' THEN 2000.0 END / t)
+                         AS rate
+                FROM totals WHERE source IN ('src0', 'src1')
+              )
+            )
+            SELECT d.source, COUNT(*)::BIGINT AS n_rows,
+                   SUM(d.n_chars)::BIGINT AS kept_chars
+            FROM documents d JOIN th USING (source)
+            WHERE substr(md5(d.doc_id::VARCHAR || '|'), 1, 4) < th.lim
+            GROUP BY d.source ORDER BY d.source
         """,
         "repetition_docs": r"""
             WITH words AS (

@@ -396,3 +396,52 @@ def pack_stats(packs: DataFrame, max_tokens: int) -> DataFrame:
             F.lit(0.0),
         ).alias("avg_fill_ratio"),
     )
+
+
+def token_budget_mixture(
+    df: DataFrame,
+    key_col: str,
+    budgets: dict[str, int],
+    count_col: str = "n_tok",
+    stratum_col: str = "source",
+    keep_unbudgeted: bool = True,
+    salt: str = "",
+    return_rates: bool = False,
+):
+    """Training-mix composition by TOKEN BUDGET instead of rate: sample
+    each stratum down to ≈``budgets[stratum]`` tokens by computing
+    ``rate = min(1, budget / actual_tokens)`` from one per-stratum
+    aggregation (strata are low-cardinality by definition — the
+    collected totals are a handful of rows at any corpus size), then
+    applying the same deterministic md5-bucket ``weighted_mixture``.
+
+    Document-level Bernoulli: the kept token count is budget in
+    EXPECTATION (each doc kept whole), not an exact cut — the right
+    semantics for training mixes, where splitting documents to hit an
+    exact budget would corrupt document boundaries.  Deterministic and
+    engine-portable like every hash_split-family operator; strata
+    without a budget are kept whole (``keep_unbudgeted=True``) or
+    dropped.  ``return_rates=True`` also returns the
+    ``{stratum: (actual_tokens, rate)}`` decision table."""
+    for s, b in budgets.items():
+        if b < 0:
+            raise ValueError(f"budget for {s!r} must be >= 0, got {b}")
+    totals = {
+        r[stratum_col]: r["__tbm_t"]
+        for r in df.groupBy(stratum_col)
+        .agg(F.sum(count_col).alias("__tbm_t"))
+        .collect()
+        if r[stratum_col] is not None
+    }
+    rates = {
+        s: min(1.0, budgets[s] / totals[s]) if totals.get(s) else 0.0
+        for s in budgets
+        if s in totals
+    }
+    kept = weighted_mixture(
+        df, key_col, rates, stratum_col=stratum_col,
+        default_rate=1.0 if keep_unbudgeted else 0.0, salt=salt,
+    )
+    if return_rates:
+        return kept, {s: (totals.get(s, 0), rates.get(s, 0.0)) for s in budgets}
+    return kept

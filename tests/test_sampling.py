@@ -265,3 +265,54 @@ def test_pack_validation(spark):
     sdf = spark.createDataFrame([("doc-1", 3)], "doc_id string, n long")
     with pytest.raises(ValueError, match="integral id_col"):
         pack_sequences(sdf, 10, count_col="n")
+
+
+def test_token_budget_mixture_expected_budget(spark):
+    """Each budgeted stratum's kept tokens land near its budget (doc
+    Bernoulli → expectation), unbudgeted strata keep everything, and
+    the sample is deterministic."""
+    from pyspark.sql import Row, functions as F
+
+    from bloomjoin_spark.operators import token_budget_mixture
+
+    rows = [
+        Row(doc_id=f"a{i}", source="web", n_tok=100) for i in range(400)
+    ] + [
+        Row(doc_id=f"b{i}", source="books", n_tok=100) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, source string, n_tok int")
+    kept, rates = token_budget_mixture(
+        df, "doc_id", {"web": 10_000}, return_rates=True
+    )
+    assert rates["web"][0] == 40_000
+    assert rates["web"][1] == 0.25
+    got = {r["source"]: r["t"] for r in
+           kept.groupBy("source").agg(F.sum("n_tok").alias("t")).collect()}
+    assert got["books"] == 5_000  # unbudgeted → kept whole
+    assert 6_000 <= got["web"] <= 14_000  # ≈10k in expectation
+    again, _ = token_budget_mixture(df, "doc_id", {"web": 10_000}, return_rates=True)
+    assert sorted(r["doc_id"] for r in kept.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+
+
+def test_token_budget_mixture_drop_and_oversized_budget(spark):
+    from pyspark.sql import Row
+
+    from bloomjoin_spark.operators import token_budget_mixture
+
+    df = spark.createDataFrame(
+        [Row(doc_id="a", source="web", n_tok=10),
+         Row(doc_id="b", source="books", n_tok=10)],
+        "doc_id string, source string, n_tok int",
+    )
+    # budget above actual → rate 1.0 → keep all of that stratum
+    kept, rates = token_budget_mixture(
+        df, "doc_id", {"web": 999}, keep_unbudgeted=False, return_rates=True
+    )
+    assert rates["web"] == (10, 1.0)
+    assert [r["doc_id"] for r in kept.collect()] == ["a"]  # books dropped
+    import pytest
+
+    with pytest.raises(ValueError):
+        token_budget_mixture(df, "doc_id", {"web": -1})
