@@ -1098,6 +1098,25 @@ def _decontam_stream_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_stream_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 4: streaming exact dedup (state-store dropDuplicates over
+    the canonical content fingerprint) — survivor count must equal the
+    SQL distinct-fingerprint count."""
+    from bloomjoin_spark.streaming import dedup_stream, documents_stream
+    from bloomjoin_spark.streaming.sketch_stream import run_stream_to_memory
+
+    deduped = dedup_stream(documents_stream(spark, sf_dir))
+    name = run_stream_to_memory(
+        deduped.select("doc_id", "content_fp"), "q_dedup_stream_entry",
+        output_mode="append",
+    )
+    t = spark.table(name)
+    return t.agg(
+        F.count(F.lit(1)).alias("n_survivors"),
+        F.count_distinct("content_fp").alias("n_fingerprints"),
+    )
+
+
 def _stateful_hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState):
     per-event-type running HLL over user_id; exact n_rows pinned by the
@@ -1174,6 +1193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_by_source": _hll_distinct_by_source,
         "stateful_hll_stream": _stateful_hll_stream,
         "decontam_stream_docs": _decontam_stream_docs,
+        "dedup_stream_docs": _dedup_stream_docs,
         "minhash_full_dedup": _minhash_full_dedup,
         "simhash_planted": _simhash_planted,
         "ann_lsh_recall": _ann_lsh_recall,
@@ -1372,6 +1392,11 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN th USING (source)
             WHERE substr(md5(d.doc_id::VARCHAR || '|'), 1, 4) < th.lim
             GROUP BY d.source ORDER BY d.source
+        """,
+        "dedup_stream_docs": """
+            SELECT COUNT(DISTINCT md5(lower(trim(text))))::BIGINT AS n_survivors,
+                   COUNT(DISTINCT md5(lower(trim(text))))::BIGINT AS n_fingerprints
+            FROM documents
         """,
         "repetition_docs": r"""
             WITH words AS (

@@ -2,6 +2,7 @@ from .sketch_stream import (
     StreamingSketchCollector,
     bloom_join_stream,
     decontaminate_stream,
+    dedup_stream,
     documents_stream,
     events_stream,
     windowed_counts,
@@ -11,6 +12,7 @@ __all__ = [
     "StreamingSketchCollector",
     "bloom_join_stream",
     "decontaminate_stream",
+    "dedup_stream",
     "documents_stream",
     "events_stream",
     "windowed_counts",

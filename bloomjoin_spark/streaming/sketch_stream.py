@@ -370,3 +370,36 @@ def decontaminate_stream(
     if mode == "flag":
         return base.withColumn(flag_col, flagged).drop("__bj_toks")
     return base.filter(~flagged).drop("__bj_toks")
+
+
+def dedup_stream(
+    stream: DataFrame,
+    text_col: str = "text",
+    event_time_col: str | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """STREAMING exact dedup: keep the first document per content
+    fingerprint (md5 of lower(trim(text)) — the same canonical
+    ``add_fingerprint`` key the batch ``exact_dedup`` uses, so batch
+    and stream agree on what "duplicate" means).
+
+    Uses Spark's state-store ``dropDuplicates`` — exact, per-key state.
+    UNBOUNDED streams must bound that state: pass ``event_time_col`` +
+    ``watermark`` (e.g. ``("ts", "1 hour")`` semantics) to use
+    ``dropDuplicatesWithinWatermark``, which admits a duplicate again
+    once its first occurrence ages out — the standard
+    state-bounding trade (exact within the window, not across it).
+    Without a watermark, state grows with distinct-fingerprint count
+    (fine for bounded backfills, not for a forever-stream)."""
+    from ..operators.text import add_fingerprint
+
+    df = add_fingerprint(stream, text_col)
+    if (event_time_col is None) != (watermark is None):
+        raise ValueError(
+            "pass event_time_col AND watermark together (or neither)"
+        )
+    if event_time_col is not None:
+        return df.withWatermark(event_time_col, watermark).dropDuplicatesWithinWatermark(
+            ["content_fp"]
+        )
+    return df.dropDuplicates(["content_fp"])

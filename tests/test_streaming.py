@@ -226,3 +226,38 @@ def test_decontaminate_stream_validates_mode(spark):
 
     with pytest.raises(ValueError):
         decontaminate_stream(df, df, mode="bogus")
+
+
+def test_dedup_stream_keeps_one_per_fingerprint(spark, sf_dir):
+    """Streaming exact dedup must agree with the batch exact_dedup
+    notion of duplicate: one survivor per canonical content
+    fingerprint, across micro-batches."""
+    from pyspark.sql import functions as F
+
+    from bloomjoin_spark.streaming import dedup_stream, documents_stream
+    from bloomjoin_spark.streaming.sketch_stream import run_stream_to_memory
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_distinct = (
+        docs.select(F.md5(F.lower(F.trim("text"))).alias("fp")).distinct().count()
+    )
+    deduped = dedup_stream(documents_stream(spark, sf_dir))
+    name = run_stream_to_memory(
+        deduped.select("doc_id", "content_fp"), "q_dedup_stream",
+        output_mode="append",
+    )
+    out = spark.table(name)
+    assert out.count() == n_distinct
+    assert out.select("content_fp").distinct().count() == n_distinct
+
+
+def test_dedup_stream_validates_watermark_pairing(spark):
+    from pyspark.sql import Row
+
+    from bloomjoin_spark.streaming import dedup_stream
+
+    df = spark.createDataFrame([Row(text="x")], "text string")
+    import pytest
+
+    with pytest.raises(ValueError):
+        dedup_stream(df, watermark="1 hour")
