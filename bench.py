@@ -541,6 +541,16 @@ def run_headline(spark) -> dict[str, float]:
             docs, group_col="source", tokens=words_col(F.col("text"))
         ).agg(F.sum("kl_vs_corpus")).first()
     )
+    from bloomjoin_spark.operators import chunk_words, scrub_patterns
+
+    qs["scrub_docs"], _ = timed_min_q("scrub_docs",
+        lambda: scrub_patterns(docs).agg(
+            F.sum(F.length("text")), F.sum("n_email")).first()
+    )
+    qs["chunk_docs"], _ = timed_min_q("chunk_docs",
+        lambda: chunk_words(docs, max_words=64, overlap=8).agg(
+            F.sum("n_words")).first()
+    )
     toks.unpersist()
     lk.unpersist()
     return qs
