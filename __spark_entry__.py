@@ -1376,7 +1376,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             th AS (
               SELECT source,
-                     CASE WHEN rate >= 1.0 THEN 'g'
+                     CASE WHEN CAST(round(rate * 65536) AS INT) >= 65536 THEN 'g'
                           ELSE printf('%04x', CAST(round(rate * 65536) AS INT))
                      END AS lim
               FROM (
@@ -1394,8 +1394,15 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY d.source ORDER BY d.source
         """,
         "dedup_stream_docs": """
-            SELECT COUNT(DISTINCT md5(lower(trim(text))))::BIGINT AS n_survivors,
-                   COUNT(DISTINCT md5(lower(trim(text))))::BIGINT AS n_fingerprints
+            -- dropDuplicates keeps ONE survivor for a NULL fingerprint
+            -- group, which COUNT(DISTINCT) excludes — add it back so a
+            -- fixture with NULL text cannot break parity
+            SELECT (COUNT(DISTINCT md5(lower(trim(text))))
+                    + CASE WHEN COUNT(*) FILTER (WHERE text IS NULL) > 0
+                           THEN 1 ELSE 0 END)::BIGINT AS n_survivors,
+                   (COUNT(DISTINCT md5(lower(trim(text))))
+                    + CASE WHEN COUNT(*) FILTER (WHERE text IS NULL) > 0
+                           THEN 1 ELSE 0 END)::BIGINT AS n_fingerprints
             FROM documents
         """,
         "repetition_docs": r"""

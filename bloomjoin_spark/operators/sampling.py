@@ -34,9 +34,14 @@ def _threshold_str(rate: float) -> str:
     """Lexicographic threshold string for ``bucket < threshold``.
     Buckets are fixed-width hex; a rate of 1.0 must keep EVERY bucket,
     and the naive ``format(65536, '04x')`` = '10000' is five chars and
-    sorts BELOW 'ffff' — so full rate returns 'g', which every hex
-    digit precedes."""
-    b = min(_SPLIT_BUCKETS, round(rate * _SPLIT_BUCKETS))
+    sorts BELOW 'ffff' — so any rate rounding to the full bucket count
+    returns 'g', which every hex digit precedes.
+
+    Rounding is HALF-UP (``int(x + 0.5)``), not Python's banker's
+    ``round``: SQL engines round half away from zero, so half-up is
+    what an oracle recomputing ``round(rate * 65536)`` reproduces
+    bit-for-bit (rates are non-negative here, where the two agree)."""
+    b = min(_SPLIT_BUCKETS, int(rate * _SPLIT_BUCKETS + 0.5))
     if b >= _SPLIT_BUCKETS:
         return "g"
     return format(b, f"0{_SPLIT_HEX_DIGITS}x")
@@ -433,11 +438,15 @@ def token_budget_mixture(
         .collect()
         if r[stratum_col] is not None
     }
-    rates = {
-        s: min(1.0, budgets[s] / totals[s]) if totals.get(s) else 0.0
-        for s in budgets
-        if s in totals
-    }
+    def _rate(s: str) -> float:
+        if budgets[s] == 0:
+            return 0.0  # explicit zero budget = drop the stratum
+        t = totals.get(s)
+        if not t:
+            return 1.0  # stratum has no token mass: docs are free
+        return min(1.0, budgets[s] / t)
+
+    rates = {s: _rate(s) for s in budgets if s in totals}
     kept = weighted_mixture(
         df, key_col, rates, stratum_col=stratum_col,
         default_rate=1.0 if keep_unbudgeted else 0.0, salt=salt,

@@ -312,7 +312,25 @@ def test_token_budget_mixture_drop_and_oversized_budget(spark):
     )
     assert rates["web"] == (10, 1.0)
     assert [r["doc_id"] for r in kept.collect()] == ["a"]  # books dropped
-    import pytest
-
     with pytest.raises(ValueError):
         token_budget_mixture(df, "doc_id", {"web": -1})
+
+
+def test_token_budget_mixture_zero_total_and_zero_budget(spark):
+    """A budgeted stratum with zero token mass keeps its docs (rate 1.0
+    — docs are free); an explicit zero budget drops the stratum."""
+    from pyspark.sql import Row
+
+    from bloomjoin_spark.operators import token_budget_mixture
+
+    df = spark.createDataFrame(
+        [Row(doc_id="a", source="empty", n_tok=0),
+         Row(doc_id="b", source="web", n_tok=10)],
+        "doc_id string, source string, n_tok int",
+    )
+    kept, rates = token_budget_mixture(
+        df, "doc_id", {"empty": 100, "web": 0}, return_rates=True
+    )
+    assert rates["empty"] == (0, 1.0)
+    assert rates["web"] == (10, 0.0)
+    assert [r["doc_id"] for r in kept.collect()] == ["a"]

@@ -257,7 +257,5 @@ def test_dedup_stream_validates_watermark_pairing(spark):
     from bloomjoin_spark.streaming import dedup_stream
 
     df = spark.createDataFrame([Row(text="x")], "text string")
-    import pytest
-
     with pytest.raises(ValueError):
         dedup_stream(df, watermark="1 hour")
