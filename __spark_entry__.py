@@ -301,6 +301,38 @@ def _token_budget_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 4: one-call table profile — exact counters (rows, nulls,
+    lexicographic min/max as strings) pinned by the oracle verbatim;
+    the HLL distinct and t-digest median ride bound-check booleans
+    (5σ of 1.04/√2^14; median within the exact p25..p75)."""
+    from bloomjoin_spark.operators import profile_table
+
+    docs = _t(spark, sf_dir, "documents")
+    prof = profile_table(docs)
+    exact_distinct = {
+        c: docs.select(c).distinct().count()
+        for c in ("doc_id", "text", "lang", "source", "n_chars")
+    }
+    q = docs.approxQuantile("n_chars", [0.25, 0.75], 0.0)
+    rel = 5 * 1.04 / (2 ** 7)  # 5σ at p=14
+    rows = []
+    for r in prof.collect():
+        c = r["column"]
+        ex = exact_distinct[c]
+        ok = abs(r["approx_distinct"] - ex) <= rel * ex + 1
+        med_ok = True
+        if c == "n_chars":
+            med_ok = q[0] <= r["p50"] <= q[1]
+        rows.append((c, r["n_rows"], r["n_nulls"], r["min_str"], r["max_str"],
+                     bool(ok), bool(med_ok)))
+    return spark.createDataFrame(
+        sorted(rows),
+        "col_name string, n_rows bigint, n_nulls bigint, min_str string, "
+        "max_str string, distinct_ok boolean, median_ok boolean",
+    )
+
+
 def _pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 4: greedy partition-local sequence packing at
     max_tokens=64 over whitespace-tokenized documents.  Pack layout is
@@ -1162,6 +1194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_docs": _scrub_docs,
         "chunk_docs": _chunk_docs,
         "token_budget_docs": _token_budget_docs,
+        "profile_docs": _profile_docs,
         "decontam_tokens_f0": _decontam_tokens_f0,
         "hash_split_docs": _hash_split_docs,
         "weighted_mixture_docs": _weighted_mixture_docs,
@@ -1404,6 +1437,38 @@ def oracle_sql() -> dict[str, str]:
                     + CASE WHEN COUNT(*) FILTER (WHERE text IS NULL) > 0
                            THEN 1 ELSE 0 END)::BIGINT AS n_fingerprints
             FROM documents
+        """,
+        "profile_docs": """
+              SELECT 'doc_id' AS col_name, COUNT(*)::BIGINT AS n_rows,
+                     SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+                     MIN(doc_id::VARCHAR) AS min_str, MAX(doc_id::VARCHAR) AS max_str,
+                     TRUE AS distinct_ok, TRUE AS median_ok
+              FROM documents
+              UNION ALL
+              SELECT 'lang' AS col_name, COUNT(*)::BIGINT AS n_rows,
+                     SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+                     MIN(lang::VARCHAR) AS min_str, MAX(lang::VARCHAR) AS max_str,
+                     TRUE AS distinct_ok, TRUE AS median_ok
+              FROM documents
+              UNION ALL
+              SELECT 'n_chars' AS col_name, COUNT(*)::BIGINT AS n_rows,
+                     SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+                     MIN(n_chars::VARCHAR) AS min_str, MAX(n_chars::VARCHAR) AS max_str,
+                     TRUE AS distinct_ok, TRUE AS median_ok
+              FROM documents
+              UNION ALL
+              SELECT 'source' AS col_name, COUNT(*)::BIGINT AS n_rows,
+                     SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+                     MIN(source::VARCHAR) AS min_str, MAX(source::VARCHAR) AS max_str,
+                     TRUE AS distinct_ok, TRUE AS median_ok
+              FROM documents
+              UNION ALL
+              SELECT 'text' AS col_name, COUNT(*)::BIGINT AS n_rows,
+                     SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+                     MIN(text::VARCHAR) AS min_str, MAX(text::VARCHAR) AS max_str,
+                     TRUE AS distinct_ok, TRUE AS median_ok
+              FROM documents
+            ORDER BY col_name
         """,
         "repetition_docs": r"""
             WITH words AS (

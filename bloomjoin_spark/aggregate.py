@@ -498,6 +498,46 @@ def _merge_group_multi_fn(pdf: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
+def tree_merge_multi(
+    partials: DataFrame, fanin: int = 64
+) -> tuple[dict[str, "BuildResult"], int]:
+    """Distributed tree merge of MULTI_PARTIAL_SCHEMA rows grouped by
+    ``name``: repeated fan-in-bounded ``applyInPandas`` merges until ≤
+    fanin partials per name remain, then one driver-side merge of the
+    survivors.  Shared by ``build_sketches`` (many sketches, one
+    column) and ``operators.profile.profile_table`` (one sketch set per
+    COLUMN) — the driver never holds more than fanin blobs per name."""
+    n_parts = max(1, partials.rdd.getNumPartitions())
+    cur = partials
+    rounds = 0
+    while n_parts > fanin:
+        ngroups = math.ceil(n_parts / fanin)
+        cur = (
+            cur.withColumn("g", F.pmod(F.col("partition_id"), F.lit(ngroups)))
+            .groupBy("name", "g")
+            .applyInPandas(_merge_group_multi_fn, schema=MULTI_PARTIAL_SCHEMA)
+        )
+        n_parts = ngroups
+        rounds += 1
+    out: dict[str, BuildResult] = {}
+    acc: dict[str, list] = {}
+    for r in cur.collect():
+        acc.setdefault(r["name"], []).append(r)
+    for name, rows in acc.items():
+        sk = None
+        n_rows = 0
+        orig = 0
+        for r in rows:
+            s = Sketch.from_bytes(bytes(r["blob"]))
+            sk = s if sk is None else sk.merge(s)
+            n_rows += r["n_rows"]
+            orig += r["n_partials"]
+        out[name] = BuildResult(
+            sketch=sk, n_partitions=orig, n_rows=n_rows, merge_rounds=rounds
+        )
+    return out, rounds
+
+
 def build_sketches(
     df: DataFrame,
     factories: dict[str, Callable[[], Sketch]],
@@ -527,34 +567,7 @@ def build_sketches(
         partials = spark.read.parquet(checkpoint_dir).dropDuplicates(
             ["name", "partition_id"]
         )
-    n_parts = max(1, partials.rdd.getNumPartitions())
-    cur = partials
-    rounds = 0
-    while n_parts > fanin:
-        ngroups = math.ceil(n_parts / fanin)
-        cur = (
-            cur.withColumn("g", F.pmod(F.col("partition_id"), F.lit(ngroups)))
-            .groupBy("name", "g")
-            .applyInPandas(_merge_group_multi_fn, schema=MULTI_PARTIAL_SCHEMA)
-        )
-        n_parts = ngroups
-        rounds += 1
-    out: dict[str, BuildResult] = {}
-    acc: dict[str, list] = {}
-    for r in cur.collect():
-        acc.setdefault(r["name"], []).append(r)
-    for name, rows in acc.items():
-        sk = None
-        n_rows = 0
-        orig = 0
-        for r in rows:
-            s = Sketch.from_bytes(bytes(r["blob"]))
-            sk = s if sk is None else sk.merge(s)
-            n_rows += r["n_rows"]
-            orig += r["n_partials"]
-        out[name] = BuildResult(
-            sketch=sk, n_partitions=orig, n_rows=n_rows, merge_rounds=rounds
-        )
+    out, rounds = tree_merge_multi(partials, fanin)
     # an input that produced no partial rows still yields every requested
     # sketch (empty), never a missing key
     for name, f in factories.items():
