@@ -333,6 +333,18 @@ def _profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bigram_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 4: CCNet-style statistical quality score — mean add-α
+    bigram log-probability under the corpus's own bigram model; the
+    oracle recomputes the model and every per-doc mean exactly."""
+    from bloomjoin_spark.operators import bigram_logprob_score, words_col
+
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_logprob_score(
+        docs, tokens=words_col(F.col("text")), id_col="doc_id"
+    ).orderBy("doc_id")
+
+
 def _pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 4: greedy partition-local sequence packing at
     max_tokens=64 over whitespace-tokenized documents.  Pack layout is
@@ -1195,6 +1207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs": _chunk_docs,
         "token_budget_docs": _token_budget_docs,
         "profile_docs": _profile_docs,
+        "bigram_score_docs": _bigram_score_docs,
         "decontam_tokens_f0": _decontam_tokens_f0,
         "hash_split_docs": _hash_split_docs,
         "weighted_mixture_docs": _weighted_mixture_docs,
@@ -1469,6 +1482,35 @@ def oracle_sql() -> dict[str, str]:
                      TRUE AS distinct_ok, TRUE AS median_ok
               FROM documents
             ORDER BY col_name
+        """,
+        "bigram_score_docs": r"""
+            WITH words AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                          ELSE string_split_regex(trim(text), '\s+') END AS w
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+              FROM words, UNNEST(generate_series(1, len(w) - 1)) t(i)
+            ),
+            uni AS (
+              SELECT unnest(w) AS w1, 1 AS one FROM words
+            ),
+            uc AS (SELECT w1, COUNT(*)::DOUBLE AS c1 FROM uni GROUP BY w1),
+            v AS (SELECT COUNT(*)::DOUBLE AS vocab FROM uc),
+            bc AS (
+              SELECT w1, w2, COUNT(*)::DOUBLE AS c12 FROM grams GROUP BY w1, w2
+            )
+            SELECT g.doc_id,
+                   COUNT(*)::BIGINT AS n_bigrams,
+                   round(AVG(ln((b.c12 + 0.5) / (u.c1 + 0.5 * v.vocab))), 6)
+                     AS avg_logprob
+            FROM grams g
+            JOIN bc b USING (w1, w2)
+            JOIN uc u USING (w1), v
+            GROUP BY g.doc_id
+            ORDER BY g.doc_id
         """,
         "repetition_docs": r"""
             WITH words AS (

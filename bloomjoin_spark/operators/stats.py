@@ -78,3 +78,66 @@ def group_token_divergence(
             F.round(F.sum(term), 6).alias("kl_vs_corpus"),
         )
     )
+
+
+def bigram_logprob_score(
+    df: DataFrame,
+    tokens: Column | str = "tokens",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Statistical quality score (CCNet-style, self-trained): the mean
+    log-probability of each document's token bigrams under an add-α
+    bigram model fitted on the corpus itself —
+    ``p(w2|w1) = (c(w1,w2) + α) / (c(w1) + α·V)``.
+
+    Atypical documents (gibberish, boilerplate soup, wrong-language)
+    score low; typical prose scores high.  Returns
+    ``(id_col, n_bigrams, avg_logprob)`` (docs with < 2 tokens have no
+    bigrams and are absent — a length rule should gate those anyway).
+
+    Scale shape: the model tables are aggregation outputs bounded by
+    vocabulary (unigrams) and observed-bigram count, both usually far
+    below corpus size — AQE broadcasts them when they are and falls
+    back to shuffle joins when a pathological corpus makes the bigram
+    table itself huge.  The corpus side is one explode + two joins +
+    one groupBy(doc).  All arithmetic is SQL-portable (the oracle
+    recomputes it; the score rounds to 6 decimals)."""
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    from .decontam import ngrams_col
+
+    tcol = _tok(tokens)
+    base = df.select(F.col(id_col), tcol.alias("__bl_w"))
+    grams = base.select(
+        id_col, F.explode(ngrams_col(F.col("__bl_w"), 2)).alias("__bl_bg")
+    ).select(
+        id_col,
+        F.element_at("__bl_bg", 1).alias("__bl_w1"),
+        F.element_at("__bl_bg", 2).alias("__bl_w2"),
+    )
+    uni = (
+        base.select(F.explode("__bl_w").alias("__bl_w1"))
+        .groupBy("__bl_w1")
+        .agg(F.count(F.lit(1)).alias("__bl_c1"))
+    )
+    vocab = uni.count()
+    bi = grams.groupBy("__bl_w1", "__bl_w2").agg(
+        F.count(F.lit(1)).alias("__bl_c12")
+    )
+    # no forced broadcast: the unigram table is vocab-sized (safe) but
+    # the bigram table is bounded only by OBSERVED bigrams, which a
+    # huge corpus can push past executor memory — AQE sees the
+    # aggregates' real sizes and picks broadcast vs shuffle per table
+    joined = grams.join(bi, ["__bl_w1", "__bl_w2"]).join(uni, "__bl_w1")
+    logp = F.log(
+        (F.col("__bl_c12") + F.lit(alpha))
+        / (F.col("__bl_c1") + F.lit(alpha * vocab))
+    )
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(logp), 6).alias("avg_logprob"),
+        )
+    )

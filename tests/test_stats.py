@@ -68,3 +68,40 @@ def test_divergence_on_word_column(spark):
     )
     rows = group_token_divergence(df, tokens=words_col(F.col("text"))).collect()
     assert {r["source"] for r in rows} == {"a", "b"}
+
+
+def test_bigram_logprob_exact_tiny(spark):
+    """Hand-computed add-α bigram logprobs on a 2-doc corpus."""
+    from bloomjoin_spark.operators import bigram_logprob_score
+
+    df = _toks(spark, [("a", [1, 2]), ("b", [1, 3])])
+    df = df.withColumn("doc_id", F.col("source")).drop("source")
+    rows = {r["doc_id"]: r for r in bigram_logprob_score(df).collect()}
+    # unigrams: 1→2, 2→1, 3→1; V=3; α=0.5
+    # doc a bigram (1,2): ln((1+0.5)/(2+1.5)) = ln(1.5/3.5)
+    assert rows["a"]["n_bigrams"] == 1
+    assert rows["a"]["avg_logprob"] == pytest.approx(
+        math.log(1.5 / 3.5), abs=1e-6
+    )
+    assert rows["b"]["avg_logprob"] == rows["a"]["avg_logprob"]  # symmetric
+
+
+def test_bigram_logprob_ranks_gibberish_low(spark):
+    """A doc made of corpus-typical bigrams must outscore a doc of
+    bigrams never seen elsewhere; single-token docs are absent."""
+    from bloomjoin_spark.operators import bigram_logprob_score
+
+    typical = [("t%d" % i, [1, 2, 3, 1, 2, 3]) for i in range(5)]
+    df = _toks(spark, typical + [("weird", [9, 8, 7, 6]), ("tiny", [5])])
+    df = df.withColumn("doc_id", F.col("source")).drop("source")
+    rows = {r["doc_id"]: r["avg_logprob"] for r in bigram_logprob_score(df).collect()}
+    assert "tiny" not in rows
+    assert rows["weird"] < rows["t0"]
+
+
+def test_bigram_logprob_validates_alpha(spark):
+    from bloomjoin_spark.operators import bigram_logprob_score
+
+    df = _toks(spark, [("a", [1, 2])])
+    with pytest.raises(ValueError):
+        bigram_logprob_score(df, alpha=0.0)
