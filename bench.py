@@ -551,6 +551,13 @@ def run_headline(spark) -> dict[str, float]:
         lambda: chunk_words(docs, max_words=64, overlap=8).agg(
             F.sum("n_words")).first()
     )
+    from bloomjoin_spark.operators import bigram_logprob_score
+
+    qs["bigram_score_docs"], _ = timed_min_q("bigram_score_docs",
+        lambda: bigram_logprob_score(
+            docs, tokens=words_col(F.col("text"))
+        ).agg(F.sum("avg_logprob")).first()
+    )
     toks.unpersist()
     lk.unpersist()
     return qs
