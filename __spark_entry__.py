@@ -1454,31 +1454,31 @@ def oracle_sql() -> dict[str, str]:
         "profile_docs": """
               SELECT 'doc_id' AS col_name, COUNT(*)::BIGINT AS n_rows,
                      SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
-                     MIN(doc_id::VARCHAR) AS min_str, MAX(doc_id::VARCHAR) AS max_str,
+                     MIN(doc_id)::VARCHAR AS min_str, MAX(doc_id)::VARCHAR AS max_str,
                      TRUE AS distinct_ok, TRUE AS median_ok
               FROM documents
               UNION ALL
               SELECT 'lang' AS col_name, COUNT(*)::BIGINT AS n_rows,
                      SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
-                     MIN(lang::VARCHAR) AS min_str, MAX(lang::VARCHAR) AS max_str,
+                     MIN(lang)::VARCHAR AS min_str, MAX(lang)::VARCHAR AS max_str,
                      TRUE AS distinct_ok, TRUE AS median_ok
               FROM documents
               UNION ALL
               SELECT 'n_chars' AS col_name, COUNT(*)::BIGINT AS n_rows,
                      SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
-                     MIN(n_chars::VARCHAR) AS min_str, MAX(n_chars::VARCHAR) AS max_str,
+                     MIN(n_chars)::VARCHAR AS min_str, MAX(n_chars)::VARCHAR AS max_str,
                      TRUE AS distinct_ok, TRUE AS median_ok
               FROM documents
               UNION ALL
               SELECT 'source' AS col_name, COUNT(*)::BIGINT AS n_rows,
                      SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
-                     MIN(source::VARCHAR) AS min_str, MAX(source::VARCHAR) AS max_str,
+                     MIN(source)::VARCHAR AS min_str, MAX(source)::VARCHAR AS max_str,
                      TRUE AS distinct_ok, TRUE AS median_ok
               FROM documents
               UNION ALL
               SELECT 'text' AS col_name, COUNT(*)::BIGINT AS n_rows,
                      SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
-                     MIN(text::VARCHAR) AS min_str, MAX(text::VARCHAR) AS max_str,
+                     MIN(text)::VARCHAR AS min_str, MAX(text)::VARCHAR AS max_str,
                      TRUE AS distinct_ok, TRUE AS median_ok
               FROM documents
             ORDER BY col_name

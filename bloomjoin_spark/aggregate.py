@@ -499,15 +499,25 @@ def _merge_group_multi_fn(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def tree_merge_multi(
-    partials: DataFrame, fanin: int = 64
+    partials: DataFrame, fanin: int = 64, n_parts: int | None = None
 ) -> tuple[dict[str, "BuildResult"], int]:
     """Distributed tree merge of MULTI_PARTIAL_SCHEMA rows grouped by
     ``name``: repeated fan-in-bounded ``applyInPandas`` merges until ≤
     fanin partials per name remain, then one driver-side merge of the
     survivors.  Shared by ``build_sketches`` (many sketches, one
     column) and ``operators.profile.profile_table`` (one sketch set per
-    COLUMN) — the driver never holds more than fanin blobs per name."""
-    n_parts = max(1, partials.rdd.getNumPartitions())
+    COLUMN) — the driver never holds more than ~fanin blobs per name.
+
+    ``n_parts`` is the number of DISTINCT ``partition_id`` values (=
+    partials per name).  Callers whose partials come straight from the
+    source scan may omit it (the RDD partition count IS that number);
+    callers reading partials back from storage (checkpoint restore)
+    MUST pass it — there the RDD partition count reflects the parquet
+    layout, not the partial count, and under-counting would funnel
+    thousands of blobs into one merge task."""
+    if n_parts is None:
+        n_parts = partials.rdd.getNumPartitions()
+    n_parts = max(1, n_parts)
     cur = partials
     rounds = 0
     while n_parts > fanin:
@@ -567,7 +577,16 @@ def build_sketches(
         partials = spark.read.parquet(checkpoint_dir).dropDuplicates(
             ["name", "partition_id"]
         )
-    out, rounds = tree_merge_multi(partials, fanin)
+    if checkpoint_dir:
+        # restored partials: the parquet RDD layout says nothing about
+        # how many partials exist per name — count the real ids (cheap
+        # distinct over KB-scale lineage rows)
+        true_parts = partials.select("partition_id").distinct().count()
+        out, rounds = tree_merge_multi(partials, fanin, n_parts=true_parts)
+    else:
+        out, rounds = tree_merge_multi(
+            partials, fanin, n_parts=df.rdd.getNumPartitions()
+        )
     # an input that produced no partial rows still yields every requested
     # sketch (empty), never a missing key
     for name, f in factories.items():

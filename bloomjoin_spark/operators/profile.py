@@ -55,11 +55,14 @@ def _make_profile_partial_fn(cols: list[str], numeric: set[str], hll_p: int,
                 if len(arr) == 0:
                     continue
                 if c in numeric:
-                    v = arr.to_numpy(zero_copy_only=False).astype(
-                        np.float64, copy=False
+                    # hash the RAW dtype (int64 beyond 2^53 must hash as
+                    # exact integer bits — hashing.py:88-94); float64
+                    # only for the t-digest value lane
+                    raw = arr.to_numpy(zero_copy_only=False)
+                    sks[f"{c}{_SEP}hll"].update_hashes(hash_numeric_array(raw))
+                    sks[f"{c}{_SEP}td"].update_values(
+                        raw.astype(np.float64, copy=False)
                     )
-                    sks[f"{c}{_SEP}hll"].update_hashes(hash_numeric_array(v))
-                    sks[f"{c}{_SEP}td"].update_values(v)
                 else:
                     sks[f"{c}{_SEP}hll"].update_hashes(hash_utf8_arrow(arr))
         names = list(sks)
@@ -120,15 +123,20 @@ def profile_table(
     for c in cols:
         aggs += [
             F.sum(F.col(c).isNull().cast("bigint")).alias(f"__nulls_{c}"),
-            F.min(F.col(c).cast("string")).alias(f"__min_{c}"),
-            F.max(F.col(c).cast("string")).alias(f"__max_{c}"),
+            # cast AFTER aggregating: numeric columns get their numeric
+            # min/max (stringified), not the lexicographic min of strings
+            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
         ]
     exact = df.agg(*aggs).first()
 
     # pass 2: sketches, one Arrow stage + shared tree merge
     fn = _make_profile_partial_fn(cols, numeric, hll_p, delta)
-    partials = df.select(*cols).mapInArrow(fn, schema=MULTI_PARTIAL_SCHEMA)
-    merged, _ = tree_merge_multi(partials, fanin)
+    pruned = df.select(*cols)
+    partials = pruned.mapInArrow(fn, schema=MULTI_PARTIAL_SCHEMA)
+    merged, _ = tree_merge_multi(
+        partials, fanin, n_parts=pruned.rdd.getNumPartitions()
+    )
 
     rows = []
     for c in cols:

@@ -58,7 +58,9 @@ def group_token_divergence(
     divergence is rounded to 6 decimals: the value itself is exact up
     to float summation order (~1e-12 relative), so the rounding is
     engine-portable."""
-    per = token_counts(df, tokens, group_col)
+    # `per` feeds three aggregations — materialize the exploded
+    # histogram once instead of re-exploding the corpus per consumer
+    per = token_counts(df, tokens, group_col).localCheckpoint(eager=False)
     totals = per.groupBy(group_col).agg(F.sum("n").alias("gn"))
     corpus = per.groupBy("token").agg(F.sum("n").alias("cn"))
     corpus_total = corpus.agg(F.sum("cn").alias("ct"))
@@ -116,23 +118,33 @@ def bigram_logprob_score(
         F.element_at("__bl_bg", 1).alias("__bl_w1"),
         F.element_at("__bl_bg", 2).alias("__bl_w2"),
     )
+    # the unigram table is consumed twice (count join + vocab size) —
+    # one lazy materialization point instead of two corpus explodes
     uni = (
         base.select(F.explode("__bl_w").alias("__bl_w1"))
         .groupBy("__bl_w1")
         .agg(F.count(F.lit(1)).alias("__bl_c1"))
+        .localCheckpoint(eager=False)
     )
-    vocab = uni.count()
+    # vocab folds into the plan as a broadcast 1-row cross join — the
+    # operator stays LAZY (no job at construction time)
+    vocab = uni.agg(F.count(F.lit(1)).alias("__bl_v"))
     bi = grams.groupBy("__bl_w1", "__bl_w2").agg(
         F.count(F.lit(1)).alias("__bl_c12")
     )
-    # no forced broadcast: the unigram table is vocab-sized (safe) but
-    # the bigram table is bounded only by OBSERVED bigrams, which a
-    # huge corpus can push past executor memory — AQE sees the
-    # aggregates' real sizes and picks broadcast vs shuffle per table
-    joined = grams.join(bi, ["__bl_w1", "__bl_w2"]).join(uni, "__bl_w1")
+    # no forced broadcast of the model tables: the unigram table is
+    # vocab-sized (safe) but the bigram table is bounded only by
+    # OBSERVED bigrams, which a huge corpus can push past executor
+    # memory — AQE sees the aggregates' real sizes and picks broadcast
+    # vs shuffle per table
+    joined = (
+        grams.join(bi, ["__bl_w1", "__bl_w2"])
+        .join(uni, "__bl_w1")
+        .crossJoin(F.broadcast(vocab))
+    )
     logp = F.log(
         (F.col("__bl_c12") + F.lit(alpha))
-        / (F.col("__bl_c1") + F.lit(alpha * vocab))
+        / (F.col("__bl_c1") + F.lit(alpha) * F.col("__bl_v"))
     )
     return (
         joined.groupBy(id_col)

@@ -57,3 +57,22 @@ def test_profile_matches_exact_distinct_on_fixture(spark, sf_dir):
         # tiny cardinalities: HLL is exact-ish here
         assert abs(prof[c]["approx_distinct"] - exact) <= max(1, 0.05 * exact)
         assert prof[c]["n_rows"] == docs.count()
+
+
+def test_profile_numeric_min_max_are_numeric(spark):
+    """min/max must be the NUMERIC extremes stringified — not the
+    lexicographic min of stringified values ('10' < '9')."""
+    df = spark.createDataFrame([(9,), (10,), (1500,)], "a bigint")
+    r = profile_table(df).collect()[0]
+    assert r["min_str"] == "9" and r["max_str"] == "1500"
+
+
+def test_profile_big_int64_distinct_not_collapsed(spark):
+    """int64 ids beyond 2^53 must hash as exact integer bits — distinct
+    ids that would collide as doubles must count separately."""
+    base = 2**60
+    df = spark.createDataFrame(
+        [(base + i,) for i in range(200)], "a bigint"
+    ).repartition(4)
+    r = profile_table(df, cols=["a"]).collect()[0]
+    assert abs(r["approx_distinct"] - 200) <= 10
