@@ -558,6 +558,11 @@ def run_headline(spark) -> dict[str, float]:
             docs, tokens=words_col(F.col("text"))
         ).agg(F.sum("avg_logprob")).first()
     )
+    from bloomjoin_spark.operators import profile_table
+
+    qs["profile_docs"], _ = timed_min_q("profile_docs",
+        lambda: profile_table(docs).count()
+    )
     toks.unpersist()
     lk.unpersist()
     return qs
