@@ -561,8 +561,9 @@ def build_sketches(
     a killed job recomputes only missing partitions."""
     spark = df.sparkSession
     done_ids: frozenset[int] = frozenset()
+    stamp = True  # fresh dirs get stamped; see marker_present note below
     if checkpoint_dir and _checkpoint_exists(spark, checkpoint_dir):
-        _check_checkpoint_hash_format(spark, checkpoint_dir)
+        stamp = _check_checkpoint_hash_format(spark, checkpoint_dir)
         existing = spark.read.parquet(checkpoint_dir)
         done_ids = frozenset(
             r[0] for r in existing.select("partition_id").distinct().collect()
@@ -573,7 +574,8 @@ def build_sketches(
         partials.write.mode("append" if done_ids else "overwrite").parquet(
             checkpoint_dir
         )
-        _write_checkpoint_hash_format(spark, checkpoint_dir)
+        if stamp:
+            _write_checkpoint_hash_format(spark, checkpoint_dir)
         partials = spark.read.parquet(checkpoint_dir).dropDuplicates(
             ["name", "partition_id"]
         )
@@ -703,8 +705,9 @@ def build_sketch(
     done_ids: frozenset[int] = frozenset()
     spark = df.sparkSession
     existing: DataFrame | None = None
+    stamp = True  # fresh dirs get stamped; see marker_present note below
     if checkpoint_dir and _checkpoint_exists(spark, checkpoint_dir):
-        _check_checkpoint_hash_format(spark, checkpoint_dir)
+        stamp = _check_checkpoint_hash_format(spark, checkpoint_dir)
         existing = spark.read.parquet(checkpoint_dir)
         done_ids = frozenset(
             r["partition_id"] for r in existing.select("partition_id").distinct().collect()
@@ -715,7 +718,8 @@ def build_sketch(
             partials.write.mode("append").parquet(checkpoint_dir)
         else:
             partials.write.mode("overwrite").parquet(checkpoint_dir)
-        _write_checkpoint_hash_format(spark, checkpoint_dir)
+        if stamp:
+            _write_checkpoint_hash_format(spark, checkpoint_dir)
         partials = spark.read.parquet(checkpoint_dir).dropDuplicates(["partition_id"])
     sketch, n_parts, n_rows, rounds = tree_merge(partials, fanin)
     return BuildResult(sketch=sketch, n_partitions=n_parts, n_rows=n_rows, merge_rounds=rounds)
@@ -763,7 +767,7 @@ def _write_checkpoint_hash_format(spark: SparkSession, path: str) -> None:
         )
 
 
-def _check_checkpoint_hash_format(spark: SparkSession, path: str) -> None:
+def _check_checkpoint_hash_format(spark: SparkSession, path: str) -> bool:
     """Guard a checkpoint RESUME against partials hashed under a
     different kernel version (ADVICE r3: the >16 KiB long-row kernel
     changed long-string hashes between v1 and v2 — mixing pre-upgrade
@@ -772,7 +776,13 @@ def _check_checkpoint_hash_format(spark: SparkSession, path: str) -> None:
     it).  Version mismatch → ValueError (rebuild fresh, or finish the
     run with the old library version).  Marker missing → the checkpoint
     predates version stamping (= v1-era): loud warning, proceed — the
-    divergence only affects >16 KiB string rows."""
+    divergence only affects >16 KiB string rows.
+
+    Returns whether a (current-version) marker was present.  Callers
+    must NOT stamp an unmarked dir after appending to it (ADVICE r4:
+    stamping a resumed v1-era checkpoint makes the now-mixed v1+v2
+    partials pass this guard silently on every later resume) — a dir
+    that resumed unmarked stays unmarked so each resume keeps warning."""
     from .hashing import HASH_FORMAT
 
     recorded: int | None = None
@@ -825,7 +835,7 @@ def _check_checkpoint_hash_format(spark: SparkSession, path: str) -> None:
             "of resuming",
             stacklevel=2,
         )
-        return
+        return False
     if recorded != HASH_FORMAT:
         raise ValueError(
             f"checkpoint {path!r} was written under hash-format v{recorded} "
@@ -833,6 +843,7 @@ def _check_checkpoint_hash_format(spark: SparkSession, path: str) -> None:
             "incompatible hashes in one sketch. Rebuild fresh (delete the "
             "checkpoint dir) or finish the run with the matching version."
         )
+    return True
 
 
 def _checkpoint_exists(spark: SparkSession, path: str) -> bool:

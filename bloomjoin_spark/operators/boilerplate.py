@@ -79,7 +79,15 @@ def remove_boilerplate_lines(
     """``df`` with boilerplate lines removed from ``text_col`` (written
     to ``out_col``, default: in place), original line order preserved.
     A document whose every line is boilerplate keeps its row with empty
-    text — rows are never dropped, only line content."""
+    text — rows are never dropped, only line content.
+
+    ``id_col`` MUST be row-unique (ADVICE r4): reassembly groups lines
+    by it and joins the rebuilt text back on it, so duplicate ids would
+    interleave two rows' lines into one text and fan it back out to
+    every duplicate.  Duplicate ids also make the ``min_docs``
+    document-frequency count ambiguous, so the operator does not try to
+    repair them — run ``exact_dedup`` (or assign
+    ``monotonically_increasing_id()`` through a checkpoint) first."""
     out_col = out_col or text_col
     lines = _lines(df, text_col, id_col)
     common = (

@@ -178,6 +178,29 @@ def split_sizes(df: DataFrame, key_col: str, fractions: dict[str, float],
     )
 
 
+def _list_offsets_i32(lens, what: str):
+    """Arrow ListArray offsets from per-list lengths — accumulated in
+    int64 and bound-checked before the int32 cast (ADVICE r4: cumsum
+    straight into an int32 buffer wraps silently past 2^31 total
+    elements, yielding corrupt/negative list offsets instead of an
+    error).  Spark's Arrow bridge speaks 32-bit list offsets, so the
+    honest failure mode is a loud error telling the caller to shrink
+    the Arrow batch."""
+    import numpy as np
+
+    offs = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    if len(offs) > 1 and offs[-1] > np.iinfo(np.int32).max:
+        raise ValueError(
+            f"pack_sequences: one Arrow output batch holds {offs[-1]} "
+            f"total {what} elements, past the 2^31-1 limit of Spark's "
+            "32-bit Arrow list offsets — lower "
+            "spark.sql.execution.arrow.maxRecordsPerBatch so fewer "
+            "packs close per batch"
+        )
+    return offs.astype(np.int32)
+
+
 def pack_sequences(
     df: DataFrame,
     max_tokens: int,
@@ -281,8 +304,7 @@ def pack_sequences(
                 else np.empty(0, dtype=np.int64)
             )
             lens = np.fromiter((p["docs"] for p in closed), np.int64, m)
-            id_offs = np.zeros(m + 1, dtype=np.int32)
-            np.cumsum(lens, out=id_offs[1:])
+            id_offs = _list_offsets_i32(lens, "doc_ids")
             cols = [
                 pa.array(next_pack + np.arange(m, dtype=np.int64)),
                 pa.ListArray.from_arrays(
@@ -302,8 +324,7 @@ def pack_sequences(
                 tlens = np.fromiter(
                     (sum(len(c) for c in p["tok"]) for p in closed), np.int64, m
                 )
-                t_offs = np.zeros(m + 1, dtype=np.int32)
-                np.cumsum(tlens, out=t_offs[1:])
+                t_offs = _list_offsets_i32(tlens, "tokens")
                 cols.append(pa.ListArray.from_arrays(
                     pa.array(t_offs, pa.int32()), pa.array(flat_tok, pa.int32())
                 ))

@@ -10,9 +10,10 @@ smoothing is needed — and every arithmetic step is SQL-portable.
 Scale shape: one explode inside the scan stage, one partial-aggregated
 ``groupBy (group, token)`` shuffle (the only corpus-sized exchange),
 then everything is vocabulary-sized: per-group totals, the corpus
-histogram (broadcast), and the per-group divergence sum.  Vocabulary
-is bounded (tokenizers: 32k-256k ids), so the post-shuffle work is
-independent of corpus size.
+histogram (AQE-broadcast when it fits, shuffle-joined when word-level
+vocabulary has grown past that), and the per-group divergence sum.
+For token-id inputs vocabulary is bounded (tokenizers: 32k-256k ids),
+so the post-shuffle work is independent of corpus size.
 """
 
 from __future__ import annotations
@@ -64,8 +65,14 @@ def group_token_divergence(
     totals = per.groupBy(group_col).agg(F.sum("n").alias("gn"))
     corpus = per.groupBy("token").agg(F.sum("n").alias("cn"))
     corpus_total = corpus.agg(F.sum("cn").alias("ct"))
+    # no forced broadcast of the corpus histogram (ADVICE r4): its row
+    # count is the DISTINCT-token vocabulary, which is bounded for
+    # token-id inputs but grows with the corpus for word-level tokens
+    # (the flagship usage) — AQE sees the aggregate's real size and
+    # picks broadcast vs shuffle, as remove_boilerplate_lines does.
+    # The 1-row corpus_total stays an explicit broadcast.
     joined = (
-        per.join(F.broadcast(corpus), "token")
+        per.join(corpus, "token")
         .join(totals, group_col)
         .crossJoin(F.broadcast(corpus_total))
     )

@@ -30,20 +30,26 @@ EVENTS_SCHEMA = (
 )
 
 
+def _single_file_glob(sf_dir: str, table: str) -> str:
+    """Path that streams ONE parquet file out of a shared directory.
+
+    The file stream source insists its basePath is a directory, so a
+    bare file path is rejected — but a path containing a glob character
+    resolves basePath to the parent dir while listing only the matching
+    file.  Wrapping the last character in a one-element character class
+    (``events.parque[t]``) is exactly that, with no temp dir, symlink,
+    or copy (ADVICE r4: the previous mkdtemp+symlink helper leaked a
+    /tmp dir per call and broke on symlink-less filesystems)."""
+    return f"{sf_dir}/{table}.parque[t]"
+
+
 def events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1):
     """File-source stream over the events table (for tests/demos; a
-    production job swaps in kafka with the same downstream graph).
-    The file source requires a directory, so the single parquet file is
-    exposed through a temp dir symlink."""
-    import os
-    import tempfile
-
-    d = tempfile.mkdtemp(prefix="bj_events_stream_")
-    os.symlink(f"{sf_dir}/events.parquet", f"{d}/events-000.parquet")
+    production job swaps in kafka with the same downstream graph)."""
     return (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(d)
+        .parquet(_single_file_glob(sf_dir, "events"))
     )
 
 
@@ -286,16 +292,11 @@ DOCS_SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars b
 
 def documents_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1):
     """File-source stream over the documents table (tests/demos; same
-    symlink trick as ``events_stream``)."""
-    import os
-    import tempfile
-
-    d = tempfile.mkdtemp(prefix="bj_docs_stream_")
-    os.symlink(f"{sf_dir}/documents.parquet", f"{d}/documents-000.parquet")
+    single-file glob trick as ``events_stream``)."""
     return (
         spark.readStream.schema(DOCS_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(d)
+        .parquet(_single_file_glob(sf_dir, "documents"))
     )
 
 

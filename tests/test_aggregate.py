@@ -112,6 +112,15 @@ def test_checkpoint_hash_format_guard(spark, tmp_path):
                          checkpoint_dir=ckpt)
     assert r.n_rows == n
 
+    # ADVICE r4: resuming an UNMARKED dir must NOT stamp it — the mixed
+    # v1+v2 partials would pass the guard silently on every later
+    # resume.  The dir stays unmarked and every resume keeps warning.
+    assert not os.path.exists(marker)
+    with pytest.warns(UserWarning, match="no hash-format marker"):
+        build_sketch(df, lambda: BloomSketch(n, 0.01), cols=["k"],
+                     checkpoint_dir=ckpt)
+    assert not os.path.exists(marker)
+
 
 def test_token_array_ingestion(spark):
     # build over exploded-free array<int> column

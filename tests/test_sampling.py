@@ -334,3 +334,23 @@ def test_token_budget_mixture_zero_total_and_zero_budget(spark):
     assert rates["empty"] == (0, 1.0)
     assert rates["web"] == (10, 0.0)
     assert [r["doc_id"] for r in kept.collect()] == ["a"]
+
+
+def test_list_offsets_i32_overflow_guard():
+    """ADVICE r4: pack output offsets must accumulate in int64 and
+    refuse (not silently wrap) when one Arrow batch's total list
+    elements exceed the 2^31-1 limit of 32-bit Arrow list offsets."""
+    import numpy as np
+    import pytest
+
+    from bloomjoin_spark.operators.sampling import _list_offsets_i32
+
+    # in-range: exact int32 offsets
+    offs = _list_offsets_i32(np.array([3, 0, 5], dtype=np.int64), "doc_ids")
+    assert offs.dtype == np.int32
+    assert offs.tolist() == [0, 3, 3, 8]
+
+    # past 2^31-1 total elements: loud error, not a negative offset
+    big = np.full(9, 250_000_000, dtype=np.int64)  # 2.25e9 total
+    with pytest.raises(ValueError, match="32-bit Arrow list offsets"):
+        _list_offsets_i32(big, "tokens")
