@@ -269,6 +269,72 @@ def _scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "text", "n_email", "n_url", "n_ipv4").orderBy("doc_id")
 
 
+def _pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 5: the COMPOSED pipeline — one ``prepare_corpus`` call
+    chaining exact dedup → minhash dedup → decontamination →
+    boilerplate removal → quality filter → PII scrub → mixture →
+    split over a corpus that exercises every stage deterministically:
+
+    - PII (email/URL/IPv4 with the doc_id baked in) planted on every
+      doc — pins the scrub stage AND makes every text globally unique;
+    - a shared footer line on doc_id%4 docs — pins boilerplate removal;
+    - exact-dup rows (+1M ids) of doc_id%5 docs — pins exact dedup;
+    - whitespace-variant rows (+2M ids, double spaces) of doc_id%7
+      docs — exact-distinct but shingle-set-IDENTICAL (Jaccard exactly
+      1.0, so banding is deterministic: identical signatures always
+      collide) — pins minhash dedup at threshold=1.0;
+    - bench = doc_id%29==3 docs — pins decontamination (exact verify
+      join makes the flag set engine-independent).
+
+    The DuckDB oracle recomputes the ENTIRE composition stage by
+    stage (the same CTEs as the per-stage oracles, chained), pinning
+    the cross-stage column contracts end-to-end: final (doc_id,
+    source, split, text) value-hash equality."""
+    from bloomjoin_spark import prepare_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com"),
+            F.lit(" see https://site.io/p?q="), F.col("doc_id").cast("string"),
+            F.lit(" at 10.0.0."), (F.col("doc_id") % 256).cast("string"),
+            F.when(F.col("doc_id") % 4 == 0,
+                   F.lit("\ncommon footer end")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    bench = base.where(F.col("doc_id") % 29 == 3)
+    union = (
+        base
+        .unionByName(
+            base.where(F.col("doc_id") % 5 == 0)
+            .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        )
+        .unionByName(
+            base.where(F.col("doc_id") % 7 == 0)
+            .withColumn("doc_id", F.col("doc_id") + 2_000_000)
+            .withColumn("text", F.regexp_replace("text", " ", "  "))
+        )
+    )
+    res = prepare_corpus(
+        union,
+        dedup_exact=True,
+        minhash={"n": 3, "num_perm": 64, "bands": 8, "threshold": 1.0},
+        bench=bench,
+        decontam={"n": 6},
+        boilerplate_min_docs=2,
+        quality=True,
+        scrub=True,
+        mixture={"rates": {"src0": 0.25, "src1": 1.0}, "default_rate": 0.5},
+        split={"fractions": {"train": 0.8, "val": 0.1, "test": 0.1},
+               "salt": "s1"},
+    )
+    return res.docs.select("doc_id", "source", "split", "text").orderBy("doc_id")
+
+
 def _chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 4: context-window chunking — ≤32-word chunks with 4 words
     of overlap, row-local codegen (no shuffle, no Python).  The oracle
@@ -1204,6 +1270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_docs": _boilerplate_docs,
         "source_divergence_docs": _source_divergence_docs,
         "scrub_docs": _scrub_docs,
+        "pipeline_docs": _pipeline_docs,
         "chunk_docs": _chunk_docs,
         "token_budget_docs": _token_budget_docs,
         "profile_docs": _profile_docs,
@@ -1394,6 +1461,141 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text,
                      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::INT AS n_ipv4
             FROM planted
+            ORDER BY doc_id
+        """,
+        # The full composed pipeline, recomputed stage by stage with the
+        # same CTE building blocks as the per-stage oracles.  Minhash at
+        # threshold=1.0 reduces to shingle-set equality, which on this
+        # corpus (every text globally unique via the planted doc_id PII
+        # suffix; every doc >= 3 words) equals whitespace-collapsed
+        # lower/trim equality — the d2 CTE replicates exactly that.
+        "pipeline_docs": r"""
+            WITH base AS (
+              SELECT doc_id, source,
+                     text || ' contact user' || doc_id::VARCHAR || '@example.com'
+                     || ' see https://site.io/p?q=' || doc_id::VARCHAR
+                     || ' at 10.0.0.' || (doc_id % 256)::VARCHAR
+                     || CASE WHEN doc_id % 4 = 0
+                             THEN chr(10) || 'common footer end' ELSE '' END
+                     AS text
+              FROM documents
+            ),
+            u AS (
+              SELECT doc_id, source, text FROM base
+              UNION ALL
+              SELECT doc_id + 1000000, source, text FROM base WHERE doc_id % 5 = 0
+              UNION ALL
+              SELECT doc_id + 2000000, source,
+                     regexp_replace(text, ' ', '  ', 'g')
+              FROM base WHERE doc_id % 7 = 0
+            ),
+            d1 AS (
+              SELECT u.doc_id, u.source, u.text FROM u
+              JOIN (SELECT md5(lower(trim(text))) AS fp, min(doc_id) AS doc_id
+                    FROM u GROUP BY 1) k USING (doc_id)
+            ),
+            d2 AS (
+              SELECT d1.doc_id, d1.source, d1.text FROM d1
+              JOIN (SELECT min(doc_id) AS doc_id FROM d1
+                    GROUP BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) k2
+              USING (doc_id)
+            ),
+            w AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM d2
+            ),
+            bw AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+              FROM base WHERE doc_id % 29 = 3
+            ),
+            bench AS (
+              SELECT DISTINCT w[i:i+5] AS ng
+              FROM bw, UNNEST(generate_series(1, len(w) - 5)) t(i)
+            ),
+            flagged AS (
+              SELECT DISTINCT g.doc_id
+              FROM (SELECT d.doc_id, d.w[i:i+5] AS ng
+                    FROM w d, UNNEST(generate_series(1, len(d.w) - 5)) t(i)) g
+              JOIN bench b ON g.ng = b.ng
+            ),
+            d3 AS (
+              SELECT d2.doc_id, d2.source, d2.text FROM d2
+              ANTI JOIN flagged f ON d2.doc_id = f.doc_id
+            ),
+            split_l AS (
+              SELECT doc_id, string_split(text, chr(10)) AS ls FROM d3
+            ),
+            lines AS (
+              SELECT doc_id, i AS ord, ls[i] AS line
+              FROM split_l, UNNEST(generate_series(1, len(ls))) t(i)
+            ),
+            common AS (
+              SELECT line FROM lines WHERE length(line) > 0
+              GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 2
+            ),
+            keptl AS (
+              SELECT l.doc_id, l.ord, l.line FROM lines l
+              ANTI JOIN common c ON l.line = c.line
+            ),
+            rebuilt AS (
+              SELECT doc_id, string_agg(line, chr(10) ORDER BY ord) AS clean
+              FROM keptl GROUP BY doc_id
+            ),
+            d4 AS (
+              SELECT d3.doc_id, d3.source, coalesce(r.clean, '') AS text
+              FROM d3 LEFT JOIN rebuilt r USING (doc_id)
+            ),
+            qw AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                          ELSE string_split_regex(trim(lower(text)), '\s+') END AS w
+              FROM d4
+            ),
+            qm AS (
+              SELECT doc_id, len(w) AS nw,
+                     coalesce(list_sum(list_transform(w, x -> length(x))), 0) AS cs,
+                     len(list_distinct(w)) AS nd,
+                     len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS na,
+                     len(list_intersect(list_distinct(w),
+                         ['the','a','and','of','to','in','is','it','that','for'])) AS ns
+              FROM qw
+            ),
+            qpass AS (
+              SELECT doc_id FROM qm
+              WHERE nw >= 30 AND nw <= 100000
+                AND (CASE WHEN nw > 0 THEN cs::DOUBLE / nw ELSE 0 END) >= 2.0
+                AND (CASE WHEN nw > 0 THEN cs::DOUBLE / nw ELSE 0 END) <= 12.0
+                AND (CASE WHEN nw > 0 THEN (nw - nd)::DOUBLE / nw ELSE 0 END) <= 0.6
+                AND (CASE WHEN nw > 0 THEN na::DOUBLE / nw ELSE 0 END) >= 0.8
+                AND ns >= 1
+            ),
+            d5 AS (SELECT d4.* FROM d4 JOIN qpass USING (doc_id)),
+            d6 AS (
+              SELECT doc_id, source,
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g'),
+                         'https?://[^\s]+', '<URL>', 'g'),
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')
+                       AS text
+              FROM d5
+            ),
+            d7 AS (
+              SELECT doc_id, source, text FROM d6
+              WHERE substr(md5(doc_id::VARCHAR || '|'), 1, 4) <
+                    CASE WHEN source = 'src0' THEN '4000'
+                         WHEN source = 'src1' THEN 'g'
+                         ELSE '8000' END
+            )
+            SELECT doc_id, source,
+                   CASE WHEN substr(md5(doc_id::VARCHAR || '|s1'), 1, 4) < 'cccd'
+                          THEN 'train'
+                        WHEN substr(md5(doc_id::VARCHAR || '|s1'), 1, 4) < 'e666'
+                          THEN 'val'
+                        ELSE 'test' END AS split,
+                   text
+            FROM d7
             ORDER BY doc_id
         """,
         "chunk_docs": r"""

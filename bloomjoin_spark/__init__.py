@@ -15,7 +15,13 @@ from .aggregate import (
     build_sketches,
     grouped_sketch_estimates,
 )
-from .operators import bloom_join, contaminated_docs, decontaminate
+from .operators import (
+    PreparedCorpus,
+    bloom_join,
+    contaminated_docs,
+    decontaminate,
+    prepare_corpus,
+)
 from .plans import BloomJoinReport
 from .sketches import (
     BloomSketch,
@@ -47,6 +53,8 @@ __all__ = [
     "bloom_params",
     "contaminated_docs",
     "decontaminate",
+    "prepare_corpus",
+    "PreparedCorpus",
     "format_bloom_params",
     "bloom_sizing",
     "build_sketch",

@@ -1,0 +1,236 @@
+"""One-call training-corpus preparation: the composed LLM-data pipeline.
+
+Every stage of a production pretraining-data pipeline exists in this
+package as an individually-oracled operator; ``prepare_corpus`` is the
+integration layer that chains them behind one configurable call with a
+FIXED stage order — the order the public pipelines (C4, CCNet, Gopher,
+RefinedWeb, Dolma) converged on:
+
+    exact_dedup → minhash_dedup → decontaminate →
+    remove_boilerplate_lines → quality_filter → scrub_patterns →
+    weighted_mixture → hash_split → pack_sequences
+
+Why this order is a contract, not a preference:
+
+- dedup BEFORE decontam/boilerplate: duplicates inflate line document
+  frequencies and contamination counts, and every later stage pays to
+  process rows dedup would have dropped;
+- boilerplate BEFORE quality: quality rules must judge the text a
+  model would train on — a doc that is all cookie-banner passes word
+  count only until the banner is removed;
+- quality BEFORE scrub: rules see the original spans (a URL-soup doc
+  should fail on its real mean word length, not on ``<URL>`` masks),
+  while the trained-on text has the masks;
+- mixture BEFORE split: the held-out split is drawn from the final
+  training mixture, so val/test mirror what training sees;
+- pack LAST and per-split: packs must never mix splits.
+
+The reference's analog is ``bloom_join`` itself being the one-call
+composition of its prefilter pipeline (R/bloomjoin.R:62-124: hash →
+size → build → probe → join behind one call); this module plays that
+role for the corpus pipeline.
+
+Scale shape: the composition adds NOTHING to the stages' own costs —
+each stage is lazily chained DataFrame-on-DataFrame, Catalyst fuses
+the stateless stages (quality, scrub, mixture, split are one codegen
+map over the post-boilerplate frame), and the shuffling stages keep
+their documented plans.  ``prepare_corpus`` itself triggers no job.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .boilerplate import remove_boilerplate_lines
+from .decontam import decontaminate, words_col
+from .dedup import exact_dedup, minhash_dedup
+from .sampling import hash_split, pack_sequences, weighted_mixture
+from .text import quality_filter, scrub_patterns
+
+__all__ = ["prepare_corpus", "PreparedCorpus"]
+
+#: the fixed stage order (also the docs for which config key enables what)
+STAGE_ORDER = (
+    "exact_dedup",
+    "minhash_dedup",
+    "decontaminate",
+    "remove_boilerplate_lines",
+    "quality_filter",
+    "scrub_patterns",
+    "weighted_mixture",
+    "hash_split",
+    "pack_sequences",
+)
+
+
+@dataclass(frozen=True)
+class PreparedCorpus:
+    """Result of ``prepare_corpus``.
+
+    - ``docs``: the final document-level frame — input columns
+      (text transformed in place) plus the split label column when the
+      split stage ran.  Lazy: nothing has executed yet.
+    - ``packs``: the packed-sequence frame (``pack_sequences`` output
+      schema) over the configured split, or None when packing was not
+      requested.  Lazy as well.
+    - ``stages``: names of the stages that are part of the plan, in
+      execution order — the audit trail of what the configuration
+      actually enabled.
+    """
+
+    docs: DataFrame
+    packs: DataFrame | None
+    stages: tuple[str, ...]
+
+
+def _as_kwargs(cfg, stage: str) -> dict:
+    if cfg is True:
+        return {}
+    if isinstance(cfg, Mapping):
+        return dict(cfg)
+    raise TypeError(
+        f"prepare_corpus: {stage} config must be True (defaults) or a "
+        f"mapping of keyword overrides, got {type(cfg).__name__}"
+    )
+
+
+def prepare_corpus(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dedup_exact: bool = True,
+    minhash: Mapping | bool | None = None,
+    bench: DataFrame | None = None,
+    decontam: Mapping | None = None,
+    boilerplate_min_docs: int | None = None,
+    quality: Mapping | bool | None = None,
+    scrub: Mapping | bool | None = None,
+    mixture: Mapping | None = None,
+    split: Mapping | None = None,
+    pack: Mapping | None = None,
+) -> PreparedCorpus:
+    """Run the composed corpus-preparation pipeline; stages are opted
+    in per config and always execute in ``STAGE_ORDER``.
+
+    Stage configs (every stage except exact dedup defaults to OFF so a
+    minimal call is cheap and explicit):
+
+    - ``dedup_exact``: bool — exact content dedup (md5 of
+      lower/trim, min-id representative).
+    - ``minhash``: True or kwargs for ``minhash_dedup``
+      (``n``, ``num_perm``, ``bands``, ``threshold``, ...).
+    - ``bench`` (+ optional ``decontam`` kwargs: ``n``, ``fpp``,
+      ``engine``, ``corpus_tokens``, ``bench_tokens``): benchmark
+      decontamination — giving ``bench`` enables the stage; token
+      columns default to canonical word tokenization of ``text_col``
+      on both sides (override for token-id corpora).
+    - ``boilerplate_min_docs``: int — drop lines occurring in at least
+      that many distinct docs, reassemble text in place.
+    - ``quality``: True or kwargs for ``quality_filter`` thresholds.
+    - ``scrub``: True or kwargs for ``scrub_patterns``; the pipeline
+      default is ``with_counts=False`` (the lean schema a corpus
+      pipeline wants; pass ``with_counts=True`` to keep the counts).
+    - ``mixture``: kwargs for ``weighted_mixture`` — requires
+      ``rates``; ``stratum_col`` defaults to ``"source"``.
+    - ``split``: kwargs for ``hash_split`` — requires ``fractions``;
+      the label column defaults to ``"split"``.
+    - ``pack``: kwargs for ``pack_sequences`` — requires
+      ``max_tokens``; one of ``count_col``/``tokens_col``/``text_col``
+      selects the token source (default: pipeline ``text_col``).
+      ``use_split`` names the split label to pack (default
+      ``"train"`` when the split stage ran — packs never mix splits);
+      pass ``use_split=None`` to pack every surviving doc.
+
+    Returns a lazy :class:`PreparedCorpus`; no job runs until the
+    caller acts on ``.docs`` / ``.packs``.
+    """
+    if decontam is not None and bench is None:
+        raise ValueError(
+            "prepare_corpus: decontam kwargs were given without a bench "
+            "DataFrame — pass bench= to enable decontamination"
+        )
+    stages: list[str] = []
+    out = df
+
+    if dedup_exact:
+        out = exact_dedup(out, text_col=text_col, id_col=id_col)
+        stages.append("exact_dedup")
+
+    if minhash is not None and minhash is not False:
+        out = minhash_dedup(out, text_col, id_col, **_as_kwargs(minhash, "minhash"))
+        stages.append("minhash_dedup")
+
+    if bench is not None:
+        kw = dict(decontam or {})
+        kw.setdefault("corpus_tokens", words_col(F.col(text_col)))
+        if "bench_tokens" not in kw:
+            bench_text = kw.pop("bench_text_col", text_col)
+            kw["bench_tokens"] = words_col(F.col(bench_text))
+        kw.setdefault("id_col", id_col)
+        out = decontaminate(out, bench, **kw)
+        stages.append("decontaminate")
+
+    if boilerplate_min_docs is not None:
+        out = remove_boilerplate_lines(
+            out, text_col=text_col, id_col=id_col, min_docs=boilerplate_min_docs
+        )
+        stages.append("remove_boilerplate_lines")
+
+    if quality is not None and quality is not False:
+        out = quality_filter(out, text_col=text_col,
+                             **_as_kwargs(quality, "quality"))
+        stages.append("quality_filter")
+
+    if scrub is not None and scrub is not False:
+        kw = _as_kwargs(scrub, "scrub")
+        kw.setdefault("with_counts", False)
+        out = scrub_patterns(out, text_col=text_col, **kw)
+        stages.append("scrub_patterns")
+
+    if mixture is not None:
+        kw = dict(mixture)
+        if "rates" not in kw:
+            raise ValueError("prepare_corpus: mixture config requires 'rates'")
+        rates = kw.pop("rates")
+        kw.setdefault("stratum_col", "source")
+        out = weighted_mixture(out, id_col, rates, **kw)
+        stages.append("weighted_mixture")
+
+    split_out_col = None
+    if split is not None:
+        kw = dict(split)
+        if "fractions" not in kw:
+            raise ValueError("prepare_corpus: split config requires 'fractions'")
+        fractions = kw.pop("fractions")
+        split_out_col = kw.get("out_col", "split")
+        out = hash_split(out, id_col, fractions, **kw)
+        stages.append("hash_split")
+
+    packs = None
+    if pack is not None:
+        kw = dict(pack)
+        if "max_tokens" not in kw:
+            raise ValueError("prepare_corpus: pack config requires 'max_tokens'")
+        max_tokens = kw.pop("max_tokens")
+        use_split = kw.pop("use_split",
+                           "train" if split_out_col is not None else None)
+        to_pack = out
+        if use_split is not None:
+            if split_out_col is None:
+                raise ValueError(
+                    "prepare_corpus: pack use_split needs the split stage "
+                    "(pass split=...) or use_split=None to pack all docs"
+                )
+            to_pack = out.where(F.col(split_out_col) == F.lit(use_split))
+        if not any(k in kw for k in ("count_col", "tokens_col", "text_col")):
+            kw["text_col"] = text_col
+        kw.setdefault("id_col", id_col)
+        packs = pack_sequences(to_pack, max_tokens, **kw)
+        stages.append("pack_sequences")
+
+    return PreparedCorpus(docs=out, packs=packs, stages=tuple(stages))

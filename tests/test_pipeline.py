@@ -1,0 +1,173 @@
+"""prepare_corpus composition tests: the cross-stage column contracts
+the per-operator suites cannot see (VERDICT r4 task #1) — stage order,
+in-place text threading, split-aware packing, config validation."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bloomjoin_spark import prepare_corpus
+
+# 5 words: shorter than the decontam n=6 window, so the only shared
+# word runs between distinct docs stay below gram length
+FOOTER = "shared footer line every page"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+# a permissive quality config: only the rules under test bite
+LENIENT = {
+    "min_words": 3,
+    "min_mean_word_len": 0.0,
+    "max_mean_word_len": 1000.0,
+    "max_dup_word_frac": 1.0,
+    "min_alpha_word_frac": 0.0,
+    "min_distinct_stopwords": 0,
+}
+
+
+def test_full_chain_stages_schema_and_packs(spark):
+    rows = [
+        (i, "web" if i % 2 else "books",
+         f"alpha{i} beta{i} gamma{i} delta{i} epsilon{i} zeta{i} eta{i}\n{FOOTER}")
+        for i in range(40)
+    ]
+    # planted exact dup (same text, higher id) + whitespace variant
+    rows.append((1000, "web", rows[0][2]))
+    rows.append((1001, "web", rows[1][2].replace(" ", "  ")))
+    df = _docs(spark, rows)
+    bench = _docs(spark, [(9000, "bench", rows[2][2])])
+
+    res = prepare_corpus(
+        df,
+        minhash={"n": 3, "num_perm": 32, "bands": 8, "threshold": 1.0},
+        bench=bench,
+        decontam={"n": 6},
+        boilerplate_min_docs=2,
+        quality=LENIENT,
+        scrub=True,
+        mixture={"rates": {"web": 1.0, "books": 1.0}},
+        split={"fractions": {"train": 1.0}},
+        pack={"max_tokens": 16},
+    )
+    assert res.stages == (
+        "exact_dedup", "minhash_dedup", "decontaminate",
+        "remove_boilerplate_lines", "quality_filter", "scrub_patterns",
+        "weighted_mixture", "hash_split", "pack_sequences",
+    )
+    # schema contract: input columns preserved in order, + split label
+    assert res.docs.columns == ["doc_id", "source", "text", "split"]
+
+    out = {r["doc_id"]: r for r in res.docs.collect()}
+    assert 1000 not in out          # exact dup removed (stage 1)
+    assert 1001 not in out          # whitespace variant removed (stage 2)
+    assert 2 not in out             # bench-contaminated doc removed (stage 3)
+    assert 0 in out and 1 in out    # originals survive dedup stages
+    # boilerplate footer stripped from every surviving text (stage 4)
+    assert all(FOOTER not in r["text"] for r in out.values())
+    assert all(r["split"] == "train" for r in out.values())
+
+    # pack stage: every surviving doc packed exactly once, none invented
+    packed_ids = sorted(
+        i for r in res.packs.select("doc_ids").collect() for i in r["doc_ids"]
+    )
+    assert packed_ids == sorted(out)
+
+
+def test_boilerplate_runs_before_quality(spark):
+    """A doc whose word count clears min_words only BECAUSE of its
+    boilerplate footer must be dropped: quality judges the cleaned
+    text (quality after boilerplate), not the raw text."""
+    rows = [
+        (1, "web", f"tiny doc\n{FOOTER}"),             # 2 own words
+        (2, "web", f"plenty of body words here now\n{FOOTER}"),
+        (3, "web", f"another long enough body text\n{FOOTER}"),
+    ]
+    res = prepare_corpus(
+        _docs(spark, rows),
+        boilerplate_min_docs=2,
+        quality=LENIENT,  # min_words=3
+    )
+    kept = {r["doc_id"] for r in res.docs.collect()}
+    assert kept == {2, 3}  # doc 1 had 8 raw words but only 2 real ones
+
+
+def test_quality_runs_before_scrub(spark):
+    """A doc whose mean word length fails only on the RAW url span must
+    be dropped: quality sees the original text (quality before scrub),
+    even though the mask would have passed."""
+    url = "https://averyveryverylong.example.com/path/goes/on"
+    rows = [
+        (1, "web", f"{url} a b"),                 # raw mean ~17 chars/word
+        (2, "web", "short words only here okay"),
+    ]
+    quality = dict(LENIENT, max_mean_word_len=12.0)
+    res = prepare_corpus(_docs(spark, rows), quality=quality, scrub=True)
+    out = {r["doc_id"]: r["text"] for r in res.docs.collect()}
+    assert set(out) == {2}
+    # and the survivor's text is post-scrub (no-op here, but in place)
+    assert out[2] == "short words only here okay"
+
+
+def test_scrub_masks_surviving_text_in_place(spark):
+    rows = [(1, "web", "reach me at someone@example.com for details")]
+    res = prepare_corpus(_docs(spark, rows), dedup_exact=False, scrub=True)
+    [r] = res.docs.collect()
+    assert "<EMAIL>" in r["text"] and "@example.com" not in r["text"]
+    # lean pipeline default: no count columns
+    assert res.docs.columns == ["doc_id", "source", "text"]
+
+
+def test_pack_never_mixes_splits(spark):
+    """Packs are built over ONE split label (default train) — doc ids
+    from other splits must not appear in any pack."""
+    rows = [(i, "web", f"word{i} alpha beta gamma") for i in range(200)]
+    res = prepare_corpus(
+        _docs(spark, rows),
+        split={"fractions": {"train": 0.5, "val": 0.5}},
+        pack={"max_tokens": 16},
+    )
+    train_ids = {
+        r["doc_id"] for r in res.docs.where(F.col("split") == "train").collect()
+    }
+    val_ids = {
+        r["doc_id"] for r in res.docs.where(F.col("split") == "val").collect()
+    }
+    assert train_ids and val_ids  # both sides populated at n=200
+    packed = {
+        i for r in res.packs.select("doc_ids").collect() for i in r["doc_ids"]
+    }
+    assert packed == train_ids
+    assert not (packed & val_ids)
+
+
+def test_pack_all_docs_without_split(spark):
+    rows = [(i, "web", f"some words here number {i}") for i in range(10)]
+    res = prepare_corpus(_docs(spark, rows), pack={"max_tokens": 8})
+    packed = {
+        i for r in res.packs.select("doc_ids").collect() for i in r["doc_ids"]
+    }
+    assert packed == set(range(10))
+    assert res.stages == ("exact_dedup", "pack_sequences")
+
+
+def test_config_validation(spark):
+    df = _docs(spark, [(1, "web", "x")])
+    with pytest.raises(ValueError, match="without a bench"):
+        prepare_corpus(df, decontam={"n": 6})
+    with pytest.raises(ValueError, match="requires 'rates'"):
+        prepare_corpus(df, mixture={"stratum_col": "source"})
+    with pytest.raises(ValueError, match="requires 'fractions'"):
+        prepare_corpus(df, split={"salt": "x"})
+    with pytest.raises(ValueError, match="requires 'max_tokens'"):
+        prepare_corpus(df, pack={"count_col": "n"})
+    with pytest.raises(ValueError, match="use_split needs the split stage"):
+        prepare_corpus(df, pack={"max_tokens": 8, "use_split": "train"})
+    with pytest.raises(TypeError, match="quality config"):
+        prepare_corpus(df, quality=3)
+    # lazy contract: none of the successful configs above ran a job,
+    # and a full no-op call returns the input frame untouched
+    res = prepare_corpus(df, dedup_exact=False)
+    assert res.stages == ()
+    assert res.docs is df and res.packs is None
