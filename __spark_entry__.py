@@ -411,6 +411,19 @@ def _bigram_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _trigram_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 5 (VERDICT r4 #6): trigram statistical quality score —
+    mean add-α trigram log-probability under the corpus's own model
+    (context = plain bigram counts); the oracle recomputes the model
+    and every per-doc mean exactly."""
+    from bloomjoin_spark.operators import trigram_logprob_score, words_col
+
+    docs = _t(spark, sf_dir, "documents")
+    return trigram_logprob_score(
+        docs, tokens=words_col(F.col("text")), id_col="doc_id"
+    ).orderBy("doc_id")
+
+
 def _pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 4: greedy partition-local sequence packing at
     max_tokens=64 over whitespace-tokenized documents.  Pack layout is
@@ -431,6 +444,36 @@ def _pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             bool(st["max_regular_pack"] <= 64),
         )],
         "n_docs bigint, total_tokens bigint, oversize_packs bigint, bound_ok boolean",
+    )
+
+
+def _pack_documents_1p(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 5 (VERDICT r4 #4): pack composition pinned EXACTLY — a
+    ``repartition(1).sortWithinPartitions(doc_id)`` input makes the
+    greedy fill deterministic (one partition, known doc order), so the
+    DuckDB oracle recomputes the full pack membership with a recursive
+    CTE running the identical greedy recurrence (close the open pack
+    when the next doc would overflow it; an oversize doc is its own
+    pack).  Output is one scalar row per (pack, member): pack_id,
+    doc_id, n_docs, n_tokens, oversize — full value-hash, no
+    conservation-boolean indirection."""
+    from bloomjoin_spark.operators import pack_sequences
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )
+    packs = pack_sequences(docs, max_tokens=64, text_col="text")
+    return (
+        packs.select(
+            "pack_id",
+            F.explode("doc_ids").alias("doc_id"),
+            "n_docs",
+            "n_tokens",
+            "oversize",
+        )
+        .orderBy("doc_id")
     )
 
 
@@ -1275,10 +1318,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_docs": _token_budget_docs,
         "profile_docs": _profile_docs,
         "bigram_score_docs": _bigram_score_docs,
+        "trigram_score_docs": _trigram_score_docs,
         "decontam_tokens_f0": _decontam_tokens_f0,
         "hash_split_docs": _hash_split_docs,
         "weighted_mixture_docs": _weighted_mixture_docs,
         "pack_documents": _pack_documents,
+        "pack_documents_1p": _pack_documents_1p,
         "bloom_inner_join_native": _bloom_inner_native,
         "bloom_semi_join": _bloom_semi,
         "bloom_anti_join": _bloom_anti,
@@ -1685,6 +1730,40 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             ORDER BY col_name
         """,
+        "trigram_score_docs": r"""
+            WITH words AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                          ELSE string_split_regex(trim(text), '\s+') END AS w
+              FROM documents
+            ),
+            tris AS (
+              SELECT doc_id, w[i] AS w1, w[i+1] AS w2, w[i+2] AS w3
+              FROM words, UNNEST(generate_series(1, len(w) - 2)) t(i)
+            ),
+            ctx AS (
+              SELECT w[i] AS w1, w[i+1] AS w2, COUNT(*)::DOUBLE AS c12
+              FROM words, UNNEST(generate_series(1, len(w) - 1)) t(i)
+              GROUP BY 1, 2
+            ),
+            v AS (
+              SELECT COUNT(DISTINCT u)::DOUBLE AS vocab
+              FROM (SELECT unnest(w) AS u FROM words)
+            ),
+            tc AS (
+              SELECT w1, w2, w3, COUNT(*)::DOUBLE AS c123
+              FROM tris GROUP BY w1, w2, w3
+            )
+            SELECT g.doc_id,
+                   COUNT(*)::BIGINT AS n_trigrams,
+                   round(AVG(ln((t.c123 + 0.5) / (c.c12 + 0.5 * v.vocab))), 6)
+                     AS avg_logprob
+            FROM tris g
+            JOIN tc t USING (w1, w2, w3)
+            JOIN ctx c USING (w1, w2), v
+            GROUP BY g.doc_id
+            ORDER BY g.doc_id
+        """,
         "bigram_score_docs": r"""
             WITH words AS (
               SELECT doc_id,
@@ -1822,6 +1901,38 @@ def oracle_sql() -> dict[str, str]:
                    SUM(CASE WHEN n > 64 THEN 1 ELSE 0 END)::BIGINT AS oversize_packs,
                    TRUE AS bound_ok
             FROM tok
+        """,
+        # Exact pack membership on the layout-deterministic single
+        # partition: the recursive CTE runs the same greedy recurrence
+        # as the engine (overflow closes the pack; > max on one doc ==
+        # oversize own pack).  pack_id = local index (partition 0).
+        "pack_documents_1p": r"""
+            WITH RECURSIVE docs_ord AS (
+              SELECT row_number() OVER (ORDER BY doc_id) AS rn, doc_id,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+')) END AS n
+              FROM documents
+            ),
+            g AS (
+              SELECT rn, doc_id, n, 0 AS pack_no, n AS acc
+              FROM docs_ord WHERE rn = 1
+              UNION ALL
+              SELECT d.rn, d.doc_id, d.n,
+                     CASE WHEN g.acc + d.n > 64 THEN g.pack_no + 1
+                          ELSE g.pack_no END,
+                     CASE WHEN g.acc + d.n > 64 THEN d.n
+                          ELSE g.acc + d.n END
+              FROM g JOIN docs_ord d ON d.rn = g.rn + 1
+            ),
+            packs AS (
+              SELECT pack_no, COUNT(*)::INT AS n_docs, SUM(n)::BIGINT AS n_tokens
+              FROM g GROUP BY pack_no
+            )
+            SELECT g.pack_no::BIGINT AS pack_id, g.doc_id,
+                   p.n_docs, p.n_tokens,
+                   (p.n_docs = 1 AND p.n_tokens > 64) AS oversize
+            FROM g JOIN packs p USING (pack_no)
+            ORDER BY g.doc_id
         """,
         "bloom_semi_join": """
             SELECT d.doc_id, d.source, d.n_chars

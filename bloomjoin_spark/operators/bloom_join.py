@@ -66,6 +66,10 @@ _BROADCAST_BUDGET_BYTES = 512 << 20
 #: engine, whose filter is broadcast once per executor.
 _NATIVE_FILTER_CAP_BYTES = 16 << 20
 
+#: once-per-session latch for the native→sketch fallback warning (the
+#: per-call record lives in BloomJoinReport.engine_fallback_reason)
+_native_fallback_warned = False
+
 _NUM_RANK = {
     "tinyint": 0,
     "byte": 0,
@@ -346,11 +350,22 @@ def bloom_join(
             # same classic-mode ExpressionUtils helpers)
             probe_filter_col = _native_might_contain(spark, blob, probe_hash)
         except Exception as ex:  # private-API drift / size gate → sketch engine
-            warnings.warn(
-                f"native bloom engine unavailable ({ex!r}); falling back to "
-                "the two-phase sketch engine",
-                stacklevel=2,
-            )
+            # observable degradation (VERDICT r4 #3): record the reason on
+            # the report ALWAYS, warn once per session — auto mode must
+            # not lose the 2.6× native path silently across a Spark
+            # upgrade, but per-call warnings would spam a pipeline that
+            # calls bloom_join thousands of times
+            report.engine_fallback_reason = repr(ex)
+            global _native_fallback_warned
+            if not _native_fallback_warned:
+                _native_fallback_warned = True
+                warnings.warn(
+                    f"native bloom engine unavailable ({ex!r}); falling back "
+                    "to the two-phase sketch engine (warning once per "
+                    "session; every affected BloomJoinReport carries "
+                    "engine_fallback_reason)",
+                    stacklevel=2,
+                )
             engine = "bloom"
         if probe_filter_col is not None:
             report.engine = "native"

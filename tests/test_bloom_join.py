@@ -538,6 +538,7 @@ def test_native_engine_size_gate_falls_back(spark, monkeypatch):
 
     bj = importlib.import_module("bloomjoin_spark.operators.bloom_join")
     monkeypatch.setattr(bj, "_NATIVE_FILTER_CAP_BYTES", 64)
+    monkeypatch.setattr(bj, "_native_fallback_warned", False)
     x = spark.range(0, 8_000).withColumn("vx", F.col("id") * 2)
     y = spark.range(4_000, 4_800).withColumn("vy", F.col("id") * 3)
     with pytest.warns(UserWarning, match="plan-literal cap"):
@@ -547,6 +548,7 @@ def test_native_engine_size_gate_falls_back(spark, monkeypatch):
         )
         assert_df_equal(got, x.join(y, "id", "inner"))
     assert rep.engine == "bloom" and rep.used_prefilter
+    assert "plan-literal cap" in rep.engine_fallback_reason
 
 
 def test_native_engine_probe_drift_falls_back(spark, monkeypatch):
@@ -561,6 +563,7 @@ def test_native_engine_probe_drift_falls_back(spark, monkeypatch):
         raise RuntimeError("ExpressionUtils moved")
 
     monkeypatch.setattr(bj, "_native_might_contain", boom)
+    monkeypatch.setattr(bj, "_native_fallback_warned", False)
     x = spark.range(0, 8_000).withColumn("vx", F.col("id") * 2)
     y = spark.range(4_000, 4_800).withColumn("vy", F.col("id") * 3)
     with pytest.warns(UserWarning, match="native bloom engine unavailable"):
@@ -570,6 +573,54 @@ def test_native_engine_probe_drift_falls_back(spark, monkeypatch):
         )
         assert_df_equal(got, x.join(y, "id", "inner"))
     assert rep.engine == "bloom" and rep.used_prefilter
+    assert "ExpressionUtils moved" in rep.engine_fallback_reason
+
+
+def test_auto_mode_native_fallback_is_observable(spark, monkeypatch):
+    """VERDICT r4 #3: engine='auto' degrading to the sketch engine on
+    private-API drift must be OBSERVABLE — every affected report carries
+    engine_fallback_reason, and the session warns exactly once (not per
+    call, not zero times)."""
+    import importlib
+    import warnings as W
+
+    bj = importlib.import_module("bloomjoin_spark.operators.bloom_join")
+
+    def boom(*a, **kw):
+        raise RuntimeError("simulated Spark upgrade drift")
+
+    monkeypatch.setattr(bj, "_native_build_filter", boom)
+    monkeypatch.setattr(bj, "_native_fallback_warned", False)
+    x = spark.range(0, 8_000).withColumn("vx", F.col("id") * 2)
+    y = spark.range(4_000, 4_800).withColumn("vy", F.col("id") * 3)
+
+    # call 1 (auto dispatches native): warns once, reason recorded
+    with pytest.warns(UserWarning, match="native bloom engine unavailable"):
+        got, rep = bloom_join(
+            x, y, on="id", how="inner", force_prefilter=True,
+            collect_metrics=False, return_report=True,
+        )
+        assert_df_equal(got, x.join(y, "id", "inner"))
+    assert rep.engine == "bloom" and rep.used_prefilter
+    assert "simulated Spark upgrade drift" in rep.engine_fallback_reason
+
+    # call 2: no second warning, but the report still carries the reason
+    with W.catch_warnings():
+        W.simplefilter("error", UserWarning)
+        got2, rep2 = bloom_join(
+            x, y, on="id", how="inner", force_prefilter=True,
+            collect_metrics=False, return_report=True,
+        )
+        assert_df_equal(got2, x.join(y, "id", "inner"))
+    assert "simulated Spark upgrade drift" in rep2.engine_fallback_reason
+
+    # a successful native run leaves the field None
+    monkeypatch.undo()
+    _, rep3 = bloom_join(
+        x, y, on="id", how="inner", force_prefilter=True,
+        collect_metrics=False, return_report=True,
+    )
+    assert rep3.engine == "native" and rep3.engine_fallback_reason is None
 
 
 def test_native_engine_rejects_checkpoint(spark):

@@ -199,3 +199,34 @@ def test_ngram_hashes_rejects_oversize_n():
 
     with pytest.raises(ValueError):
         ngram_hashes_col(F.col("x"), 64)
+
+
+def test_over_cap_auto_dispatches_sketch_engine_same_output(spark, monkeypatch):
+    """VERDICT r4 #7: an eval suite whose serialized native filter
+    exceeds the plan-literal cap is the sketch engine's declared
+    territory — force the cap and assert auto lands on the sketch
+    engine with output IDENTICAL to the native run (and to the exact
+    explode-join)."""
+    import importlib
+
+    dc = importlib.import_module("bloomjoin_spark.operators.decontam")
+
+    corpus = _docs(
+        spark,
+        [(i, [i, i + 1, i + 2, 5, 6, 7]) for i in range(0, 40, 2)]
+        + [(i, [100 + i, 200 + i, 300 + i]) for i in range(1, 40, 2)],
+    )
+    bench = _docs(spark, [(900, [5, 6, 7]), (901, [3, 4, 5, 6])])
+
+    native = contaminated_docs(corpus, bench, n=3, engine="native")
+    native_rows = sorted(tuple(r) for r in native.collect())
+
+    monkeypatch.setattr(dc, "_NATIVE_FILTER_CAP_BYTES", 8)
+    capped, rep = contaminated_docs(
+        corpus, bench, n=3, engine="auto", return_report=True
+    )
+    assert rep.engine == "bloom"  # the cap pushed auto off the native path
+    assert sorted(tuple(r) for r in capped.collect()) == native_rows
+
+    exact_rows = sorted(tuple(r) for r in _exact(corpus, bench, 3).collect())
+    assert native_rows == exact_rows

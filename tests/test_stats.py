@@ -105,3 +105,41 @@ def test_bigram_logprob_validates_alpha(spark):
     df = _toks(spark, [("a", [1, 2])])
     with pytest.raises(ValueError):
         bigram_logprob_score(df, alpha=0.0)
+
+
+def test_trigram_logprob_exact_tiny(spark):
+    """Hand-computed add-α trigram logprobs on a 2-doc corpus."""
+    from bloomjoin_spark.operators import trigram_logprob_score
+
+    df = _toks(spark, [("a", [1, 2, 3]), ("b", [1, 2, 4])])
+    df = df.withColumn("doc_id", F.col("source")).drop("source")
+    rows = {r["doc_id"]: r for r in trigram_logprob_score(df).collect()}
+    # trigrams: (1,2,3)×1, (1,2,4)×1; context bigrams: (1,2)×2, (2,3)×1,
+    # (2,4)×1; V=4; α=0.5
+    # doc a: ln((1+0.5)/(2+0.5·4)) = ln(1.5/4)
+    assert rows["a"]["n_trigrams"] == 1
+    assert rows["a"]["avg_logprob"] == pytest.approx(
+        math.log(1.5 / 4.0), abs=1e-6
+    )
+    assert rows["b"]["avg_logprob"] == rows["a"]["avg_logprob"]  # symmetric
+
+
+def test_trigram_logprob_ranks_gibberish_low_and_short_docs_absent(spark):
+    from bloomjoin_spark.operators import trigram_logprob_score
+
+    typical = [("t%d" % i, [1, 2, 3, 1, 2, 3]) for i in range(5)]
+    df = _toks(spark, typical + [("weird", [9, 8, 7, 6]), ("pair", [5, 5])])
+    df = df.withColumn("doc_id", F.col("source")).drop("source")
+    rows = {
+        r["doc_id"]: r["avg_logprob"] for r in trigram_logprob_score(df).collect()
+    }
+    assert "pair" not in rows  # < 3 tokens → no trigrams
+    assert rows["weird"] < rows["t0"]
+
+
+def test_trigram_logprob_validates_alpha(spark):
+    from bloomjoin_spark.operators import trigram_logprob_score
+
+    df = _toks(spark, [("a", [1, 2, 3])])
+    with pytest.raises(ValueError):
+        trigram_logprob_score(df, alpha=-1.0)
