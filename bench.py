@@ -84,6 +84,9 @@ SCALING_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_SCALING_ROWS", "8000000"))
 # between the two runs (see run_scaling docstring + BENCH.md).
 SCALE_N = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_N", "2"))
 SCALE_4N = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_4N", "8"))
+# within-side min-of-N spread above this ratio re-runs the side once
+# (hypervisor-throttle rescue — see run_scaling)
+SCALING_SPREAD_MAX = float(os.environ.get("SPARK_GRAFT_BENCH_SPREAD_MAX", "2.0"))
 SF = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
 SHUFFLE_STATS: dict = {}
 
@@ -558,14 +561,82 @@ def run_headline(spark) -> dict[str, float]:
             docs, tokens=words_col(F.col("text"))
         ).agg(F.sum("avg_logprob")).first()
     )
+    from bloomjoin_spark.operators import trigram_logprob_score
+
+    qs["trigram_score_docs"], _ = timed_min_q("trigram_score_docs",
+        lambda: trigram_logprob_score(
+            docs, tokens=words_col(F.col("text"))
+        ).agg(F.sum("avg_logprob")).first()
+    )
     from bloomjoin_spark.operators import profile_table
 
     qs["profile_docs"], _ = timed_min_q("profile_docs",
         lambda: profile_table(docs).count()
     )
+
+    # --- round-5: the composed prepare_corpus pipeline end-to-end
+    # (dedup → minhash → boilerplate → quality → scrub → mixture →
+    # split) — one lazy plan, so this cell times the fused composition,
+    # not a sum of per-stage scans
+    from bloomjoin_spark import prepare_corpus
+
+    def _pipeline_cell():
+        res = prepare_corpus(
+            docs,
+            minhash={"n": 3, "num_perm": 64, "bands": 8, "threshold": 0.9},
+            boilerplate_min_docs=2,
+            quality=True,
+            scrub=True,
+            mixture={"rates": {"src0": 0.5}, "default_rate": 0.8},
+            split={"fractions": {"train": 0.9, "val": 0.05, "test": 0.05}},
+        )
+        return res.docs.groupBy("split").agg(
+            F.count(F.lit(1)), F.sum(F.length("text"))
+        ).collect()
+
+    qs["pipeline_docs"], _ = timed_min_q("pipeline_docs", _pipeline_cell)
     toks.unpersist()
     lk.unpersist()
     return qs
+
+
+#: compact aliases for the driver-visible bench line (VERDICT r4 #2:
+#: per-query regressions must be visible in BENCH_r{N}.json itself, and
+#: the full-name map blew the driver's 2000-byte stdout tail window in
+#: r2).  Values are CENTISECONDS as ints ("qunit": "cs"); full names +
+#: second-resolution floats stay in BENCH_FULL.json.
+QUERY_SHORT_KEYS = {
+    "naive_join_lineitem": "njl",
+    "bloom_join_lineitem_auto": "bjla",
+    "bloom_join_lineitem_forced": "bjlf",
+    "naive_join_tokens": "njt",
+    "bloom_join_tokens": "bjt",
+    "bloom_join_tokens_sketch": "bjts",
+    "native_runtime_bloom_tokens": "nrbt",
+    "hll_distinct_tokens": "hll",
+    "cms_token_freq": "cms",
+    "tdigest_ntok": "td",
+    "kll_ntok": "kll",
+    "bloom_build_docids": "bbd",
+    "hash_split_tokens": "hst",
+    "pack_tokens_2m": "pck",
+    "exact_dedup_docs": "edd",
+    "minhash_pairs_docs": "mhp",
+    "text_stats_docs": "tst",
+    "ann_cosine_topk": "ann",
+    "decontam_tokens": "dct",
+    "repetition_docs": "rep",
+    "top_ngram_docs": "tng",
+    "quality_filter_docs": "qf",
+    "boilerplate_docs": "bp",
+    "source_divergence_docs": "sdv",
+    "scrub_docs": "scr",
+    "chunk_docs": "chk",
+    "bigram_score_docs": "bg2",
+    "trigram_score_docs": "bg3",
+    "profile_docs": "prf",
+    "pipeline_docs": "pipe",
+}
 
 
 def run_scaling(
@@ -610,15 +681,34 @@ def run_scaling(
         )
     finally:
         gen.stop()
+    def run_side(cores: int, reps: int) -> list[float]:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--scaling-worker",
+             str(cores), data_dir, str(reps)],
+            capture_output=True, text=True, check=True,
+        )
+        return [float(v) for v in proc.stdout.strip().splitlines()[-1].split(",")]
+
     out: dict[int, list[float]] = {}
+    guard: dict[str, dict] = {}
     try:
-        for cores, reps in ((n_small, reps_small), (n_big, reps_big)):
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--scaling-worker",
-                 str(cores), data_dir, str(reps)],
-                capture_output=True, text=True, check=True,
-            )
-            out[cores] = [float(v) for v in proc.stdout.strip().splitlines()[-1].split(",")]
+        for label, cores, reps in (
+            ("small", n_small, reps_small), ("big", n_big, reps_big)
+        ):
+            runs = run_side(cores, reps)
+            # within-side spread guard (VERDICT r4 #5): a min-of-N
+            # spread past ~2x is the documented hypervisor-throttle
+            # signature (BENCH.md) — min-of-N likely never saw an
+            # unthrottled window, so re-run the whole side ONCE (fresh
+            # JVM, same input) before computing the ratio.  Trigger is
+            # recorded either way so the JSON shows whether the sample
+            # needed rescue.
+            spread = max(runs) / max(min(runs), 1e-9)
+            reran = spread > SCALING_SPREAD_MAX
+            if reran:
+                runs = runs + run_side(cores, reps)
+            guard[label] = {"spread": round(spread, 2), "reran": reran}
+            out[cores] = runs
     finally:
         shutil.rmtree(data_dir, ignore_errors=True)
     sec_small, sec_big = min(out[n_small]), min(out[n_big])
@@ -632,6 +722,7 @@ def run_scaling(
         "rows_per_sec_small": round(token_rows / sec_small),
         "rows_per_sec_big": round(token_rows / sec_big),
         "scaling_efficiency": round(eff, 3),
+        "spread_guard": guard,
         "runs_small": [round(t, 3) for t in out[n_small]],
         "runs_big": [round(t, 3) for t in out[n_big]],
     }
@@ -893,9 +984,24 @@ def main():
         compact["scaling"] = {
             k: v for k, v in scaling.items() if not k.startswith("runs")
         }
+    # per-query timings, compact (VERDICT r4 #2): short keys (see
+    # QUERY_SHORT_KEYS) and centisecond ints keep all ~30 entries in
+    # the driver's 2000-byte tail window alongside the other blocks
+    compact["qunit"] = "cs"
+    compact["queries"] = {
+        QUERY_SHORT_KEYS.get(k, k): int(round(v * 100)) for k, v in qs.items()
+    }
+    # win-cell constants (heap/fraction/batch/cores/rows) are documented
+    # regime parameters, not measurements — BENCH_FULL.json keeps them
+    _cell_consts = {"heap", "memory_fraction", "arrow_batch", "cores", "rows"}
+    compact["shuffle"] = {
+        k: ({kk: vv for kk, vv in v.items() if kk not in _cell_consts}
+            if isinstance(v, dict) else v)
+        for k, v in result["shuffle"].items()
+    }
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1800:  # last-resort trim: drop per-query detail first
-        compact["queries"] = {"total_sec": round(sum(qs.values()), 3)}
+        compact["queries"] = {"total_cs": int(round(sum(qs.values()) * 100))}
         line = json.dumps(compact, separators=(",", ":"))
     print(line)
 
