@@ -121,6 +121,12 @@ class TDigestSketch(Sketch):
                 out[i] = self.vmin if t <= w[0] * 0.5 else m[0]
             elif j >= m.size:
                 out[i] = self.vmax if t >= self.count - w[-1] * 0.5 else m[-1]
+            elif m[j - 1] == m[j]:
+                # equal endpoints must return the value EXACTLY: the
+                # convex form below rounds (1-f)·M + f·M one ULP off,
+                # which moves the estimate across the duplicated value's
+                # whole rank run (hypothesis-found on [0]×6+[M]×3)
+                out[i] = m[j]
             else:
                 frac = (t - cum[j - 1]) / (cum[j] - cum[j - 1])
                 # convex form, not m0 + frac*(m1-m0): the latter loses the

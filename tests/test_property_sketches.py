@@ -5,7 +5,7 @@ rcpp_filter_keys yields one global filter regardless of insertion
 order). Pure numpy — no Spark session."""
 
 import numpy as np
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 
 from bloomjoin_spark.hashing import hash_float64, hash_strings, splitmix64
 from bloomjoin_spark.sketches import BloomSketch, CmsSketch, HllSketch, KllSketch, TDigestSketch
@@ -101,6 +101,10 @@ def test_kll_rank_bound_under_random_merges(vals, nparts, seed):
     seeds,
 )
 @settings(max_examples=25, deadline=None)
+# ULP regression (round 5): equal interpolation endpoints must return
+# the duplicated value EXACTLY — the convex lerp rounded one ULP low
+# and crossed the value's whole rank run
+@example(vals=[0.0] * 6 + [999999.9999999999] * 3, nparts=1, seed=0)
 def test_tdigest_rank_bound_under_random_merges(vals, nparts, seed):
     v = np.array(vals, dtype=np.float64)
     merged = None
