@@ -293,6 +293,13 @@ def _pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bloomjoin_spark import prepare_corpus
 
     docs = _t(spark, sf_dir, "documents")
+    # Planted-copy ids must stay collision-free at ANY scale factor:
+    # boilerplate reassembly (and the final orderBy) require row-unique
+    # ids, so offsets derive from max(doc_id)+1 — copy 1 lives in
+    # [off, 2*off), copy 2 in [2*off, 3*off), disjoint from the base
+    # range and from each other.  The oracle computes the same offset
+    # from the same table (one scalar agg, bounded driver fetch).
+    off = docs.agg(F.max("doc_id")).first()[0] + 1
     base = docs.select(
         "doc_id",
         "source",
@@ -311,11 +318,11 @@ def _pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         base
         .unionByName(
             base.where(F.col("doc_id") % 5 == 0)
-            .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+            .withColumn("doc_id", F.col("doc_id") + F.lit(off))
         )
         .unionByName(
             base.where(F.col("doc_id") % 7 == 0)
-            .withColumn("doc_id", F.col("doc_id") + 2_000_000)
+            .withColumn("doc_id", F.col("doc_id") + F.lit(2 * off))
             .withColumn("text", F.regexp_replace("text", " ", "  "))
         )
     )
@@ -678,17 +685,21 @@ def _bloom_fpr_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _docs_with_planted_dups(spark, sf_dir):
+    """Planted exact-dup copies with scale-safe ids: the offset is
+    max(doc_id)+1 (one scalar agg), so copies never collide with real
+    ids at any scale factor.  Returns (docs, union, offset)."""
     docs = _t(spark, sf_dir, "documents")
+    off = docs.agg(F.max("doc_id")).first()[0] + 1
     dups = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
-        "doc_id", F.col("doc_id") + 1_000_000
+        "doc_id", F.col("doc_id") + F.lit(off)
     )
-    return docs, docs.unionByName(dups)
+    return docs, docs.unionByName(dups), off
 
 
 def _exact_dedup_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bloomjoin_spark.operators import exact_dedup
 
-    _, union = _docs_with_planted_dups(spark, sf_dir)
+    _, union, _off = _docs_with_planted_dups(spark, sf_dir)
     return exact_dedup(union).select("doc_id", "source")
 
 
@@ -698,12 +709,12 @@ def _minhash_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     jaccard 1.0."""
     from bloomjoin_spark.operators import minhash_dedup_pairs
 
-    docs, union = _docs_with_planted_dups(spark, sf_dir)
+    docs, union, off = _docs_with_planted_dups(spark, sf_dir)
     pairs = minhash_dedup_pairs(
         union, "text", "doc_id", n=3, num_perm=64, bands=8, threshold=0.99
     )
     planted = docs.filter(F.col("doc_id") % 5 == 0).count()
-    found = pairs.filter(F.col("id_b") - F.col("id_a") == 1_000_000).count()
+    found = pairs.filter(F.col("id_b") - F.col("id_a") == F.lit(off)).count()
     all_verified = pairs.filter(F.col("jaccard") < 0.99).count() == 0
     return spark.createDataFrame(
         [(int(planted), int(found == planted), bool(all_verified))],
@@ -749,13 +760,14 @@ def _embedding_near_dup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bloomjoin_spark.operators import embedding_near_dup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
+    off = emb.agg(F.max("vec_id")).first()[0] + 1
     dup = emb.filter(F.col("vec_id") % 50 == 0).withColumn(
-        "vec_id", F.col("vec_id") + 1_000_000
+        "vec_id", F.col("vec_id") + F.lit(off)
     )
     both = emb.unionByName(dup)
     planted = emb.filter(F.col("vec_id") % 50 == 0).count()
     pairs = embedding_near_dup_pairs(both, threshold=0.999)
-    found = pairs.filter(F.col("id_b") - F.col("id_a") == 1_000_000).count()
+    found = pairs.filter(F.col("id_b") - F.col("id_a") == F.lit(off)).count()
     return spark.createDataFrame(
         [(int(planted), int(found == planted))], "planted bigint, all_found int"
     )
@@ -789,7 +801,7 @@ def _minhash_full_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     all be removed and nothing else — survivors == original doc_ids."""
     from bloomjoin_spark.operators import minhash_dedup
 
-    _, union = _docs_with_planted_dups(spark, sf_dir)
+    _, union, _off = _docs_with_planted_dups(spark, sf_dir)
     kept = minhash_dedup(
         union, "text", "doc_id", n=3, num_perm=64, bands=8, threshold=0.99
     )
@@ -801,12 +813,12 @@ def _simhash_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     every planted dup pair must surface at max_hamming=3."""
     from bloomjoin_spark.operators import add_simhash, simhash_near_dup_pairs
 
-    docs, union = _docs_with_planted_dups(spark, sf_dir)
+    docs, union, off = _docs_with_planted_dups(spark, sf_dir)
     sh = add_simhash(union.select("doc_id", "text"))
     pairs = simhash_near_dup_pairs(sh, "doc_id", max_hamming=3)
     planted = docs.filter(F.col("doc_id") % 5 == 0).count()
     found = pairs.filter(
-        (F.col("id_b") - F.col("id_a") == 1_000_000) & (F.col("hamming") == 0)
+        (F.col("id_b") - F.col("id_a") == F.lit(off)) & (F.col("hamming") == 0)
     ).count()
     return spark.createDataFrame(
         [(int(planted), bool(found == planted))],
@@ -842,11 +854,11 @@ def _winnowing_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     IDENTICAL fingerprint sets."""
     from bloomjoin_spark.operators import winnowing_fingerprints
 
-    docs, union = _docs_with_planted_dups(spark, sf_dir)
+    docs, union, off = _docs_with_planted_dups(spark, sf_dir)
     fps = winnowing_fingerprints(union.select("doc_id", "text"))
     a = fps.select(F.col("doc_id").alias("id_a"), F.col("winnow_fps").alias("fa"))
     b = fps.select(F.col("doc_id").alias("id_b"), F.col("winnow_fps").alias("fb"))
-    pairs = a.join(b, F.col("id_b") - F.col("id_a") == 1_000_000)
+    pairs = a.join(b, F.col("id_b") - F.col("id_a") == F.lit(off))
     n_pairs = pairs.count()
     identical = pairs.filter(
         (F.size(F.array_except(F.col("fa"), F.col("fb"))) == 0)
@@ -1525,12 +1537,14 @@ def oracle_sql() -> dict[str, str]:
                      AS text
               FROM documents
             ),
+            mx AS (SELECT max(doc_id) + 1 AS o FROM documents),
             u AS (
               SELECT doc_id, source, text FROM base
               UNION ALL
-              SELECT doc_id + 1000000, source, text FROM base WHERE doc_id % 5 = 0
+              SELECT doc_id + (SELECT o FROM mx), source, text
+              FROM base WHERE doc_id % 5 = 0
               UNION ALL
-              SELECT doc_id + 2000000, source,
+              SELECT doc_id + 2 * (SELECT o FROM mx), source,
                      regexp_replace(text, ' ', '  ', 'g')
               FROM base WHERE doc_id % 7 = 0
             ),
@@ -1999,7 +2013,8 @@ def oracle_sql() -> dict[str, str]:
             WITH u AS (
               SELECT doc_id, text, source FROM documents
               UNION ALL
-              SELECT doc_id + 1000000, text, source FROM documents WHERE doc_id % 5 = 0
+              SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents), text, source
+              FROM documents WHERE doc_id % 5 = 0
             ),
             k AS (
               SELECT md5(lower(trim(text))) AS fp, min(doc_id) AS doc_id

@@ -574,7 +574,13 @@ def build_sketches(
         partials.write.mode("append" if done_ids else "overwrite").parquet(
             checkpoint_dir
         )
-        if stamp:
+        # overwrite mode replaces EVERY partial with current-version
+        # data, so the dir is pure-v{HASH_FORMAT} afterwards and must
+        # be stamped even when the pre-existing dir was unmarked (an
+        # unmarked dir with zero done ids carries nothing forward);
+        # append onto an unmarked dir stays unmarked so later resumes
+        # keep warning (ADVICE r4)
+        if stamp or not done_ids:
             _write_checkpoint_hash_format(spark, checkpoint_dir)
         partials = spark.read.parquet(checkpoint_dir).dropDuplicates(
             ["name", "partition_id"]
@@ -718,7 +724,9 @@ def build_sketch(
             partials.write.mode("append").parquet(checkpoint_dir)
         else:
             partials.write.mode("overwrite").parquet(checkpoint_dir)
-        if stamp:
+        # see build_sketches: a zero-done-ids overwrite yields a pure
+        # current-version dir — stamp it even if it was unmarked before
+        if stamp or not done_ids:
             _write_checkpoint_hash_format(spark, checkpoint_dir)
         partials = spark.read.parquet(checkpoint_dir).dropDuplicates(["partition_id"])
     sketch, n_parts, n_rows, rounds = tree_merge(partials, fanin)

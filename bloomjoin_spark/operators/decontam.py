@@ -144,6 +144,10 @@ class DecontamReport:
     engine: str = ""
     n_bench_ngrams: int = 0
     filter_bits: int = 0
+    #: why auto/native dispatch degraded to the sketch engine (None if
+    #: the native path was taken or never attempted) — same observable
+    #: contract as BloomJoinReport.engine_fallback_reason (VERDICT r4 #3)
+    engine_fallback_reason: str | None = None
     notes: list[str] = field(default_factory=list)
 
 
@@ -275,14 +279,37 @@ def contaminated_docs(
             base.where(cand_pred).schema
             report.engine = "native"
             report.filter_bits = len(blob) * 8
-        except Exception as ex:  # private-API drift → sketch engine
+        except Exception as ex:  # private-API drift / size gate → sketch engine
+            # observable degradation, same contract as bloom_join
+            # (VERDICT r4 #3): the reason is ALWAYS recorded on the
+            # report, and auto mode warns once per session instead of
+            # silently losing the native path across a Spark upgrade
             cand_pred = None
+            report.engine_fallback_reason = repr(ex)
             if engine == "native":
                 warnings.warn(
                     f"native bloom engine unavailable ({ex!r}); falling back "
                     "to the sketch engine",
                     stacklevel=2,
                 )
+            else:
+                # importlib, not `from . import bloom_join`: the package
+                # __init__ re-exports the bloom_join FUNCTION, shadowing
+                # the submodule attribute
+                import importlib
+
+                _bj = importlib.import_module(
+                    "bloomjoin_spark.operators.bloom_join"
+                )
+                if not _bj._native_fallback_warned:
+                    _bj._native_fallback_warned = True
+                    warnings.warn(
+                        f"native bloom engine unavailable ({ex!r}); falling "
+                        "back to the sketch engine (warning once per session; "
+                        "every affected DecontamReport/BloomJoinReport "
+                        "carries engine_fallback_reason)",
+                        stacklevel=2,
+                    )
             engine = "bloom"
     if cand_pred is None:
         res = build_sketch(

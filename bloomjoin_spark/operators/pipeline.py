@@ -98,6 +98,21 @@ def _as_kwargs(cfg, stage: str) -> dict:
     )
 
 
+def _as_mapping(cfg, stage: str, required: str) -> dict:
+    """Mapping-only configs (mixture/split/pack have a required key, so
+    True-for-defaults makes no sense) — same curated error shape as
+    ``_as_kwargs`` instead of an opaque ``dict(cfg)`` TypeError."""
+    if not isinstance(cfg, Mapping):
+        raise TypeError(
+            f"prepare_corpus: {stage} config must be a mapping with at "
+            f"least {required!r}, got {type(cfg).__name__}"
+        )
+    kw = dict(cfg)
+    if required not in kw:
+        raise ValueError(f"prepare_corpus: {stage} config requires {required!r}")
+    return kw
+
+
 def prepare_corpus(
     df: DataFrame,
     *,
@@ -168,9 +183,15 @@ def prepare_corpus(
     if bench is not None:
         kw = dict(decontam or {})
         kw.setdefault("corpus_tokens", words_col(F.col(text_col)))
+        bench_text = kw.pop("bench_text_col", None)
         if "bench_tokens" not in kw:
-            bench_text = kw.pop("bench_text_col", text_col)
-            kw["bench_tokens"] = words_col(F.col(bench_text))
+            kw["bench_tokens"] = words_col(F.col(bench_text or text_col))
+        elif bench_text is not None:
+            raise ValueError(
+                "prepare_corpus: decontam config has both 'bench_tokens' "
+                "and 'bench_text_col' — they select the same thing; pass "
+                "only one"
+            )
         kw.setdefault("id_col", id_col)
         out = decontaminate(out, bench, **kw)
         stages.append("decontaminate")
@@ -193,29 +214,25 @@ def prepare_corpus(
         stages.append("scrub_patterns")
 
     if mixture is not None:
-        kw = dict(mixture)
-        if "rates" not in kw:
-            raise ValueError("prepare_corpus: mixture config requires 'rates'")
+        kw = _as_mapping(mixture, "mixture", "rates")
         rates = kw.pop("rates")
         kw.setdefault("stratum_col", "source")
         out = weighted_mixture(out, id_col, rates, **kw)
         stages.append("weighted_mixture")
 
     split_out_col = None
+    split_labels: tuple[str, ...] = ()
     if split is not None:
-        kw = dict(split)
-        if "fractions" not in kw:
-            raise ValueError("prepare_corpus: split config requires 'fractions'")
+        kw = _as_mapping(split, "split", "fractions")
         fractions = kw.pop("fractions")
         split_out_col = kw.get("out_col", "split")
+        split_labels = tuple(fractions)
         out = hash_split(out, id_col, fractions, **kw)
         stages.append("hash_split")
 
     packs = None
     if pack is not None:
-        kw = dict(pack)
-        if "max_tokens" not in kw:
-            raise ValueError("prepare_corpus: pack config requires 'max_tokens'")
+        kw = _as_mapping(pack, "pack", "max_tokens")
         max_tokens = kw.pop("max_tokens")
         use_split = kw.pop("use_split",
                            "train" if split_out_col is not None else None)
@@ -225,6 +242,15 @@ def prepare_corpus(
                 raise ValueError(
                     "prepare_corpus: pack use_split needs the split stage "
                     "(pass split=...) or use_split=None to pack all docs"
+                )
+            if use_split not in split_labels:
+                # a label absent from the fractions would silently pack
+                # ZERO docs — the whole corpus dropped with no error
+                raise ValueError(
+                    f"prepare_corpus: pack use_split={use_split!r} is not "
+                    f"one of the split labels {sorted(split_labels)}; pass "
+                    "use_split=<an existing label> (or use_split=None to "
+                    "pack every surviving doc)"
                 )
             to_pack = out.where(F.col(split_out_col) == F.lit(use_split))
         if not any(k in kw for k in ("count_col", "tokens_col", "text_col")):

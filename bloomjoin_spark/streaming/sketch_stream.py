@@ -17,6 +17,7 @@ Two layers:
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable
 
 import numpy as np
@@ -39,8 +40,19 @@ def _single_file_glob(sf_dir: str, table: str) -> str:
     file.  Wrapping the last character in a one-element character class
     (``events.parque[t]``) is exactly that, with no temp dir, symlink,
     or copy (ADVICE r4: the previous mkdtemp+symlink helper leaked a
-    /tmp dir per call and broke on symlink-less filesystems)."""
-    return f"{sf_dir}/{table}.parque[t]"
+    /tmp dir per call and broke on symlink-less filesystems).
+
+    The whole path goes through Hadoop's glob matcher, so any glob
+    metacharacter already IN ``sf_dir`` (``/data/run[2]/sf1``) must be
+    backslash-escaped or the directory part silently matches the wrong
+    (or no) path — only our trailing ``[t]`` may stay live."""
+    escaped = _GLOB_META.sub(r"\\\g<0>", sf_dir)
+    return f"{escaped}/{table}.parque[t]"
+
+
+#: Hadoop glob metacharacters (GlobPattern): * ? [ ] { } and the escape
+#: char itself
+_GLOB_META = re.compile(r"[*?\[\]{}\\]")
 
 
 def events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1):

@@ -121,6 +121,29 @@ def test_checkpoint_hash_format_guard(spark, tmp_path):
                      checkpoint_dir=ckpt)
     assert not os.path.exists(marker)
 
+    # Round-5 review: an unmarked dir whose parquet yields ZERO done
+    # partition ids is rebuilt in overwrite mode — every partial is
+    # current-version afterwards, so the rebuild MUST stamp it (leaving
+    # it unmarked would warn spuriously forever and blind the guard to
+    # a genuine future mismatch)
+    # seed the dir with a zero-row parquet in the lineage schema, no
+    # marker — an unmarked v1-era-looking dir that carries nothing
+    build_sketch(df, lambda: BloomSketch(n, 0.01), cols=["k"], checkpoint_dir=ckpt)
+    zero = spark.read.parquet(ckpt).limit(0)
+    zero.write.mode("overwrite").parquet(ckpt)
+    if os.path.exists(marker):  # Spark's overwrite usually removes it
+        os.remove(marker)
+    with pytest.warns(UserWarning, match="no hash-format marker"):
+        r2 = build_sketch(df, lambda: BloomSketch(n, 0.01), cols=["k"],
+                          checkpoint_dir=ckpt)
+    assert r2.n_rows == n
+    assert os.path.exists(marker)  # pure rebuild → stamped
+    # and the next resume is silent again
+    with W.catch_warnings():
+        W.simplefilter("error", UserWarning)
+        build_sketch(df, lambda: BloomSketch(n, 0.01), cols=["k"],
+                     checkpoint_dir=ckpt)
+
 
 def test_token_array_ingestion(spark):
     # build over exploded-free array<int> column

@@ -226,7 +226,44 @@ def test_over_cap_auto_dispatches_sketch_engine_same_output(spark, monkeypatch):
         corpus, bench, n=3, engine="auto", return_report=True
     )
     assert rep.engine == "bloom"  # the cap pushed auto off the native path
+    assert "plan-literal cap" in rep.engine_fallback_reason
     assert sorted(tuple(r) for r in capped.collect()) == native_rows
 
     exact_rows = sorted(tuple(r) for r in _exact(corpus, bench, 3).collect())
     assert native_rows == exact_rows
+
+
+def test_auto_mode_decontam_fallback_is_observable(spark, monkeypatch):
+    """Round 5 review: decontam's auto dispatch shares bloom_join's
+    observability contract — private-API drift records
+    engine_fallback_reason on the report and warns once per session
+    (latch shared with bloom_join)."""
+    import importlib
+    import warnings
+
+    dc = importlib.import_module("bloomjoin_spark.operators.decontam")
+    bj = importlib.import_module("bloomjoin_spark.operators.bloom_join")
+
+    def boom(*a, **kw):
+        raise RuntimeError("ExpressionUtils moved")
+
+    monkeypatch.setattr(dc, "_native_build_filter", boom)
+    monkeypatch.setattr(bj, "_native_fallback_warned", False)
+    corpus = _docs(spark, [(1, [1, 2, 3, 4]), (2, [9, 9, 9])])
+    bench = _docs(spark, [(900, [2, 3, 4])])
+    with pytest.warns(UserWarning, match="native bloom engine unavailable"):
+        flagged, rep = contaminated_docs(
+            corpus, bench, n=3, engine="auto", return_report=True
+        )
+        rows = sorted(r.doc_id for r in flagged.collect())
+    assert rep.engine == "bloom"
+    assert "ExpressionUtils moved" in rep.engine_fallback_reason
+    assert rows == [1]
+    # the latch is now set: a second degraded call records the reason
+    # on its report but does NOT warn again
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        _, rep2 = contaminated_docs(
+            corpus, bench, n=3, engine="auto", return_report=True
+        )
+    assert "ExpressionUtils moved" in rep2.engine_fallback_reason

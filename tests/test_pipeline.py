@@ -171,3 +171,43 @@ def test_config_validation(spark):
     res = prepare_corpus(df, dedup_exact=False)
     assert res.stages == ()
     assert res.docs is df and res.packs is None
+
+
+def test_config_validation_round5_review(spark):
+    """Round-5 review findings: silent-wrong and opaque-error configs
+    must raise curated errors instead."""
+    df = _docs(spark, [(1, "web", "x")])
+    # a use_split label absent from the fractions would pack ZERO docs
+    with pytest.raises(ValueError, match="not one of the split labels"):
+        prepare_corpus(
+            df,
+            split={"fractions": {"training": 0.9, "holdout": 0.1}},
+            pack={"max_tokens": 8},
+        )
+    # redundant bench token selectors must not leak into decontaminate()
+    with pytest.raises(ValueError, match="both 'bench_tokens' and"):
+        prepare_corpus(
+            df, bench=df,
+            decontam={"bench_tokens": F.col("text"), "bench_text_col": "text"},
+        )
+    # Mapping-only configs get the curated message, not dict(True)'s
+    for cfg_kw in ({"mixture": True}, {"split": True}, {"pack": True}):
+        with pytest.raises(TypeError, match="must be a mapping"):
+            prepare_corpus(df, **cfg_kw)
+    # an explicit use_split matching a real label still works (and an
+    # explicit non-default label is honored)
+    rows = [(i, "web", f"some words here number {i}") for i in range(20)]
+    res = prepare_corpus(
+        _docs(spark, rows),
+        split={"fractions": {"training": 0.5, "holdout": 0.5}, "salt": "s"},
+        pack={"max_tokens": 8, "use_split": "holdout"},
+    )
+    labels = {r["split"] for r in res.docs.select("split").distinct().collect()}
+    packed = {
+        i for r in res.packs.select("doc_ids").collect() for i in r["doc_ids"]
+    }
+    holdout = {
+        r["doc_id"] for r in res.docs.where("split = 'holdout'").collect()
+    }
+    assert labels <= {"training", "holdout"}
+    assert packed == holdout and packed

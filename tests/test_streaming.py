@@ -259,3 +259,28 @@ def test_dedup_stream_validates_watermark_pairing(spark):
     df = spark.createDataFrame([Row(text="x")], "text string")
     with pytest.raises(ValueError):
         dedup_stream(df, watermark="1 hour")
+
+
+def test_stream_source_path_with_glob_metachars(spark, sf_dir, tmp_path):
+    """Round-5 review: an sf_dir containing glob metacharacters
+    (``/data/run[2]/sf1``) must stream the right file — the directory
+    part is backslash-escaped so only our trailing ``[t]`` stays a
+    live glob."""
+    import shutil
+
+    from bloomjoin_spark.streaming.sketch_stream import _single_file_glob
+
+    weird = tmp_path / "run[2]" / "sf{a}"
+    weird.mkdir(parents=True)
+    shutil.copy(f"{sf_dir}/events.parquet", weird / "events.parquet")
+
+    glob_path = _single_file_glob(str(weird), "events")
+    assert "\\[2\\]" in glob_path and "\\{a\\}" in glob_path
+    assert glob_path.endswith("events.parque[t]")
+
+    stream = events_stream(spark, str(weird))
+    agg = windowed_counts(stream, window="1 hour")
+    run_stream_to_memory(agg, "glob_meta_counts")
+    got_n = spark.table("glob_meta_counts").agg(F.sum("n")).first()[0]
+    exp_n = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert got_n == exp_n
