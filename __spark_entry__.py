@@ -808,6 +808,32 @@ def _minhash_full_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", "source")
 
 
+def _ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 5: EXACT n-gram Jaccard similarity join (prefix filtering,
+    AllPairs/PPJoin family — dedup.py:ngram_jaccard_pairs).  Unlike the
+    minhash rows this one is pinned by a full-value DuckDB oracle: the
+    SQL recomputes ALL-PAIRS exact Jaccard over the identical planted
+    corpus, so the prefix filter's 100%-recall claim is value-checked,
+    not just invariant-checked."""
+    from bloomjoin_spark.operators import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    sub = docs.where(F.col("doc_id") % 10 == 0).select("doc_id", "text")
+    off = docs.agg(F.max("doc_id")).first()[0] + 1
+    variants = (
+        sub.where(F.col("doc_id") % 30 == 0)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(off))
+        .withColumn(
+            "text",
+            F.concat(F.col("text"),
+                     F.lit(" tail appended words for jaccard test")),
+        )
+    )
+    union = sub.unionByName(variants)
+    pairs = ngram_jaccard_pairs(union, threshold=0.6, max_shingle_df=None)
+    return pairs.orderBy("id_a", "id_b")
+
+
 def _simhash_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup detection: identical texts have hamming 0, so
     every planted dup pair must surface at max_hamming=3."""
@@ -1365,6 +1391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_stream_docs": _decontam_stream_docs,
         "dedup_stream_docs": _dedup_stream_docs,
         "minhash_full_dedup": _minhash_full_dedup,
+        "ngram_jaccard_docs": _ngram_jaccard_docs,
         "simhash_planted": _simhash_planted,
         "ann_lsh_recall": _ann_lsh_recall,
         "ann_ivf_recall": _ann_ivf_recall,
@@ -2119,6 +2146,49 @@ def oracle_sql() -> dict[str, str]:
         "stateful_hll_stream": """
             SELECT event_type, count(*) AS n_rows, TRUE AS within_bound
             FROM events GROUP BY event_type
+        """,
+        "ngram_jaccard_docs": r"""
+            WITH sub AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+            ),
+            mx AS (SELECT max(doc_id) + 1 AS o FROM documents),
+            u AS (
+              SELECT doc_id, text FROM sub
+              UNION ALL
+              SELECT doc_id + (SELECT o FROM mx),
+                     text || ' tail appended words for jaccard test'
+              FROM sub WHERE doc_id % 30 = 0
+            ),
+            w AS (
+              SELECT doc_id, lower(trim(text)) AS lt,
+                     string_split_regex(lower(trim(text)), '\s+') AS w
+              FROM u
+            ),
+            -- chr(31) separator keeps the 3-gram string domain disjoint
+            -- from the short-doc whole-text fallback (Spark separates the
+            -- domains by hashing structure)
+            g AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) >= 3
+                          THEN list_distinct(list_transform(
+                                 generate_series(1, len(w) - 2),
+                                 i -> array_to_string(w[i:i+2], chr(31))))
+                          ELSE [lt] END AS gs
+              FROM w
+            ),
+            p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.gs AS ga, b.gs AS gb
+              FROM g a JOIN g b ON a.doc_id < b.doc_id
+            ),
+            j AS (
+              SELECT id_a, id_b,
+                     round(len(list_intersect(ga, gb))::DOUBLE
+                           / (len(ga) + len(gb) - len(list_intersect(ga, gb))),
+                           6) AS jaccard
+              FROM p
+            )
+            SELECT id_a, id_b, jaccard FROM j
+            WHERE jaccard >= 0.6 ORDER BY id_a, id_b
         """,
         "minhash_full_dedup": """
             SELECT doc_id, source FROM documents

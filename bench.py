@@ -494,6 +494,14 @@ def run_headline(spark) -> dict[str, float]:
             docs, "text", "doc_id", num_perm=64, bands=8, threshold=0.8
         ).count()
     )
+    # exact prefix-filtered Jaccard join over the full docs table —
+    # the 100%-recall counterpart of the minhash cell above (same
+    # corpus, same shingles, no LSH approximation)
+    from bloomjoin_spark.operators import ngram_jaccard_pairs
+    qs["ngram_jaccard_docs"], _ = timed_min_q("ngram_jaccard_docs", 
+        lambda: ngram_jaccard_pairs(docs, "text", "doc_id",
+                                    threshold=0.8).count()
+    )
     qs["text_stats_docs"], _ = timed_min_q("text_stats_docs", 
         lambda: add_text_stats(docs).agg(F.sum("n_tokens")).first()
     )
@@ -622,6 +630,7 @@ QUERY_SHORT_KEYS = {
     "pack_tokens_2m": "pck",
     "exact_dedup_docs": "edd",
     "minhash_pairs_docs": "mhp",
+    "ngram_jaccard_docs": "ngj",
     "text_stats_docs": "tst",
     "ann_cosine_topk": "ann",
     "decontam_tokens": "dct",

@@ -538,3 +538,122 @@ def simhash_near_dup_pairs(
     return pairs.select(
         "id_a", "id_b", hamming.alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard similarity join (prefix filtering)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.7,
+    max_shingle_df: int | None = 2000,
+    dropped_report: dict | None = None,
+) -> DataFrame:
+    """EXACT n-gram Jaccard similarity join: every pair (id_a < id_b)
+    with J(shingles_a, shingles_b) ≥ threshold, found by prefix
+    filtering (the AllPairs/PPJoin family) — no LSH approximation, so
+    recall is 100% by construction (when ``max_shingle_df=None``).
+
+    How it scales (the prefix-filter argument): order every document's
+    distinct shingles by GLOBAL rarity (document frequency, ties by
+    shingle value — one total order shared by all docs).  Two sets with
+    J ≥ t must share a shingle within their first
+    ``L - ceil(t*L) + 1`` rarest shingles, so only that prefix is
+    exploded into the candidate join — each doc contributes
+    ~(1-t)·L index entries of 8-byte keys, and candidates meet on
+    *rare* shingles (tiny buckets) instead of every shared shingle.
+    A final length filter (min(L) ≥ t·max(L)) prunes before the exact
+    verify join on the full shingle arrays (JVM array_intersect).
+
+    Shuffle inventory at 100 TB: one explode+groupBy for global df
+    (8-byte keys), one window shuffle by id over (id, shingle, df)
+    triples, the candidate equi-join on prefix shingles, one verify
+    join.  Document text never shuffles.
+
+    ``max_shingle_df`` is the shared degenerate-bucket guard: a shingle
+    whose PREFIX bucket exceeds it is dropped (warned + recorded in
+    ``last_dropped_stats('ngram_jaccard_pairs')``).  A shingle that
+    common lands in a prefix only for docs with almost no rarer
+    content (pure boilerplate) — but dropping does trade away the
+    exactness guarantee for those docs; pass ``max_shingle_df=None``
+    for the fully exact join.
+
+    Distinct from ``minhash_dedup_pairs``: that trades recall for a
+    fixed signature cost (banding can miss true pairs near the
+    threshold); this is exact but candidate volume grows with shared
+    rare-shingle mass.  Use minhash for web-scale fuzzy dedup, this
+    for contracts where a missed duplicate is a correctness bug.
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(
+            f"ngram_jaccard_pairs: threshold must be in (0, 1], got {threshold}"
+        )
+    from pyspark.sql import Window
+
+    sh = with_shingle_hashes(df, text_col, n).select(id_col, "shingles").persist()
+    try:
+        ex = sh.select(
+            F.col(id_col),
+            F.size("shingles").alias("__L"),
+            F.explode("shingles").alias("__g"),
+        )
+        freq = ex.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("__df").asc(), F.col("__g").asc()
+        )
+        prefix_len = F.col("__L") - F.ceil(F.lit(threshold) * F.col("__L")) + 1
+        prefix = (
+            ex.join(freq, "__g")
+            .withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= prefix_len)
+            .select(id_col, "__g", "__L")
+        )
+        # one materialization point: the prefix table feeds the guard's
+        # size aggregate and both sides of the self-join (else the
+        # df-join + window recompute per branch)
+        prefix = prefix.localCheckpoint(eager=False)
+        prefix = _drop_oversized_buckets(
+            prefix, ["__g"], max_shingle_df, dropped_report,
+            "ngram_jaccard_pairs",
+        )
+        a, b = prefix.alias("a"), prefix.alias("b")
+        cand = (
+            a.join(
+                b,
+                on=[
+                    F.col("a.__g") == F.col("b.__g"),
+                    F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+                ],
+            )
+            # length filter: J ≥ t forces t·max(L) ≤ |A∩B| ≤ min(L)
+            .filter(
+                F.least(F.col("a.__L"), F.col("b.__L")).cast("double")
+                >= F.lit(threshold) * F.greatest(F.col("a.__L"), F.col("b.__L"))
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .distinct()
+        )
+        sa = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+        sb = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+        verified = (
+            cand.join(sa, "id_a")
+            .join(sb, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                F.round(jaccard_col(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+        )
+        # eager: materializes the (small) pair set so the shingle cache
+        # can be released before returning
+        return verified.localCheckpoint()
+    finally:
+        sh.unpersist()

@@ -202,3 +202,74 @@ def test_dedup_clusters_converges_min_label(spark):
     got = {r["id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
                    20: 20, 21: 20, 22: 20, 23: 20}
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard join (prefix filtering)
+# ---------------------------------------------------------------------------
+
+def _brute_force_pairs(spark, df, n, threshold):
+    """Ground truth: all-pairs exact Jaccard over the shingle sets."""
+    from bloomjoin_spark.operators import jaccard_col, with_shingle_hashes
+
+    sh = with_shingle_hashes(df, "text", n).select("doc_id", "shingles")
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.round(jaccard_col(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+@pytest.mark.parametrize("threshold", [0.5, 0.8, 1.0])
+def test_ngram_jaccard_equals_brute_force(spark, threshold):
+    """The prefix filter must lose NOTHING: output == all-pairs exact
+    Jaccard, at thresholds including the t=1.0 edge (prefix of 1)."""
+    from bloomjoin_spark.operators import ngram_jaccard_pairs
+
+    base = [
+        (i, " ".join(f"w{(i * 7 + j) % 23}" for j in range(12))) for i in range(40)
+    ]
+    # planted: near-dup of every 4th doc (append two words), exact dup
+    # of every 10th, plus a short (<n words) doc pair
+    rows = list(base)
+    rows += [(100 + i, t + " tail extra") for i, t in base if i % 4 == 0]
+    rows += [(200 + i, t) for i, t in base if i % 10 == 0]
+    rows += [(300, "lone pair"), (301, "lone pair")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = ngram_jaccard_pairs(df, threshold=threshold, max_shingle_df=None)
+    exp = _brute_force_pairs(spark, df, 3, threshold)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
+    # sanity: the planted structures actually surface at this threshold
+    if threshold == 1.0:
+        exact_pairs = {(r["id_a"], r["id_b"]) for r in got.collect()}
+        assert (0, 200) in exact_pairs and (300, 301) in exact_pairs
+
+
+def test_ngram_jaccard_threshold_validation(spark):
+    from bloomjoin_spark.operators import ngram_jaccard_pairs
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="threshold"):
+        ngram_jaccard_pairs(df, threshold=0.0)
+    with pytest.raises(ValueError, match="threshold"):
+        ngram_jaccard_pairs(df, threshold=1.5)
+
+
+def test_ngram_jaccard_bucket_cap_guard(spark):
+    """A degenerate prefix bucket (many docs whose rarest shingle is
+    shared) trips the shared guard: warning + last_dropped_stats."""
+    from bloomjoin_spark.operators import last_dropped_stats, ngram_jaccard_pairs
+
+    rows = [(i, "same boilerplate line everywhere") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with pytest.warns(UserWarning, match="dropped"):
+        got = ngram_jaccard_pairs(df, threshold=0.9, max_shingle_df=10)
+    assert got.count() == 0  # every candidate lived in the dropped bucket
+    stats = last_dropped_stats("ngram_jaccard_pairs")
+    assert stats["dropped_buckets"] >= 1 and stats["max_bucket_size"] == 10
