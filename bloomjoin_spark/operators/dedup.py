@@ -609,7 +609,13 @@ def ngram_jaccard_pairs(
         prefix = (
             ex.join(freq, "__g")
             .withColumn("__r", F.row_number().over(w))
-            .filter(F.col("__r") <= prefix_len)
+            # __df >= 2 AFTER ranking: a singleton shingle still OCCUPIES
+            # its prefix position (dropping it before the window would
+            # promote commoner shingles into the prefix and change the
+            # theorem's guarantee), but it can never MATCH another doc in
+            # the equi-join — pruning it costs zero recall and, on a
+            # mostly-unique corpus, removes most of the candidate index
+            .filter((F.col("__r") <= prefix_len) & (F.col("__df") >= 2))
             .select(id_col, "__g", "__L")
         )
         # one materialization point: the prefix table feeds the guard's
