@@ -663,3 +663,21 @@ def ngram_jaccard_pairs(
         return verified.localCheckpoint()
     finally:
         sh.unpersist()
+
+
+def ngram_jaccard_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **kw,
+) -> DataFrame:
+    """Full EXACT near-dup dedup: `ngram_jaccard_pairs` → min-label
+    clusters → keep the min-id representative per cluster (the same
+    keep rule as ``exact_dedup``/``minhash_dedup``, so the three dedup
+    tiers compose deterministically)."""
+    pairs = ngram_jaccard_pairs(df, text_col, id_col, **kw)
+    clusters = dedup_clusters(pairs)
+    losers = clusters.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, on=id_col, how="left_anti")

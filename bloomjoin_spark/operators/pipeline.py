@@ -6,9 +6,13 @@ integration layer that chains them behind one configurable call with a
 FIXED stage order — the order the public pipelines (C4, CCNet, Gopher,
 RefinedWeb, Dolma) converged on:
 
-    exact_dedup → minhash_dedup → decontaminate →
-    remove_boilerplate_lines → quality_filter → scrub_patterns →
-    weighted_mixture → hash_split → pack_sequences
+    exact_dedup → minhash_dedup → ngram_jaccard_dedup →
+    decontaminate → remove_boilerplate_lines → quality_filter →
+    scrub_patterns → weighted_mixture → hash_split → pack_sequences
+
+(minhash and the exact Jaccard tier are independent opt-ins; enabling
+both runs the cheap approximate pass first, then the exact join
+guarantees nothing above its threshold survives)
 
 Why this order is a contract, not a preference:
 
@@ -47,7 +51,7 @@ from pyspark.sql import functions as F
 
 from .boilerplate import remove_boilerplate_lines
 from .decontam import decontaminate, words_col
-from .dedup import exact_dedup, minhash_dedup
+from .dedup import exact_dedup, minhash_dedup, ngram_jaccard_dedup
 from .sampling import hash_split, pack_sequences, weighted_mixture
 from .text import quality_filter, scrub_patterns
 
@@ -57,6 +61,7 @@ __all__ = ["prepare_corpus", "PreparedCorpus"]
 STAGE_ORDER = (
     "exact_dedup",
     "minhash_dedup",
+    "ngram_jaccard_dedup",
     "decontaminate",
     "remove_boilerplate_lines",
     "quality_filter",
@@ -120,6 +125,7 @@ def prepare_corpus(
     id_col: str = "doc_id",
     dedup_exact: bool = True,
     minhash: Mapping | bool | None = None,
+    jaccard: Mapping | bool | None = None,
     bench: DataFrame | None = None,
     decontam: Mapping | None = None,
     boilerplate_min_docs: int | None = None,
@@ -139,6 +145,10 @@ def prepare_corpus(
       lower/trim, min-id representative).
     - ``minhash``: True or kwargs for ``minhash_dedup``
       (``n``, ``num_perm``, ``bands``, ``threshold``, ...).
+    - ``jaccard``: True or kwargs for ``ngram_jaccard_dedup`` — the
+      EXACT (100%-recall) near-dup tier; runs after minhash when both
+      are enabled (minhash first removes the bulk cheaply, the exact
+      join then guarantees nothing above its threshold survives).
     - ``bench`` (+ optional ``decontam`` kwargs: ``n``, ``fpp``,
       ``engine``, ``corpus_tokens``, ``bench_tokens``): benchmark
       decontamination — giving ``bench`` enables the stage; token
@@ -179,6 +189,12 @@ def prepare_corpus(
     if minhash is not None and minhash is not False:
         out = minhash_dedup(out, text_col, id_col, **_as_kwargs(minhash, "minhash"))
         stages.append("minhash_dedup")
+
+    if jaccard is not None and jaccard is not False:
+        out = ngram_jaccard_dedup(
+            out, text_col, id_col, **_as_kwargs(jaccard, "jaccard")
+        )
+        stages.append("ngram_jaccard_dedup")
 
     if bench is not None:
         kw = dict(decontam or {})

@@ -273,3 +273,22 @@ def test_ngram_jaccard_bucket_cap_guard(spark):
     assert got.count() == 0  # every candidate lived in the dropped bucket
     stats = last_dropped_stats("ngram_jaccard_pairs")
     assert stats["dropped_buckets"] >= 1 and stats["max_bucket_size"] == 10
+
+
+def test_ngram_jaccard_dedup_keeps_min_id(spark):
+    """Full exact near-dup dedup: clusters collapse to the min-id
+    representative (same keep rule as exact_dedup/minhash_dedup)."""
+    from bloomjoin_spark.operators import ngram_jaccard_dedup
+
+    # per-doc-unique tokens: base docs share NO shingles with each
+    # other, only with their planted tail variants
+    base = [
+        (i, " ".join(f"d{i}w{j}" for j in range(12))) for i in range(30)
+    ]
+    rows = base + [(100 + i, t + " tiny tail") for i, t in base if i % 3 == 0]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = ngram_jaccard_dedup(df, threshold=0.6, max_shingle_df=None)
+    ids = sorted(r.doc_id for r in kept.collect())
+    # every planted near-dup (id >= 100) lost to its base doc
+    assert all(i < 100 for i in ids)
+    assert len(ids) == len(base)

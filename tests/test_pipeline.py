@@ -211,3 +211,22 @@ def test_config_validation_round5_review(spark):
     }
     assert labels <= {"training", "holdout"}
     assert packed == holdout and packed
+
+
+def test_jaccard_stage_in_pipeline(spark):
+    """Round 5: the exact Jaccard tier slots between minhash and
+    decontam; with jaccard enabled, near-dups above its threshold
+    cannot survive the pipeline."""
+    # per-doc-unique tokens so base docs share no shingles with each
+    # other — only with their planted tail variants
+    rows = [
+        (i, "web", " ".join(f"d{i}tok{j}" for j in range(40)))
+        for i in range(20)
+    ]
+    rows += [(100 + i, "web", t + " small tail") for i, (_, _, t) in
+             zip(range(20), rows) if i % 4 == 0]
+    df = _docs(spark, rows)
+    res = prepare_corpus(df, jaccard={"threshold": 0.6, "max_shingle_df": None})
+    assert res.stages == ("exact_dedup", "ngram_jaccard_dedup")
+    ids = sorted(r.doc_id for r in res.docs.collect())
+    assert all(i < 100 for i in ids) and len(ids) == 20
