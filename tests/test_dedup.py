@@ -292,3 +292,20 @@ def test_ngram_jaccard_dedup_keeps_min_id(spark):
     # every planted near-dup (id >= 100) lost to its base doc
     assert all(i < 100 for i in ids)
     assert len(ids) == len(base)
+
+
+def test_ngram_jaccard_plan_shape(spark, sf_dir):
+    """Plan audit: the whole exact-Jaccard join runs JVM-side (no
+    Python eval anywhere) and the parquet scan is pruned to
+    (doc_id, text) even on a wider table."""
+    from bloomjoin_spark.operators import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    import re
+
+    for s in re.findall(r"ReadSchema: struct<([^>]*)>", plan):
+        cols = {c.split(":")[0] for c in s.split(",") if c}
+        assert cols <= {"doc_id", "text"}, f"unpruned scan: {cols}"
