@@ -81,6 +81,49 @@ def jaccard_col(a, b):
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
+#: slack for threshold·L products in pruning predicates: IEEE doubles
+#: round 0.55·100 to 55.000000000000001, which would prune a TRUE pair
+#: sitting exactly at the threshold (J = 55/100 = t).  Pruning filters
+#: subtract this epsilon so boundary pairs always reach the exact
+#: verify join — the relaxation only ever ADMITS candidates (recall-
+#: safe); the verify comparison itself uses correctly-rounded division
+#: against the same threshold literal, which cannot disagree.
+_T_EPS = 1e-9
+
+
+def _verify_pairs(sh: DataFrame, cand: DataFrame, id_col: str,
+                  threshold: float) -> DataFrame:
+    """Shared exact-Jaccard verification: join candidate (id_a, id_b)
+    pairs back to their full shingle arrays, compute J (JVM
+    array_intersect), keep ≥ threshold, round 6.  Eager
+    localCheckpoint so the caller can release the shingle cache."""
+    sa = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    verified = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(jaccard_col(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.localCheckpoint()
+
+
+def _keep_min_reps(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
+    """Shared keep rule: min-label clusters over the pair graph, keep
+    the min-id representative per cluster (identical across the exact,
+    minhash, and Jaccard dedup tiers so they compose
+    deterministically)."""
+    clusters = dedup_clusters(pairs)
+    losers = clusters.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, on=id_col, how="left_anti")
+
+
 # ---------------------------------------------------------------------------
 # MinHash signatures + LSH banding
 # ---------------------------------------------------------------------------
@@ -336,21 +379,10 @@ def minhash_dedup_pairs(
             sigs, id_col, "minhash", bands,
             max_bucket_size=max_bucket_size, dropped_report=dropped_report,
         )
-        sa = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
-        sb = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
-        verified = (
-            cand.join(sa, "id_a")
-            .join(sb, "id_b")
-            .select(
-                "id_a",
-                "id_b",
-                F.round(jaccard_col(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
-            )
-            .filter(F.col("jaccard") >= threshold)
-        )
-        # eager: materializes the (small) verified pair set and cuts its
-        # lineage off the shingle cache so unpersist below is safe
-        return verified.localCheckpoint()
+        # _verify_pairs is eager (localCheckpoint): materializes the
+        # (small) verified pair set and cuts its lineage off the shingle
+        # cache so unpersist below is safe
+        return _verify_pairs(sh, cand, id_col, threshold)
     finally:
         sh.unpersist()
 
@@ -408,11 +440,7 @@ def minhash_dedup(
 ) -> DataFrame:
     """Full near-dup dedup: keep the min-id representative per cluster."""
     pairs = minhash_dedup_pairs(df, text_col, id_col, **kw)
-    clusters = dedup_clusters(pairs)
-    losers = clusters.filter(F.col("id") != F.col("cluster_id")).select(
-        F.col("id").alias(id_col)
-    )
-    return df.join(losers, on=id_col, how="left_anti")
+    return _keep_min_reps(df, pairs, id_col)
 
 
 # ---------------------------------------------------------------------------
@@ -605,7 +633,15 @@ def ngram_jaccard_pairs(
         w = Window.partitionBy(id_col).orderBy(
             F.col("__df").asc(), F.col("__g").asc()
         )
-        prefix_len = F.col("__L") - F.ceil(F.lit(threshold) * F.col("__L")) + 1
+        # ceil(t·L − ε), not ceil(t·L): when t·L is exactly an integer
+        # the double product can land one ULP HIGH and ceil one too
+        # far, shortening the prefix below the theorem's requirement
+        # (recall loss); the ε only ever LENGTHENS the prefix
+        prefix_len = (
+            F.col("__L")
+            - F.ceil(F.lit(threshold) * F.col("__L") - F.lit(_T_EPS))
+            + 1
+        )
         prefix = (
             ex.join(freq, "__g")
             .withColumn("__r", F.row_number().over(w))
@@ -635,10 +671,13 @@ def ngram_jaccard_pairs(
                     F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
                 ],
             )
-            # length filter: J ≥ t forces t·max(L) ≤ |A∩B| ≤ min(L)
+            # length filter: J ≥ t forces t·max(L) ≤ |A∩B| ≤ min(L);
+            # −ε so a pair sitting EXACTLY at the threshold (t·max an
+            # integer, one ULP high as a double product) is not pruned
             .filter(
                 F.least(F.col("a.__L"), F.col("b.__L")).cast("double")
                 >= F.lit(threshold) * F.greatest(F.col("a.__L"), F.col("b.__L"))
+                - F.lit(_T_EPS)
             )
             .select(
                 F.col(f"a.{id_col}").alias("id_a"),
@@ -646,21 +685,7 @@ def ngram_jaccard_pairs(
             )
             .distinct()
         )
-        sa = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
-        sb = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
-        verified = (
-            cand.join(sa, "id_a")
-            .join(sb, "id_b")
-            .select(
-                "id_a",
-                "id_b",
-                F.round(jaccard_col(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
-            )
-            .filter(F.col("jaccard") >= threshold)
-        )
-        # eager: materializes the (small) pair set so the shingle cache
-        # can be released before returning
-        return verified.localCheckpoint()
+        return _verify_pairs(sh, cand, id_col, threshold)
     finally:
         sh.unpersist()
 
@@ -674,10 +699,9 @@ def ngram_jaccard_dedup(
     """Full EXACT near-dup dedup: `ngram_jaccard_pairs` → min-label
     clusters → keep the min-id representative per cluster (the same
     keep rule as ``exact_dedup``/``minhash_dedup``, so the three dedup
-    tiers compose deterministically)."""
+    tiers compose deterministically).  The 100%-recall guarantee
+    requires ``max_shingle_df=None`` — the default cap trades it for
+    bounded degenerate-bucket cost, with a warning +
+    ``last_dropped_stats`` when it bites."""
     pairs = ngram_jaccard_pairs(df, text_col, id_col, **kw)
-    clusters = dedup_clusters(pairs)
-    losers = clusters.filter(F.col("id") != F.col("cluster_id")).select(
-        F.col("id").alias(id_col)
-    )
-    return df.join(losers, on=id_col, how="left_anti")
+    return _keep_min_reps(df, pairs, id_col)

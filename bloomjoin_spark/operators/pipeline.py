@@ -12,7 +12,9 @@ RefinedWeb, Dolma) converged on:
 
 (minhash and the exact Jaccard tier are independent opt-ins; enabling
 both runs the cheap approximate pass first, then the exact join
-guarantees nothing above its threshold survives)
+guarantees — with ``max_shingle_df=None`` — that nothing above its
+threshold survives; the tier's default bucket cap trades that
+guarantee for bounded degenerate-bucket cost, warning when it bites)
 
 Why this order is a contract, not a preference:
 
@@ -38,7 +40,11 @@ Scale shape: the composition adds NOTHING to the stages' own costs —
 each stage is lazily chained DataFrame-on-DataFrame, Catalyst fuses
 the stateless stages (quality, scrub, mixture, split are one codegen
 map over the post-boilerplate frame), and the shuffling stages keep
-their documented plans.  ``prepare_corpus`` itself triggers no job.
+their documented plans.  ``prepare_corpus`` itself triggers no job
+beyond what enabled stages require: the near-dup tiers (minhash /
+jaccard) run their bucket-guard aggregates and eager pair
+materialization at construction time (bounded by the pair set, never
+the corpus).
 """
 
 from __future__ import annotations
@@ -78,7 +84,8 @@ class PreparedCorpus:
 
     - ``docs``: the final document-level frame — input columns
       (text transformed in place) plus the split label column when the
-      split stage ran.  Lazy: nothing has executed yet.
+      split stage ran.  Lazy except the near-dup tiers' bounded
+      construction-time jobs (see ``prepare_corpus``).
     - ``packs``: the packed-sequence frame (``pack_sequences`` output
       schema) over the configured split, or None when packing was not
       requested.  Lazy as well.
@@ -146,9 +153,10 @@ def prepare_corpus(
     - ``minhash``: True or kwargs for ``minhash_dedup``
       (``n``, ``num_perm``, ``bands``, ``threshold``, ...).
     - ``jaccard``: True or kwargs for ``ngram_jaccard_dedup`` — the
-      EXACT (100%-recall) near-dup tier; runs after minhash when both
-      are enabled (minhash first removes the bulk cheaply, the exact
-      join then guarantees nothing above its threshold survives).
+      EXACT near-dup tier; runs after minhash when both are enabled
+      (minhash first removes the bulk cheaply).  The 100%-recall
+      guarantee holds with ``max_shingle_df=None``; the default cap
+      bounds degenerate-bucket cost instead, warning when it drops.
     - ``bench`` (+ optional ``decontam`` kwargs: ``n``, ``fpp``,
       ``engine``, ``corpus_tokens``, ``bench_tokens``): benchmark
       decontamination — giving ``bench`` enables the stage; token
@@ -171,8 +179,11 @@ def prepare_corpus(
       ``"train"`` when the split stage ran — packs never mix splits);
       pass ``use_split=None`` to pack every surviving doc.
 
-    Returns a lazy :class:`PreparedCorpus`; no job runs until the
-    caller acts on ``.docs`` / ``.packs``.
+    Returns a :class:`PreparedCorpus`.  The stateless stages are fully
+    lazy; the near-dup tiers (``minhash``, ``jaccard``) are NOT — their
+    bucket-guard aggregates and eager pair materialization run Spark
+    jobs at construction time (bounded by the pair set, never the
+    corpus), so build the pipeline when the cluster is ready to work.
     """
     if decontam is not None and bench is None:
         raise ValueError(

@@ -294,18 +294,57 @@ def test_ngram_jaccard_dedup_keeps_min_id(spark):
     assert len(ids) == len(base)
 
 
-def test_ngram_jaccard_plan_shape(spark, sf_dir):
+def test_ngram_jaccard_plan_shape(spark, sf_dir, monkeypatch):
     """Plan audit: the whole exact-Jaccard join runs JVM-side (no
     Python eval anywhere) and the parquet scan is pruned to
-    (doc_id, text) even on a wider table."""
+    (doc_id, text) even on a wider table.
+
+    The operator returns an eagerly localCheckpointed frame whose
+    executed plan is just `Scan ExistingRDD` (round-5 review caught
+    the naive version of this test passing vacuously) — so
+    localCheckpoint is identity-patched here to expose the full
+    lineage, and the scan assertion REQUIRES at least one parquet
+    ReadSchema to prove it inspected the real job."""
+    import re
+
+    # patch the CLASSIC DataFrame class — the abstract
+    # pyspark.sql.DataFrame base's methods are overridden there, so
+    # patching the base has no effect on classic-session frames
+    from pyspark.sql.classic.dataframe import DataFrame
+
     from bloomjoin_spark.operators import ngram_jaccard_pairs
 
+    monkeypatch.setattr(DataFrame, "localCheckpoint",
+                        lambda self, eager=True: self)
+    # persist would hide the parquet scan behind InMemoryTableScan
+    monkeypatch.setattr(DataFrame, "persist", lambda self, *a, **k: self)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     out = ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.8)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
-    import re
-
-    for s in re.findall(r"ReadSchema: struct<([^>]*)>", plan):
+    scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert scans, f"no parquet scan found — vacuous plan: {plan[:400]}"
+    for s in scans:
         cols = {c.split(":")[0] for c in s.split(",") if c}
         assert cols <= {"doc_id", "text"}, f"unpruned scan: {cols}"
+
+
+def test_ngram_jaccard_exact_threshold_boundary(spark):
+    """Round-5 review regression: a pair sitting EXACTLY at the
+    threshold (J = 55/100 = t = 0.55, where 0.55*100 rounds to
+    55.000000000000001 in doubles) must survive both the prefix-length
+    and the length-filter pruning — the epsilon-relaxed predicates may
+    only ever ADMIT candidates."""
+    from bloomjoin_spark.operators import ngram_jaccard_pairs
+
+    # doc 1: 57 words -> 55 distinct trigrams, a strict subset of
+    # doc 2's: J = 55/100 exactly
+    words_a = [f"w{j}" for j in range(57)]
+    words_b = [f"w{j}" for j in range(102)]
+    df = spark.createDataFrame(
+        [(1, " ".join(words_a)), (2, " ".join(words_b))],
+        "doc_id long, text string",
+    )
+    got = ngram_jaccard_pairs(df, threshold=0.55, max_shingle_df=None)
+    rows = [(r["id_a"], r["id_b"], r["jaccard"]) for r in got.collect()]
+    assert rows == [(1, 2, 0.55)]
