@@ -344,11 +344,15 @@ def decontaminate(
     id_col: str = "doc_id",
     fpp: float = 1e-4,
     engine: str = "auto",
-) -> DataFrame:
+    return_report: bool = False,
+):
     """``corpus`` with every contaminated document removed (anti-join
     on the flagged id set — the flagged side is proportional to true
-    contamination, so Spark broadcasts it in the common case)."""
-    flagged = contaminated_docs(
+    contamination, so Spark broadcasts it in the common case).  With
+    ``return_report`` returns ``(df, DecontamReport)`` — the same
+    report `contaminated_docs` fills (engine choice, filter size,
+    ``engine_fallback_reason``)."""
+    flagged, report = contaminated_docs(
         corpus,
         bench,
         n=n,
@@ -357,5 +361,7 @@ def decontaminate(
         id_col=id_col,
         fpp=fpp,
         engine=engine,
-    ).select(id_col)
-    return corpus.join(flagged, on=id_col, how="left_anti")
+        return_report=True,
+    )
+    out = corpus.join(flagged.select(id_col), on=id_col, how="left_anti")
+    return (out, report) if return_report else out

@@ -50,7 +50,7 @@ the corpus).
 from __future__ import annotations
 
 from collections.abc import Mapping
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -92,11 +92,18 @@ class PreparedCorpus:
     - ``stages``: names of the stages that are part of the plan, in
       execution order — the audit trail of what the configuration
       actually enabled.
+    - ``reports``: per-stage observability, keyed by stage name —
+      bucket-cap drop stats for the near-dup tiers (empty dict = no
+      drops) and the ``DecontamReport`` (engine choice +
+      ``engine_fallback_reason``) for decontamination.  Warnings are
+      NOT the only channel: pipelines that filter them can still
+      detect recall trades and engine degradation here.
     """
 
     docs: DataFrame
     packs: DataFrame | None
     stages: tuple[str, ...]
+    reports: dict = field(default_factory=dict)
 
 
 def _as_kwargs(cfg, stage: str) -> dict:
@@ -191,6 +198,7 @@ def prepare_corpus(
             "DataFrame — pass bench= to enable decontamination"
         )
     stages: list[str] = []
+    reports: dict = {}
     out = df
 
     if dedup_exact:
@@ -198,14 +206,18 @@ def prepare_corpus(
         stages.append("exact_dedup")
 
     if minhash is not None and minhash is not False:
-        out = minhash_dedup(out, text_col, id_col, **_as_kwargs(minhash, "minhash"))
+        kw = _as_kwargs(minhash, "minhash")
+        drop_stats: dict = kw.setdefault("dropped_report", {})
+        out = minhash_dedup(out, text_col, id_col, **kw)
         stages.append("minhash_dedup")
+        reports["minhash_dedup"] = drop_stats
 
     if jaccard is not None and jaccard is not False:
-        out = ngram_jaccard_dedup(
-            out, text_col, id_col, **_as_kwargs(jaccard, "jaccard")
-        )
+        kw = _as_kwargs(jaccard, "jaccard")
+        drop_stats = kw.setdefault("dropped_report", {})
+        out = ngram_jaccard_dedup(out, text_col, id_col, **kw)
         stages.append("ngram_jaccard_dedup")
+        reports["ngram_jaccard_dedup"] = drop_stats
 
     if bench is not None:
         kw = dict(decontam or {})
@@ -220,8 +232,9 @@ def prepare_corpus(
                 "only one"
             )
         kw.setdefault("id_col", id_col)
-        out = decontaminate(out, bench, **kw)
+        out, dc_report = decontaminate(out, bench, return_report=True, **kw)
         stages.append("decontaminate")
+        reports["decontaminate"] = dc_report
 
     if boilerplate_min_docs is not None:
         out = remove_boilerplate_lines(
@@ -286,4 +299,6 @@ def prepare_corpus(
         packs = pack_sequences(to_pack, max_tokens, **kw)
         stages.append("pack_sequences")
 
-    return PreparedCorpus(docs=out, packs=packs, stages=tuple(stages))
+    return PreparedCorpus(
+        docs=out, packs=packs, stages=tuple(stages), reports=reports
+    )

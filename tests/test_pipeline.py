@@ -230,3 +230,35 @@ def test_jaccard_stage_in_pipeline(spark):
     assert res.stages == ("exact_dedup", "ngram_jaccard_dedup")
     ids = sorted(r.doc_id for r in res.docs.collect())
     assert all(i < 100 for i in ids) and len(ids) == 20
+
+
+def test_pipeline_reports_expose_observability(spark):
+    """Round 5: warnings are not the only observability channel — the
+    near-dup tiers' bucket-cap stats and the decontam engine report
+    surface on PreparedCorpus.reports."""
+    rows = [
+        (i, "web", " ".join(f"d{i}tok{j}" for j in range(40)))
+        for i in range(12)
+    ]
+    df = _docs(spark, rows)
+    bench = df.where("doc_id = 0")
+    res = prepare_corpus(
+        df,
+        minhash={"n": 3, "num_perm": 32, "bands": 4, "threshold": 0.9},
+        jaccard={"threshold": 0.9},
+        bench=bench,
+        decontam={"n": 6},
+    )
+    assert set(res.reports) == {
+        "minhash_dedup", "ngram_jaccard_dedup", "decontaminate",
+    }
+    # no degenerate buckets in this tiny unique corpus
+    assert res.reports["minhash_dedup"].get("dropped_buckets", 0) == 0
+    assert res.reports["ngram_jaccard_dedup"].get("dropped_buckets", 0) == 0
+    dc = res.reports["decontaminate"]
+    assert dc.engine in ("native", "bloom", "none")
+    # the observability contract: the fallback-reason field EXISTS
+    assert hasattr(dc, "engine_fallback_reason")
+    # the bench doc itself was decontaminated away
+    ids = {r.doc_id for r in res.docs.collect()}
+    assert 0 not in ids and 1 in ids
