@@ -7,8 +7,9 @@ FIXED stage order — the order the public pipelines (C4, CCNet, Gopher,
 RefinedWeb, Dolma) converged on:
 
     exact_dedup → minhash_dedup → ngram_jaccard_dedup →
-    decontaminate → remove_boilerplate_lines → quality_filter →
-    scrub_patterns → weighted_mixture → hash_split → pack_sequences
+    embedding_dedup → decontaminate → remove_boilerplate_lines →
+    quality_filter → scrub_patterns → weighted_mixture → hash_split →
+    pack_sequences
 
 (minhash and the exact Jaccard tier are independent opt-ins; enabling
 both runs the cheap approximate pass first, then the exact join
@@ -68,6 +69,7 @@ STAGE_ORDER = (
     "exact_dedup",
     "minhash_dedup",
     "ngram_jaccard_dedup",
+    "embedding_dedup",
     "decontaminate",
     "remove_boilerplate_lines",
     "quality_filter",
@@ -140,6 +142,7 @@ def prepare_corpus(
     dedup_exact: bool = True,
     minhash: Mapping | bool | None = None,
     jaccard: Mapping | bool | None = None,
+    embedding: Mapping | None = None,
     bench: DataFrame | None = None,
     decontam: Mapping | None = None,
     boilerplate_min_docs: int | None = None,
@@ -164,6 +167,11 @@ def prepare_corpus(
       (minhash first removes the bulk cheaply).  The 100%-recall
       guarantee holds with ``max_shingle_df=None``; the default cap
       bounds degenerate-bucket cost instead, warning when it drops.
+    - ``embedding``: kwargs for ``embedding_dedup`` — the SEMANTIC
+      near-dup tier over a vector column carried on the frame
+      (``vec_col`` defaults to ``"embedding"``); requires
+      ``threshold``.  Runs after the text tiers (they are cheaper per
+      surviving row).
     - ``bench`` (+ optional ``decontam`` kwargs: ``n``, ``fpp``,
       ``engine``, ``corpus_tokens``, ``bench_tokens``): benchmark
       decontamination — giving ``bench`` enables the stage; token
@@ -218,6 +226,16 @@ def prepare_corpus(
         out = ngram_jaccard_dedup(out, text_col, id_col, **kw)
         stages.append("ngram_jaccard_dedup")
         reports["ngram_jaccard_dedup"] = drop_stats
+
+    if embedding is not None:
+        from .similarity import embedding_dedup
+
+        kw = _as_mapping(embedding, "embedding", "threshold")
+        kw.setdefault("id_col", id_col)
+        drop_stats = kw.setdefault("dropped_report", {})
+        out = embedding_dedup(out, **kw)
+        stages.append("embedding_dedup")
+        reports["embedding_dedup"] = drop_stats
 
     if bench is not None:
         kw = dict(decontam or {})

@@ -506,3 +506,20 @@ def embedding_near_dup_pairs(
             6,
         ).alias("sim"),
     ).filter(F.col("sim") >= threshold)
+
+
+def embedding_dedup(
+    df,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **kw,
+):
+    """Full semantic near-dup dedup: `embedding_near_dup_pairs` →
+    min-label clusters → keep the min-id representative per cluster —
+    the same keep rule as the text dedup tiers (``exact_dedup``,
+    ``minhash_dedup``, ``ngram_jaccard_dedup``), so mixed text+embedding
+    dedup stacks compose deterministically."""
+    from .dedup import _keep_min_reps
+
+    pairs = embedding_near_dup_pairs(df, id_col, vec_col, **kw)
+    return _keep_min_reps(df, pairs, id_col)

@@ -262,3 +262,34 @@ def test_pipeline_reports_expose_observability(spark):
     # the bench doc itself was decontaminated away
     ids = {r.doc_id for r in res.docs.collect()}
     assert 0 not in ids and 1 in ids
+
+
+def test_embedding_stage_in_pipeline(spark):
+    """Round 5: the semantic tier runs on a vector column carried on
+    the docs frame, after the text tiers, with its drop stats on
+    reports."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(12):
+        v = rng.normal(size=8)
+        v /= np.linalg.norm(v)
+        rows.append((i, "web", f"unique text number {i} with words",
+                     [float(x) for x in v]))
+        if i % 3 == 0:  # semantic dup with DIFFERENT text
+            w = v + rng.normal(scale=1e-4, size=8)
+            w /= np.linalg.norm(w)
+            rows.append((100 + i, "web",
+                         f"totally different phrasing for {i}",
+                         [float(x) for x in w]))
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, text string, embedding array<float>"
+    )
+    res = prepare_corpus(df, embedding={"threshold": 0.999})
+    assert res.stages == ("exact_dedup", "embedding_dedup")
+    ids = sorted(r.doc_id for r in res.docs.collect())
+    assert all(i < 100 for i in ids) and len(ids) == 12
+    assert res.reports["embedding_dedup"].get("dropped_buckets", 0) == 0
+    with pytest.raises(ValueError, match="requires 'threshold'"):
+        prepare_corpus(df, embedding={"vec_col": "embedding"})

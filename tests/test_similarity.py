@@ -99,3 +99,27 @@ def test_ann_ivf_recall_and_determinism(spark, sf_dir):
     c1 = train_ivf_centroids(emb, nlist=8)
     c2 = train_ivf_centroids(emb, nlist=8)
     assert np.array_equal(c1, c2)
+
+
+def test_embedding_dedup_keeps_min_id(spark):
+    """Semantic dedup tier: near-identical vectors collapse to the
+    min-id representative; orthogonal vectors survive."""
+    from bloomjoin_spark.operators import embedding_dedup
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(20):
+        v = rng.normal(size=16)
+        v /= np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v]))
+        if i % 4 == 0:  # near-dup: tiny perturbation, same direction
+            w = v + rng.normal(scale=1e-4, size=16)
+            w /= np.linalg.norm(w)
+            rows.append((100 + i, [float(x) for x in w]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kept = embedding_dedup(df, threshold=0.999)
+    ids = sorted(r.vec_id for r in kept.collect())
+    assert all(i < 100 for i in ids)
+    assert len(ids) == 20
