@@ -717,19 +717,32 @@ def run_scaling(
             if reran:
                 runs = runs + run_side(cores, reps)
             # trend extension (round 5): a side measured during load
-            # DECAY shows a monotone-improving tail with the minimum on
-            # the LAST run and a spread under the guard threshold (the
-            # r5 sample: 16.4→10.6 over 7 reps, spread 1.55, true idle
-            # floor 9.1) — min-of-N never reached steady state.  Extend
-            # one rep at a time (fresh JVM each) until the minimum
-            # stops being the newest run, bounded.  Symmetric for both
-            # sides, so it cannot bias the ratio in either direction.
+            # DECAY shows a monotone-improving tail ending on the
+            # minimum, with a spread under the guard threshold (the r5
+            # sample: 16.4→10.6 over 7 reps, spread 1.55, true idle
+            # floor 9.1) — min-of-N never reached steady state.  The
+            # trigger requires STRICT decay across the last three runs
+            # (min-on-last alone fires by chance ~1/len(runs) in flat
+            # noise and would spawn a pointless fresh-JVM batch);
+            # extend one 2-rep fresh-JVM batch at a time until the
+            # decay breaks, bounded.  Symmetric for both sides, so it
+            # cannot bias the ratio in either direction.
             extended = 0
-            while min(runs) == runs[-1] and extended < 3:
+            while (
+                len(runs) >= 3 and runs[-1] < runs[-2] < runs[-3]
+                and min(runs) == runs[-1] and extended < 3
+            ):
                 runs = runs + run_side(cores, 2)
                 extended += 1
             guard[label] = {"spread": round(spread, 2), "reran": reran,
                             "extended": extended}
+            if reran or extended:
+                # the trigger spread above describes the ORIGINAL runs;
+                # record the final list's spread too so the JSON's noise
+                # evidence matches what the ratio was computed from
+                guard[label]["spread_final"] = round(
+                    max(runs) / max(min(runs), 1e-9), 2
+                )
             out[cores] = runs
     finally:
         shutil.rmtree(data_dir, ignore_errors=True)

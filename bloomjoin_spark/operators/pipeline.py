@@ -105,7 +105,9 @@ class PreparedCorpus:
     docs: DataFrame
     packs: DataFrame | None
     stages: tuple[str, ...]
-    reports: dict = field(default_factory=dict)
+    # hash=False keeps frozen-dataclass instances hashable (a dict
+    # field would otherwise poison the auto-generated __hash__)
+    reports: dict = field(default_factory=dict, hash=False)
 
 
 def _as_kwargs(cfg, stage: str) -> dict:
@@ -213,32 +215,44 @@ def prepare_corpus(
         out = exact_dedup(out, text_col=text_col, id_col=id_col)
         stages.append("exact_dedup")
 
+    def _capped_tier(stage: str, kw: dict, run) -> None:
+        """Shared wiring for the capped near-dup tiers: thread a
+        dropped_report dict through (respecting a caller-supplied one)
+        and land it on ``reports`` keyed by stage."""
+        nonlocal out
+        drop_stats = kw.setdefault("dropped_report", {})
+        out = run(kw)
+        stages.append(stage)
+        reports[stage] = drop_stats
+
     if minhash is not None and minhash is not False:
-        kw = _as_kwargs(minhash, "minhash")
-        drop_stats: dict = kw.setdefault("dropped_report", {})
-        out = minhash_dedup(out, text_col, id_col, **kw)
-        stages.append("minhash_dedup")
-        reports["minhash_dedup"] = drop_stats
+        _capped_tier(
+            "minhash_dedup", _as_kwargs(minhash, "minhash"),
+            lambda kw: minhash_dedup(out, text_col, id_col, **kw),
+        )
 
     if jaccard is not None and jaccard is not False:
-        kw = _as_kwargs(jaccard, "jaccard")
-        drop_stats = kw.setdefault("dropped_report", {})
-        out = ngram_jaccard_dedup(out, text_col, id_col, **kw)
-        stages.append("ngram_jaccard_dedup")
-        reports["ngram_jaccard_dedup"] = drop_stats
+        _capped_tier(
+            "ngram_jaccard_dedup", _as_kwargs(jaccard, "jaccard"),
+            lambda kw: ngram_jaccard_dedup(out, text_col, id_col, **kw),
+        )
 
     if embedding is not None:
         from .similarity import embedding_dedup
 
         kw = _as_mapping(embedding, "embedding", "threshold")
         kw.setdefault("id_col", id_col)
-        drop_stats = kw.setdefault("dropped_report", {})
-        out = embedding_dedup(out, **kw)
-        stages.append("embedding_dedup")
-        reports["embedding_dedup"] = drop_stats
+        _capped_tier("embedding_dedup", kw,
+                     lambda kw: embedding_dedup(out, **kw))
 
     if bench is not None:
         kw = dict(decontam or {})
+        if "return_report" in kw:
+            raise ValueError(
+                "prepare_corpus: decontam config may not set "
+                "'return_report' — the pipeline manages it; the report "
+                "lands on PreparedCorpus.reports['decontaminate']"
+            )
         kw.setdefault("corpus_tokens", words_col(F.col(text_col)))
         bench_text = kw.pop("bench_text_col", None)
         if "bench_tokens" not in kw:

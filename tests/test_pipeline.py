@@ -293,3 +293,15 @@ def test_embedding_stage_in_pipeline(spark):
     assert res.reports["embedding_dedup"].get("dropped_buckets", 0) == 0
     with pytest.raises(ValueError, match="requires 'threshold'"):
         prepare_corpus(df, embedding={"vec_col": "embedding"})
+
+
+def test_pipeline_round5_second_review(spark):
+    """Second review pass: reserved decontam key and frozen-dataclass
+    hashability."""
+    df = _docs(spark, [(1, "web", "some words here now")])
+    with pytest.raises(ValueError, match="may not set 'return_report'"):
+        prepare_corpus(df, bench=df, decontam={"return_report": True})
+    # reports (a dict field) must not poison the frozen dataclass hash
+    res = prepare_corpus(df, dedup_exact=False)
+    assert isinstance(hash(res), int)
+    assert {res}  # usable as a set member
