@@ -705,3 +705,19 @@ def ngram_jaccard_dedup(
     ``last_dropped_stats`` when it bites."""
     pairs = ngram_jaccard_pairs(df, text_col, id_col, **kw)
     return _keep_min_reps(df, pairs, id_col)
+
+
+def simhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    **kw,
+) -> DataFrame:
+    """Full SimHash near-dup dedup: `add_simhash` →
+    `simhash_near_dup_pairs` → min-label clusters → min-id keep rule
+    (shared with the other dedup tiers).  The temporary simhash column
+    never leaves this function."""
+    sh = add_simhash(df.select(id_col, text_col), text_col)
+    pairs = simhash_near_dup_pairs(sh, id_col, max_hamming=max_hamming, **kw)
+    return _keep_min_reps(df, pairs, id_col)

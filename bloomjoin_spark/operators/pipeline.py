@@ -6,10 +6,10 @@ integration layer that chains them behind one configurable call with a
 FIXED stage order — the order the public pipelines (C4, CCNet, Gopher,
 RefinedWeb, Dolma) converged on:
 
-    exact_dedup → minhash_dedup → ngram_jaccard_dedup →
-    embedding_dedup → decontaminate → remove_boilerplate_lines →
-    quality_filter → scrub_patterns → weighted_mixture → hash_split →
-    pack_sequences
+    exact_dedup → minhash_dedup → simhash_dedup →
+    ngram_jaccard_dedup → embedding_dedup → decontaminate →
+    remove_boilerplate_lines → quality_filter → scrub_patterns →
+    weighted_mixture → hash_split → pack_sequences
 
 (minhash and the exact Jaccard tier are independent opt-ins; enabling
 both runs the cheap approximate pass first, then the exact join
@@ -58,7 +58,12 @@ from pyspark.sql import functions as F
 
 from .boilerplate import remove_boilerplate_lines
 from .decontam import decontaminate, words_col
-from .dedup import exact_dedup, minhash_dedup, ngram_jaccard_dedup
+from .dedup import (
+    exact_dedup,
+    minhash_dedup,
+    ngram_jaccard_dedup,
+    simhash_dedup,
+)
 from .sampling import hash_split, pack_sequences, weighted_mixture
 from .text import quality_filter, scrub_patterns
 
@@ -68,6 +73,7 @@ __all__ = ["prepare_corpus", "PreparedCorpus"]
 STAGE_ORDER = (
     "exact_dedup",
     "minhash_dedup",
+    "simhash_dedup",
     "ngram_jaccard_dedup",
     "embedding_dedup",
     "decontaminate",
@@ -143,6 +149,7 @@ def prepare_corpus(
     id_col: str = "doc_id",
     dedup_exact: bool = True,
     minhash: Mapping | bool | None = None,
+    simhash: Mapping | bool | None = None,
     jaccard: Mapping | bool | None = None,
     embedding: Mapping | None = None,
     bench: DataFrame | None = None,
@@ -164,6 +171,9 @@ def prepare_corpus(
       lower/trim, min-id representative).
     - ``minhash``: True or kwargs for ``minhash_dedup``
       (``n``, ``num_perm``, ``bands``, ``threshold``, ...).
+    - ``simhash``: True or kwargs for ``simhash_dedup``
+      (``max_hamming``, ``max_bucket_size``) — the hamming-distance
+      near-dup tier.
     - ``jaccard``: True or kwargs for ``ngram_jaccard_dedup`` — the
       EXACT near-dup tier; runs after minhash when both are enabled
       (minhash first removes the bulk cheaply).  The 100%-recall
@@ -229,6 +239,12 @@ def prepare_corpus(
         _capped_tier(
             "minhash_dedup", _as_kwargs(minhash, "minhash"),
             lambda kw: minhash_dedup(out, text_col, id_col, **kw),
+        )
+
+    if simhash is not None and simhash is not False:
+        _capped_tier(
+            "simhash_dedup", _as_kwargs(simhash, "simhash"),
+            lambda kw: simhash_dedup(out, text_col, id_col, **kw),
         )
 
     if jaccard is not None and jaccard is not False:

@@ -348,3 +348,17 @@ def test_ngram_jaccard_exact_threshold_boundary(spark):
     got = ngram_jaccard_pairs(df, threshold=0.55, max_shingle_df=None)
     rows = [(r["id_a"], r["id_b"], r["jaccard"]) for r in got.collect()]
     assert rows == [(1, 2, 0.55)]
+
+
+def test_simhash_dedup_keeps_min_id(spark):
+    """SimHash dedup tier: identical texts (hamming 0) collapse to the
+    min-id representative; the temp simhash column stays internal."""
+    from bloomjoin_spark.operators import simhash_dedup
+
+    rows = [(i, f"unique document number {i} about topic {i}") for i in range(10)]
+    rows += [(100 + i, t) for i, t in rows[:10] if i % 2 == 0]  # exact copies
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = simhash_dedup(df, max_hamming=3)
+    ids = sorted(r.doc_id for r in kept.collect())
+    assert all(i < 100 for i in ids) and len(ids) == 10
+    assert kept.columns == ["doc_id", "text"]

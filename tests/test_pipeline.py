@@ -305,3 +305,14 @@ def test_pipeline_round5_second_review(spark):
     res = prepare_corpus(df, dedup_exact=False)
     assert isinstance(hash(res), int)
     assert {res}  # usable as a set member
+
+
+def test_simhash_stage_in_pipeline(spark):
+    rows = [(i, "web", f"distinct body text {i} with several words") for i in range(8)]
+    rows += [(100 + i, "web", t) for i, _, t in rows if i % 2 == 0]
+    df = _docs(spark, rows)
+    res = prepare_corpus(df, dedup_exact=False, simhash=True)
+    assert res.stages == ("simhash_dedup",)
+    ids = sorted(r.doc_id for r in res.docs.collect())
+    assert all(i < 100 for i in ids) and len(ids) == 8
+    assert "simhash_dedup" in res.reports
