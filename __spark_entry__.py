@@ -1236,6 +1236,60 @@ def _hll_distinct_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _theta_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 5: theta (KMV) sketch set algebra — the distinct-count
+    capability HLL lacks.  Per-source theta sketches over the distinct
+    words of src0/src1 documents; |A∩B|, |A\\B| and |A∪B| estimates
+    pinned against the exact values (exactly equal while the sketches
+    are untrimmed; within the union-scale 5σ bound once sampling)."""
+    from bloomjoin_spark import ThetaSketch, build_sketch
+
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.filter(F.col("source").isin("src0", "src1")).select(
+        "source",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w"),
+    ).filter(F.col("w") != "")
+    sk = {
+        src: build_sketch(
+            words.filter(F.col("source") == src),
+            lambda: ThetaSketch(k=65536),
+            cols=["w"],
+        ).sketch
+        for src in ("src0", "src1")
+    }
+    a, b = sk["src0"], sk["src1"]
+    flags = words.groupBy("w").agg(
+        F.max(F.col("source") == "src0").alias("in_a"),
+        F.max(F.col("source") == "src1").alias("in_b"),
+    )
+    ex = flags.agg(
+        F.count(F.when(F.col("in_a") & F.col("in_b"), 1)).alias("exact_overlap"),
+        F.count(F.when(F.col("in_a") & ~F.col("in_b"), 1)).alias("exact_only_a"),
+        F.count(F.lit(1)).alias("exact_union"),
+    ).first()
+    bound = a.error_bound_vs(b, z=5.0)
+    union = a.union(b)
+
+    def ok(est: float, exact: int, bnd: float) -> bool:
+        return est == exact or abs(est - exact) <= bnd
+
+    row = (
+        int(ex["exact_overlap"]),
+        int(ex["exact_only_a"]),
+        int(ex["exact_union"]),
+        ok(a.intersect(b), ex["exact_overlap"], bound),
+        ok(a.a_not_b(b), ex["exact_only_a"], bound),
+        ok(union.estimate(), ex["exact_union"],
+           5.0 * ex["exact_union"] * union.rel_std_error),
+    )
+    return spark.createDataFrame(
+        [row],
+        "exact_overlap bigint, exact_only_a bigint, exact_union bigint, "
+        "overlap_within_bound boolean, diff_within_bound boolean, "
+        "union_within_bound boolean",
+    )
+
+
 def _streaming_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 3: stream-static bloom-prefiltered join — per-micro-batch
     probe against a filter built once from the static side; output must
@@ -1387,6 +1441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_windowed_counts": _streaming_windowed_counts,
         "streaming_bloom_join": _streaming_bloom_join,
         "hll_distinct_by_source": _hll_distinct_by_source,
+        "theta_source_overlap": _theta_source_overlap,
         "stateful_hll_stream": _stateful_hll_stream,
         "decontam_stream_docs": _decontam_stream_docs,
         "dedup_stream_docs": _dedup_stream_docs,
@@ -2146,6 +2201,27 @@ def oracle_sql() -> dict[str, str]:
         "stateful_hll_stream": """
             SELECT event_type, count(*) AS n_rows, TRUE AS within_bound
             FROM events GROUP BY event_type
+        """,
+        "theta_source_overlap": r"""
+            SELECT
+              count(*) FILTER (WHERE in_a AND in_b) AS exact_overlap,
+              count(*) FILTER (WHERE in_a AND NOT in_b) AS exact_only_a,
+              count(*) AS exact_union,
+              TRUE AS overlap_within_bound,
+              TRUE AS diff_within_bound,
+              TRUE AS union_within_bound
+            FROM (
+              SELECT w,
+                     bool_or(source = 'src0') AS in_a,
+                     bool_or(source = 'src1') AS in_b
+              FROM (
+                SELECT source,
+                       unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+                FROM documents WHERE source IN ('src0', 'src1')
+              )
+              WHERE w <> ''
+              GROUP BY w
+            )
         """,
         "ngram_jaccard_docs": r"""
             WITH sub AS (

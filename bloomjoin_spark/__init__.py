@@ -30,6 +30,7 @@ from .sketches import (
     KllSketch,
     Sketch,
     TDigestSketch,
+    ThetaSketch,
     TopKSketch,
     bloom_params,
     format_bloom_params,
@@ -48,6 +49,7 @@ __all__ = [
     "KllSketch",
     "Sketch",
     "TDigestSketch",
+    "ThetaSketch",
     "TopKSketch",
     "bloom_join",
     "bloom_params",

@@ -4,6 +4,7 @@ from .cms import CmsSketch, cms_params
 from .hll import HllSketch
 from .kll import KllSketch
 from .tdigest import TDigestSketch
+from .theta import ThetaSketch
 from .topk import TopKSketch
 
 __all__ = [
@@ -13,6 +14,7 @@ __all__ = [
     "KllSketch",
     "Sketch",
     "TDigestSketch",
+    "ThetaSketch",
     "TopKSketch",
     "bloom_params",
     "format_bloom_params",
