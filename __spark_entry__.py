@@ -703,6 +703,29 @@ def _exact_dedup_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(union).select("doc_id", "source")
 
 
+def _incremental_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 5: incremental corpus dedup — new ingest batch vs a
+    historical corpus through a Bloom filter of history fingerprints
+    (misses skip the join; hits take a history-prefiltered exact anti
+    join).  history = doc_id % 10 != 0; batch = the % 10 == 0 docs
+    (new) + copies of % 10 == 1 history docs under +2M ids (cross
+    dups) + a +3M copy of the min new doc (within-batch dup)."""
+    from bloomjoin_spark.operators import incremental_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    history = docs.filter(F.col("doc_id") % 10 != 0)
+    fresh = docs.filter(F.col("doc_id") % 10 == 0)
+    cross = docs.filter(F.col("doc_id") % 10 == 1).withColumn(
+        "doc_id", F.col("doc_id") + 2_000_000
+    )
+    min_new = fresh.agg(F.min("doc_id")).first()[0]
+    within = fresh.filter(F.col("doc_id") == min_new).withColumn(
+        "doc_id", F.col("doc_id") + 3_000_000
+    )
+    batch = fresh.unionByName(cross).unionByName(within)
+    return incremental_dedup(batch, history).select("doc_id", "source")
+
+
 def _minhash_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicates are guaranteed LSH candidates (identical
     signatures) — every planted pair must be found and verify at
@@ -1430,6 +1453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kll_quantiles_nchars": _kll_quantiles_nchars,
         "bloom_fpr_check": _bloom_fpr_check,
         "exact_dedup_union": _exact_dedup_union,
+        "incremental_dedup_docs": _incremental_dedup_docs,
         "minhash_dedup_planted": _minhash_dedup_planted,
         "text_stats": _text_stats,
         "lang_id": _lang_id,
@@ -2103,6 +2127,34 @@ def oracle_sql() -> dict[str, str]:
               FROM u GROUP BY 1
             )
             SELECT u.doc_id, u.source FROM u JOIN k USING (doc_id)
+        """,
+        "incremental_dedup_docs": """
+            WITH history AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
+            ),
+            batch AS (
+              SELECT doc_id, text, source FROM documents WHERE doc_id % 10 = 0
+              UNION ALL
+              SELECT doc_id + 2000000, text, source
+              FROM documents WHERE doc_id % 10 = 1
+              UNION ALL
+              SELECT doc_id + 3000000, text, source
+              FROM documents
+              WHERE doc_id = (SELECT min(doc_id) FROM documents
+                              WHERE doc_id % 10 = 0)
+            ),
+            reps AS (
+              SELECT md5(lower(trim(text))) AS fp, min(doc_id) AS doc_id
+              FROM batch GROUP BY 1
+            ),
+            hfp AS (
+              SELECT DISTINCT md5(lower(trim(text))) AS fp FROM history
+            ),
+            kept AS (
+              SELECT r.doc_id FROM reps r
+              LEFT JOIN hfp h USING (fp) WHERE h.fp IS NULL
+            )
+            SELECT b.doc_id, b.source FROM batch b JOIN kept USING (doc_id)
         """,
         "minhash_dedup_planted": """
             SELECT count(*) AS planted, 1 AS all_found, TRUE AS all_verified

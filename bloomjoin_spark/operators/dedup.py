@@ -721,3 +721,167 @@ def simhash_dedup(
     sh = add_simhash(df.select(id_col, text_col), text_col)
     pairs = simhash_near_dup_pairs(sh, id_col, max_hamming=max_hamming, **kw)
     return _keep_min_reps(df, pairs, id_col)
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup: new ingest batch vs a historical corpus
+# ---------------------------------------------------------------------------
+
+class IncrementalDedupReport:
+    """Counters from one :func:`incremental_dedup` call."""
+
+    __slots__ = (
+        "n_batch", "n_within_dups", "n_definite_new",
+        "n_candidates", "n_cross_dups", "filter_provided",
+    )
+
+    def __init__(self):
+        self.n_batch = 0
+        self.n_within_dups = 0
+        self.n_definite_new = 0
+        self.n_candidates = 0
+        self.n_cross_dups = 0
+        self.filter_provided = False
+
+    def __repr__(self):
+        return (
+            f"IncrementalDedupReport(batch={self.n_batch}, "
+            f"within_dups={self.n_within_dups}, "
+            f"definite_new={self.n_definite_new}, "
+            f"candidates={self.n_candidates}, "
+            f"cross_dups={self.n_cross_dups}, "
+            f"filter_provided={self.filter_provided})"
+        )
+
+
+def build_history_filter(
+    history: DataFrame,
+    text_col: str = "text",
+    fpp: float = 1e-4,
+    n_hint: int | None = None,
+    checkpoint_dir: str | None = None,
+):
+    """Build (or resume, via ``checkpoint_dir``) a mergeable Bloom
+    filter over the exact-content fingerprints of a historical corpus.
+
+    This is the persistent half of :func:`incremental_dedup`: at 100 TB
+    the history side is scanned ONCE (resumably — killed builds recompute
+    only missing partitions via the lineage checkpoint), and every
+    subsequent ingest batch probes the serialized filter without
+    touching history again.  Sizing uses a one-job
+    ``approx_count_distinct`` over the fingerprints unless ``n_hint``
+    is given (the reference's n_hint contract, R/bloomjoin.R:92-99).
+    """
+    from ..aggregate import build_sketch
+    from ..sketches import BloomSketch
+
+    fps = history.select(
+        F.md5(F.lower(F.trim(F.col(text_col)))).alias("__fp")
+    )
+    if n_hint is None:
+        n_hint = fps.agg(
+            F.approx_count_distinct("__fp").alias("d")
+        ).first()["d"]
+    n = max(int(n_hint), 16)
+    if int(n_hint) == 0:
+        # empty history: an empty filter rejects everything (the same
+        # empty-build short-circuit as bloom_join, O26) — no Spark job
+        return BloomSketch(n, fpp)
+    return build_sketch(
+        fps, lambda: BloomSketch(n, fpp), cols=["__fp"],
+        checkpoint_dir=checkpoint_dir,
+    ).sketch
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    history: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fpp: float = 1e-4,
+    history_filter=None,
+    checkpoint_dir: str | None = None,
+    report: IncrementalDedupReport | None = None,
+) -> DataFrame:
+    """Keep the rows of ``batch`` that are NEW: not an exact duplicate
+    of any ``history`` document, and the first (min-``id_col``)
+    occurrence of their content within the batch.
+
+    The streaming-ingest counterpart of :func:`exact_dedup` — the shape
+    every growing training corpus needs ("dedupe today's crawl against
+    everything already ingested") and the one where a naive
+    ``batch ⟕̸ history`` anti join is catastrophic at scale: Spark
+    would shuffle the ENTIRE history side on every ingest.  Plan here:
+
+    1. fingerprint both sides (md5 of lower/trim — same fingerprint as
+       ``exact_dedup``, so the tiers compose);
+    2. within-batch keep = min id per fingerprint (one shuffle of
+       16-byte keys at |batch| scale);
+    3. probe the batch's unique fingerprints against a Bloom filter of
+       history fingerprints (``history_filter`` if provided — built
+       once via :func:`build_history_filter`, possibly resumed from its
+       lineage checkpoint — else built here).  Misses are DEFINITELY
+       new (Bloom has no false negatives) and skip the join entirely;
+    4. only filter HITS (≈ true cross-dups + fpp·|batch| false
+       positives) take the exact anti join — issued through
+       ``bloom_join(how="anti", force_prefilter=True)``, whose planner
+       prefilters the HISTORY side by the candidates' filter
+       (``plans/planner.py`` anti → filter y), so history contributes
+       ~|candidates| rows to the verify shuffle instead of its full
+       size.
+
+    Cost at scale: one history scan amortized over all future batches
+    (with ``checkpoint_dir``), plus per-ingest work proportional to
+    |batch| + |true duplicates|.
+    """
+    from .bloom_join import bloom_join
+
+    fp_expr = F.md5(F.lower(F.trim(F.col(text_col)))).alias("__fp")
+    bfp = batch.select(fp_expr, F.col(id_col))
+    # within-batch: representative (min id) per distinct fingerprint
+    reps = bfp.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+
+    if history_filter is None:
+        history_filter = build_history_filter(
+            history, text_col, fpp=fpp, checkpoint_dir=checkpoint_dir
+        )
+    elif report is not None:
+        report.filter_provided = True
+
+    spark = batch.sparkSession
+    bc = spark.sparkContext.broadcast(history_filter)
+
+    @F.pandas_udf("boolean")
+    def _probe(s: pd.Series) -> pd.Series:
+        from ..hashing import hash_series
+
+        return pd.Series(bc.value.contains_hashes(hash_series(s)))
+
+    probed = reps.withColumn("__hit", _probe.asNondeterministic()(F.col("__fp")))
+    # hit fingerprints might be in history (or are Bloom false
+    # positives): verify with an exact anti join whose history scan is
+    # itself bloom-prefiltered down to ~|candidates| rows
+    cand = probed.filter(F.col("__hit")).drop("__hit")
+    hfp = history.select(fp_expr)
+    verified_new = bloom_join(
+        cand, hfp, on="__fp", how="anti",
+        fpp=fpp, force_prefilter=True, collect_metrics=False,
+    )
+    new_ids = (
+        probed.filter(~F.col("__hit")).drop("__hit")
+        .unionByName(verified_new)
+        .select(id_col)
+    )
+    out = batch.join(new_ids, on=id_col, how="left_semi")
+
+    if report is not None:
+        n_batch = batch.count()
+        n_reps = reps.count()
+        n_cand = cand.count()
+        n_new_cand = verified_new.count()
+        report.n_batch = n_batch
+        report.n_within_dups = n_batch - n_reps
+        report.n_candidates = n_cand
+        report.n_cross_dups = n_cand - n_new_cand
+        report.n_definite_new = n_reps - n_cand
+    return out

@@ -362,3 +362,67 @@ def test_simhash_dedup_keeps_min_id(spark):
     ids = sorted(r.doc_id for r in kept.collect())
     assert all(i < 100 for i in ids) and len(ids) == 10
     assert kept.columns == ["doc_id", "text"]
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup (new batch vs historical corpus)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def hist_and_batch(docs):
+    """history = doc_id % 10 != 0; batch = the % 10 == 0 docs (new) +
+    copies of history docs under shifted ids (cross-batch dups) + a
+    second copy of one new doc (within-batch dup)."""
+    history = docs.filter(F.col("doc_id") % 10 != 0)
+    fresh = docs.filter(F.col("doc_id") % 10 == 0)
+    cross = (
+        docs.filter(F.col("doc_id") % 10 == 1)
+        .withColumn("doc_id", F.col("doc_id") + 2_000_000)
+    )
+    within = fresh.limit(1).withColumn("doc_id", F.col("doc_id") + 3_000_000)
+    return history, fresh.unionByName(cross).unionByName(within), fresh
+
+def test_incremental_dedup_keeps_only_new(hist_and_batch):
+    from bloomjoin_spark.operators import IncrementalDedupReport, incremental_dedup
+
+    history, batch, fresh = hist_and_batch
+    rep = IncrementalDedupReport()
+    out = incremental_dedup(batch, history, report=rep)
+    # exactly the fresh docs survive: cross-batch dups are in history,
+    # the within-batch extra copy loses to its min-id original
+    kept = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    expect = sorted(r["doc_id"] for r in fresh.select("doc_id").collect())
+    assert kept == expect
+    n_cross = batch.filter(F.col("doc_id") >= 2_000_000).count() - 1
+    assert rep.n_batch == batch.count()
+    assert rep.n_within_dups == 1
+    assert rep.n_cross_dups == n_cross
+    assert rep.n_definite_new + rep.n_candidates == rep.n_batch - rep.n_within_dups
+    assert not rep.filter_provided
+
+
+def test_incremental_dedup_with_prebuilt_checkpointed_filter(hist_and_batch, tmp_path):
+    from bloomjoin_spark.operators import (
+        IncrementalDedupReport,
+        build_history_filter,
+        incremental_dedup,
+    )
+
+    history, batch, fresh = hist_and_batch
+    ckpt = str(tmp_path / "hist_filter_ckpt")
+    bf = build_history_filter(history, checkpoint_dir=ckpt)
+    # resume path: rebuilding from the checkpoint yields the same filter
+    bf2 = build_history_filter(history, checkpoint_dir=ckpt)
+    assert (bf.words == bf2.words).all()
+    rep = IncrementalDedupReport()
+    out = incremental_dedup(batch, history, history_filter=bf, report=rep)
+    assert out.count() == fresh.count()
+    assert rep.filter_provided
+
+
+def test_incremental_dedup_empty_history(docs):
+    from bloomjoin_spark.operators import incremental_dedup
+
+    history = docs.limit(0)
+    out = incremental_dedup(docs, history)
+    assert out.count() == docs.count()
