@@ -1313,6 +1313,46 @@ def _theta_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _source_overlap_matrix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 5: pairwise source-overlap matrix (theta sketches, one
+    scan + driver-side set algebra on KB blobs).  Exact pairwise
+    distinct-word intersections pinned by the oracle; the sketch
+    estimates are bound-checked (exactly equal while vocab < k)."""
+    from bloomjoin_spark.operators import source_overlap_matrix
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("source").isin("src0", "src1", "src2")
+    )
+    words = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w"),
+    ).filter(F.col("w") != "")
+    mat = source_overlap_matrix(words, group_col="source", cols=["w"], k=65536)
+    dw = words.distinct()
+    exact = (
+        dw.alias("a")
+        .join(dw.alias("b"), F.col("a.w") == F.col("b.w"))
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("group_a"),
+            F.col("b.source").alias("group_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("exact_intersection"))
+    )
+    return mat.join(exact, ["group_a", "group_b"], "inner").select(
+        "group_a",
+        "group_b",
+        "exact_intersection",
+        (
+            (F.col("intersection") == F.col("exact_intersection"))
+            | (
+                F.abs(F.col("intersection") - F.col("exact_intersection"))
+                <= F.col("bound")
+            )
+        ).alias("within_bound"),
+    )
+
+
 def _streaming_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 3: stream-static bloom-prefiltered join — per-micro-batch
     probe against a filter built once from the static side; output must
@@ -1466,6 +1506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_bloom_join": _streaming_bloom_join,
         "hll_distinct_by_source": _hll_distinct_by_source,
         "theta_source_overlap": _theta_source_overlap,
+        "source_overlap_matrix_docs": _source_overlap_matrix_docs,
         "stateful_hll_stream": _stateful_hll_stream,
         "decontam_stream_docs": _decontam_stream_docs,
         "dedup_stream_docs": _dedup_stream_docs,
@@ -2253,6 +2294,18 @@ def oracle_sql() -> dict[str, str]:
         "stateful_hll_stream": """
             SELECT event_type, count(*) AS n_rows, TRUE AS within_bound
             FROM events GROUP BY event_type
+        """,
+        "source_overlap_matrix_docs": r"""
+            WITH raw AS (
+              SELECT source,
+                     unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+              FROM documents WHERE source IN ('src0', 'src1', 'src2')
+            ),
+            wn AS (SELECT DISTINCT source, w FROM raw WHERE w <> '')
+            SELECT a.source AS group_a, b.source AS group_b,
+                   count(*) AS exact_intersection, TRUE AS within_bound
+            FROM wn a JOIN wn b ON a.w = b.w AND a.source < b.source
+            GROUP BY 1, 2
         """,
         "theta_source_overlap": r"""
             SELECT

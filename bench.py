@@ -603,6 +603,52 @@ def run_headline(spark) -> dict[str, float]:
         ).collect()
 
     qs["pipeline_docs"], _ = timed_min_q("pipeline_docs", _pipeline_cell)
+
+    # --- round-5: theta sketch over all token instances — directly
+    # comparable to the hll_distinct_tokens cell (same scan, same hash
+    # path); the extra capability (set algebra) costs the per-batch
+    # k-smallest maintenance only
+    from bloomjoin_spark import ThetaSketch
+
+    qs["theta_distinct_tokens"], _ = timed_min_q("theta_distinct_tokens",
+        lambda: build_sketch(toks, lambda: ThetaSketch(4096), token_col="tokens")
+    )
+
+    # --- round-5: incremental dedup at scale — TOKEN_ROWS/2 history
+    # docs, TOKEN_ROWS/20 batch docs, 10% planted cross dups. Two
+    # cells: full (history filter built in-call — the first-ingest
+    # cost) and reuse (prebuilt filter — the amortized per-ingest cost,
+    # which must not depend on history size).
+    from bloomjoin_spark.operators import build_history_filter, incremental_dedup
+
+    n_hist, n_batch = TOKEN_ROWS // 2, TOKEN_ROWS // 20
+
+    def _doc_text(idc):
+        return F.concat(F.lit("synthetic corpus document "), idc.cast("string"),
+                        F.lit(" "), F.repeat(F.md5(idc.cast("string")), 2))
+
+    hist_docs = spark.range(0, n_hist, 1, CPUS * 2).select(
+        F.col("id").alias("doc_id"), _doc_text(F.col("id")).alias("text")
+    ).persist()
+    hist_docs.count()
+    dup_src = (F.col("id") * 13) % n_hist
+    batch_docs = spark.range(n_hist, n_hist + n_batch, 1, CPUS).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 == 0, _doc_text(dup_src))
+        .otherwise(_doc_text(F.col("id"))).alias("text"),
+    ).persist()
+    batch_docs.count()
+    qs["incr_dedup_full"], _ = timed_min_q("incr_dedup_full",
+        lambda: incremental_dedup(batch_docs, hist_docs).count()
+    )
+    hist_bf = build_history_filter(hist_docs, n_hint=n_hist)
+    qs["incr_dedup_reuse"], _ = timed_min_q("incr_dedup_reuse",
+        lambda: incremental_dedup(
+            batch_docs, hist_docs, history_filter=hist_bf
+        ).count()
+    )
+    hist_docs.unpersist()
+    batch_docs.unpersist()
     toks.unpersist()
     lk.unpersist()
     return qs
@@ -645,6 +691,9 @@ QUERY_SHORT_KEYS = {
     "trigram_score_docs": "bg3",
     "profile_docs": "prf",
     "pipeline_docs": "pipe",
+    "theta_distinct_tokens": "the",
+    "incr_dedup_full": "idf",
+    "incr_dedup_reuse": "idr",
 }
 
 

@@ -239,3 +239,90 @@ def trigram_logprob_score(
             F.round(F.avg(logp), 6).alias("avg_logprob"),
         )
     )
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    group_col: str = "source",
+    cols: list[str] | str | None = None,
+    token_col: str | None = None,
+    k: int = 4096,
+    max_groups: int = 64,
+    z: float = 5.0,
+) -> DataFrame:
+    """Pairwise distinct-overlap matrix across groups (sources /
+    domains / shards) from ONE scan — the corpus-composition monitor
+    ("how much content do my sources share?") that exact SQL makes
+    quadratic in corpus size.
+
+    Plan: one `grouped_sketch_partials` pass builds a theta sketch per
+    (group, partition) — one scan regardless of group count — then a
+    blob-sized shuffle merges each group's partials distributed
+    (`applyInPandas`, same shape as `grouped_sketch_estimates`).  Only
+    the K merged sketches (≤ 8·k bytes each) reach the driver, where
+    all K·(K−1)/2 pair estimates are set operations on retained hash
+    samples — zero further Spark jobs, no pairwise joins over data.
+
+    At 100 TB the data-side cost is the single scan; the quadratic
+    part touches only KB-scale sketches, guarded by ``max_groups``
+    (the matrix itself is the caller's K² choice).
+
+    Returns one row per unordered pair (group_a < group_b):
+    ``distinct_a/b`` (per-group distinct estimate), ``intersection``,
+    ``union``, ``jaccard`` (estimates; exact when both sketches are
+    below k distinct), and ``bound`` — the union-scale z·σ absolute
+    bound of the intersection/difference estimates
+    (`ThetaSketch.error_bound_vs`; 0.0 means both sketches are exact).
+    """
+    import pandas as pd
+
+    from ..aggregate import grouped_sketch_partials
+    from ..sketches import Sketch, ThetaSketch
+
+    partials = grouped_sketch_partials(
+        df, lambda: ThetaSketch(k), group_col, cols=cols, token_col=token_col
+    )
+    gtype = dict(df.dtypes)[group_col]
+
+    def merge_fn(key, pdf):  # (key, pdf) form; see grouped_sketch_estimates
+        acc = None
+        for b in pdf["blob"]:
+            s = Sketch.from_bytes(bytes(b))
+            acc = s if acc is None else acc.merge(s)
+        return pd.DataFrame({group_col: [key[0]], "blob": [acc.to_bytes()]})
+
+    merged = partials.groupBy(group_col).applyInPandas(
+        merge_fn, f"`{group_col}` {gtype}, blob binary"
+    )
+    rows = merged.collect()  # bounded: ONE ≤8k-byte blob per group
+    if len(rows) > max_groups:
+        raise ValueError(
+            f"source_overlap_matrix: {len(rows)} groups exceed "
+            f"max_groups={max_groups}; the K^2 pair matrix is meant for "
+            "source/domain-level monitoring — raise max_groups explicitly "
+            "if you really want a larger matrix"
+        )
+    sks = {r[group_col]: Sketch.from_bytes(bytes(r["blob"])) for r in rows}
+    groups = sorted(sks, key=str)
+    out = []
+    for i, a in enumerate(groups):
+        for b in groups[i + 1 :]:
+            sa, sb = sks[a], sks[b]
+            out.append(
+                (
+                    a,
+                    b,
+                    sa.estimate(),
+                    sb.estimate(),
+                    sa.intersect(sb),
+                    sa.union(sb).estimate(),
+                    sa.jaccard(sb),
+                    sa.error_bound_vs(sb, z=z),
+                )
+            )
+    schema = (
+        f"`group_a` {gtype}, `group_b` {gtype}, distinct_a double, "
+        "distinct_b double, intersection double, `union` double, "
+        "jaccard double, bound double"
+    )
+    return df.sparkSession.createDataFrame(out, schema)

@@ -143,3 +143,60 @@ def test_trigram_logprob_validates_alpha(spark):
     df = _toks(spark, [("a", [1, 2, 3])])
     with pytest.raises(ValueError):
         trigram_logprob_score(df, alpha=-1.0)
+
+
+# ---------------------------------------------------------------------------
+# source overlap matrix (theta sketches, one scan)
+# ---------------------------------------------------------------------------
+
+def test_source_overlap_matrix_exact_below_k(spark, sf_dir):
+    from bloomjoin_spark.operators import source_overlap_matrix
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("source").isin("src0", "src1", "src2")
+    )
+    words = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w"),
+    ).filter(F.col("w") != "").distinct()
+    mat = source_overlap_matrix(docs.selectExpr(
+        "source", "lower(text) as text"
+    ).select("source", F.explode(F.split(F.col("text"), r"\s+")).alias("w"))
+        .filter(F.col("w") != ""), group_col="source", cols=["w"], k=65536)
+    got = {(r["group_a"], r["group_b"]): r for r in mat.collect()}
+    assert len(got) == 3  # 3 sources -> 3 unordered pairs
+    wa = words.alias("a")
+    wb = words.alias("b")
+    exact = {
+        (r["sa"], r["sb"]): r["n"]
+        for r in wa.join(wb, F.col("a.w") == F.col("b.w"))
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("sa"), F.col("b.source").alias("sb")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    per_source = {
+        r["source"]: r["n"]
+        for r in words.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for (a, b), row in got.items():
+        # vocab < k: sketches are exact, bound is 0, everything equal
+        assert row["bound"] == 0.0
+        assert row["intersection"] == exact.get((a, b), 0)
+        assert row["distinct_a"] == per_source[a]
+        assert row["distinct_b"] == per_source[b]
+        assert row["union"] == per_source[a] + per_source[b] - exact.get((a, b), 0)
+
+
+def test_source_overlap_matrix_max_groups_guard(spark, sf_dir):
+    import pytest
+
+    from bloomjoin_spark.operators import source_overlap_matrix
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with pytest.raises(ValueError, match="max_groups"):
+        source_overlap_matrix(
+            docs, group_col="doc_id", cols=["text"], max_groups=4
+        )
