@@ -6,7 +6,8 @@ integration layer that chains them behind one configurable call with a
 FIXED stage order — the order the public pipelines (C4, CCNet, Gopher,
 RefinedWeb, Dolma) converged on:
 
-    exact_dedup → minhash_dedup → simhash_dedup →
+    incremental_dedup (vs a prior corpus snapshot) → exact_dedup →
+    minhash_dedup → simhash_dedup →
     ngram_jaccard_dedup → embedding_dedup → decontaminate →
     remove_boilerplate_lines → quality_filter → scrub_patterns →
     weighted_mixture → hash_split → pack_sequences
@@ -60,6 +61,7 @@ from .boilerplate import remove_boilerplate_lines
 from .decontam import decontaminate, words_col
 from .dedup import (
     exact_dedup,
+    incremental_dedup,
     minhash_dedup,
     ngram_jaccard_dedup,
     simhash_dedup,
@@ -71,6 +73,7 @@ __all__ = ["prepare_corpus", "PreparedCorpus"]
 
 #: the fixed stage order (also the docs for which config key enables what)
 STAGE_ORDER = (
+    "incremental_dedup",
     "exact_dedup",
     "minhash_dedup",
     "simhash_dedup",
@@ -147,6 +150,8 @@ def prepare_corpus(
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
+    history: DataFrame | None = None,
+    history_dedup: Mapping | None = None,
     dedup_exact: bool = True,
     minhash: Mapping | bool | None = None,
     simhash: Mapping | bool | None = None,
@@ -167,6 +172,16 @@ def prepare_corpus(
     Stage configs (every stage except exact dedup defaults to OFF so a
     minimal call is cheap and explicit):
 
+    - ``history`` (+ optional ``history_dedup`` kwargs: ``fpp``,
+      ``history_filter``, ``checkpoint_dir``): incremental dedup of
+      the input batch against a previously-ingested corpus snapshot —
+      giving ``history`` enables the stage, which runs FIRST (content
+      already in the corpus should not pay for any later stage).  Pass
+      ``history_filter=`` (from ``build_history_filter``, possibly
+      checkpoint-resumed) to skip rebuilding the history Bloom filter
+      per ingest.  The stage also keeps only the min-id representative
+      per fingerprint within the batch, so ``dedup_exact`` afterwards
+      is a no-op on the same fingerprint domain.
     - ``dedup_exact``: bool — exact content dedup (md5 of
       lower/trim, min-id representative).
     - ``minhash``: True or kwargs for ``minhash_dedup``
@@ -217,9 +232,21 @@ def prepare_corpus(
             "prepare_corpus: decontam kwargs were given without a bench "
             "DataFrame — pass bench= to enable decontamination"
         )
+    if history_dedup is not None and history is None:
+        raise ValueError(
+            "prepare_corpus: history_dedup kwargs were given without a "
+            "history DataFrame — pass history= to enable incremental dedup"
+        )
     stages: list[str] = []
     reports: dict = {}
     out = df
+
+    if history is not None:
+        kw = _as_kwargs(history_dedup or {}, "history_dedup")
+        out = incremental_dedup(
+            out, history, text_col=text_col, id_col=id_col, **kw
+        )
+        stages.append("incremental_dedup")
 
     if dedup_exact:
         out = exact_dedup(out, text_col=text_col, id_col=id_col)

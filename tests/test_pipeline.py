@@ -316,3 +316,33 @@ def test_simhash_stage_in_pipeline(spark):
     ids = sorted(r.doc_id for r in res.docs.collect())
     assert all(i < 100 for i in ids) and len(ids) == 8
     assert "simhash_dedup" in res.reports
+
+
+def test_history_stage_runs_first_and_drops_prior_content(spark):
+    from bloomjoin_spark.operators import build_history_filter
+
+    history = _docs(spark, [
+        (1, "s0", "previously ingested document alpha beta gamma"),
+        (2, "s0", "previously ingested document delta epsilon zeta"),
+    ])
+    batch = _docs(spark, [
+        (10, "s0", "a genuinely new document with fresh words here"),
+        (11, "s0", "previously ingested document alpha beta gamma"),  # in history
+        (12, "s0", "a genuinely new document with fresh words here"),  # within dup
+    ])
+    res = prepare_corpus(batch, history=history)
+    assert res.stages[0] == "incremental_dedup"
+    kept = sorted(r["doc_id"] for r in res.docs.select("doc_id").collect())
+    assert kept == [10]
+    # prebuilt filter path threads through history_dedup kwargs
+    bf = build_history_filter(history)
+    res2 = prepare_corpus(
+        batch, history=history, history_dedup={"history_filter": bf}
+    )
+    assert sorted(r["doc_id"] for r in res2.docs.select("doc_id").collect()) == [10]
+
+
+def test_history_dedup_kwargs_require_history(spark):
+    batch = _docs(spark, [(1, "s0", "some text here")])
+    with pytest.raises(ValueError, match="history"):
+        prepare_corpus(batch, history_dedup={"fpp": 1e-3})
