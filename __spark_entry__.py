@@ -1425,6 +1425,29 @@ def _dedup_stream_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _incr_dedup_stream_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 5: streaming incremental dedup — the whole documents table
+    streams in; everything whose content is in the history snapshot
+    (doc_id % 10 != 0) must be dropped per micro-batch (Bloom probe +
+    stream-static anti-join verify), within-stream dups keep one.
+    Survivor doc_ids depend on micro-batch arrival order, but the
+    survivor FINGERPRINT set is deterministic — that set is the oracle
+    value."""
+    from bloomjoin_spark.streaming import documents_stream, incremental_dedup_stream
+    from bloomjoin_spark.streaming.sketch_stream import run_stream_to_memory
+
+    docs = _t(spark, sf_dir, "documents")
+    history = docs.filter(F.col("doc_id") % 10 != 0)
+    out = incremental_dedup_stream(
+        documents_stream(spark, sf_dir), history=history
+    )
+    name = run_stream_to_memory(
+        out.select("content_fp"), "q_incr_dedup_stream_entry",
+        output_mode="append",
+    )
+    return spark.table(name).select("content_fp").distinct()
+
+
 def _stateful_hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState):
     per-event-type running HLL over user_id; exact n_rows pinned by the
@@ -1510,6 +1533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stateful_hll_stream": _stateful_hll_stream,
         "decontam_stream_docs": _decontam_stream_docs,
         "dedup_stream_docs": _dedup_stream_docs,
+        "incr_dedup_stream_docs": _incr_dedup_stream_docs,
         "minhash_full_dedup": _minhash_full_dedup,
         "ngram_jaccard_docs": _ngram_jaccard_docs,
         "simhash_planted": _simhash_planted,
@@ -1846,6 +1870,23 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN th USING (source)
             WHERE substr(md5(d.doc_id::VARCHAR || '|'), 1, 4) < th.lim
             GROUP BY d.source ORDER BY d.source
+        """,
+        "incr_dedup_stream_docs": """
+            -- survivor fingerprints = distinct batch fingerprints not in
+            -- history.  LEFT JOIN (not NOT IN) so a NULL fingerprint
+            -- behaves like Spark's left_anti: NULL never equals, so a
+            -- NULL-text doc always survives into the distinct set
+            WITH allfp AS (
+              SELECT DISTINCT md5(lower(trim(text))) AS content_fp
+              FROM documents
+            ),
+            hfp AS (
+              SELECT DISTINCT md5(lower(trim(text))) AS content_fp
+              FROM documents WHERE doc_id % 10 <> 0
+            )
+            SELECT a.content_fp FROM allfp a
+            LEFT JOIN hfp h ON a.content_fp = h.content_fp
+            WHERE h.content_fp IS NULL
         """,
         "dedup_stream_docs": """
             -- dropDuplicates keeps ONE survivor for a NULL fingerprint

@@ -3,6 +3,7 @@ from .sketch_stream import (
     bloom_join_stream,
     decontaminate_stream,
     dedup_stream,
+    incremental_dedup_stream,
     documents_stream,
     events_stream,
     windowed_counts,
@@ -13,6 +14,7 @@ __all__ = [
     "bloom_join_stream",
     "decontaminate_stream",
     "dedup_stream",
+    "incremental_dedup_stream",
     "documents_stream",
     "events_stream",
     "windowed_counts",

@@ -416,3 +416,81 @@ def dedup_stream(
             ["content_fp"]
         )
     return df.dropDuplicates(["content_fp"])
+
+
+def incremental_dedup_stream(
+    stream: DataFrame,
+    history: DataFrame | None = None,
+    history_filter=None,
+    text_col: str = "text",
+    fpp: float = 1e-4,
+    event_time_col: str | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """STREAMING incremental dedup: drop stream documents whose content
+    is already in a historical corpus, then keep first-seen per
+    fingerprint within the stream — the continuous-ingest form of
+    ``operators.dedup.incremental_dedup`` (same md5 fingerprint, so
+    batch and stream agree on what "already ingested" means).
+
+    History membership is decided per micro-batch with ZERO history
+    scans on the hot path: each row's fingerprint probes the broadcast
+    Bloom filter of history fingerprints (``history_filter`` from
+    ``build_history_filter`` — build it once, reuse across restarts;
+    else built here from ``history``, one batch job at call time).
+    Rows that MISS are definitively new (no false negatives) and skip
+    the join entirely.  When ``history`` is given, filter HITS take a
+    stream-static LEFT ANTI join against the history fingerprints, so
+    Bloom false positives cannot drop a genuinely-new document; the
+    static side joins only the ≈(true dups + fpp·batch) candidate
+    branch.  With only ``history_filter`` (no ``history`` frame to
+    verify against), hits are dropped directly and the fpp IS the
+    false-drop rate — document-level 1e-4 by default, the declared
+    trade for a history-free hot path.
+
+    Within-stream dedup uses the state store exactly like
+    ``dedup_stream`` (watermark-bounded when ``event_time_col`` +
+    ``watermark`` are passed).  The history side is a frozen snapshot,
+    same caveat as ``bloom_join_stream``; re-create the query to pick
+    up a newer filter.
+    """
+    from ..operators.dedup import build_history_filter
+    from ..operators.text import add_fingerprint
+
+    if history is None and history_filter is None:
+        raise ValueError(
+            "incremental_dedup_stream needs history= (exact verify) "
+            "and/or history_filter= (prebuilt Bloom filter)"
+        )
+    if history_filter is None:
+        history_filter = build_history_filter(history, text_col, fpp=fpp)
+
+    bc = stream.sparkSession.sparkContext.broadcast(history_filter)
+
+    @F.pandas_udf("boolean")
+    def _probe(s: pd.Series) -> pd.Series:
+        from ..hashing import hash_series
+
+        return pd.Series(bc.value.contains_hashes(hash_series(s)))
+
+    df = add_fingerprint(stream, text_col)
+    hit = _probe.asNondeterministic()(F.col("content_fp"))
+    if history is not None:
+        hfp = history.select(
+            F.md5(F.lower(F.trim(F.col(text_col)))).alias("content_fp")
+        ).distinct()
+        fresh = df.filter(~hit).unionByName(
+            df.filter(hit).join(hfp, "content_fp", "left_anti")
+        )
+    else:
+        fresh = df.filter(~hit)
+
+    if (event_time_col is None) != (watermark is None):
+        raise ValueError(
+            "pass event_time_col AND watermark together (or neither)"
+        )
+    if event_time_col is not None:
+        return fresh.withWatermark(
+            event_time_col, watermark
+        ).dropDuplicatesWithinWatermark(["content_fp"])
+    return fresh.dropDuplicates(["content_fp"])

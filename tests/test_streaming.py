@@ -284,3 +284,67 @@ def test_stream_source_path_with_glob_metachars(spark, sf_dir, tmp_path):
     got_n = spark.table("glob_meta_counts").agg(F.sum("n")).first()[0]
     exp_n = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     assert got_n == exp_n
+
+
+def test_incremental_dedup_stream_drops_history_and_within_dups(spark, sf_dir):
+    """Streaming incremental dedup must agree with the batch operator:
+    history content never survives, within-stream dups keep one."""
+    from pyspark.sql import functions as F
+
+    from bloomjoin_spark.streaming import documents_stream, incremental_dedup_stream
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    history = docs.filter(F.col("doc_id") % 10 != 0)
+    from bloomjoin_spark.streaming.sketch_stream import run_stream_to_memory
+
+    out_df = incremental_dedup_stream(
+        documents_stream(spark, sf_dir), history=history
+    )
+    name = run_stream_to_memory(
+        out_df.select("doc_id", "content_fp"), "q_incr_dedup_stream",
+        output_mode="append",
+    )
+    out = spark.table(name)
+    # survivors are exactly the batch-new fingerprints (the % 10 == 0
+    # docs whose content is not in history)
+    hfp = history.select(F.md5(F.lower(F.trim("text"))).alias("fp")).distinct()
+    expected = (
+        docs.select(F.md5(F.lower(F.trim("text"))).alias("fp"))
+        .distinct()
+        .join(hfp, "fp", "left_anti")
+        .count()
+    )
+    assert out.count() == expected
+    # nothing that was in history survives
+    got_fps = out.select(F.col("content_fp").alias("fp")).distinct()
+    assert got_fps.join(hfp, "fp", "left_semi").count() == 0
+
+
+def test_incremental_dedup_stream_filter_only_and_validation(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from bloomjoin_spark.operators import build_history_filter
+    from bloomjoin_spark.streaming import documents_stream, incremental_dedup_stream
+    from bloomjoin_spark.streaming.sketch_stream import run_stream_to_memory
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    history = docs.filter(F.col("doc_id") % 10 != 0)
+    bf = build_history_filter(history)
+    out_df = incremental_dedup_stream(
+        documents_stream(spark, sf_dir), history_filter=bf
+    )
+    name = run_stream_to_memory(
+        out_df.select("doc_id"), "q_incr_dedup_stream_fo", output_mode="append"
+    )
+    # filter-only mode: every true history dup is dropped (no false
+    # negatives); survivors <= exact-new count (fpp may drop extras)
+    hfp = history.select(F.md5(F.lower(F.trim("text"))).alias("fp")).distinct()
+    exact_new = (
+        docs.select(F.md5(F.lower(F.trim("text"))).alias("fp")).distinct()
+        .join(hfp, "fp", "left_anti").count()
+    )
+    assert spark.table(name).count() <= exact_new
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="history"):
+        incremental_dedup_stream(documents_stream(spark, sf_dir))
