@@ -1481,6 +1481,64 @@ def _stateful_hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _layout_tag(sf_dir: str) -> str:
+    import re
+
+    base = os.path.basename(sf_dir.rstrip("/")).lower()
+    return re.sub(r"[^0-9a-z]+", "_", base) or "sf"
+
+
+def _bucketed_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-shuffle co-located join: customer and orders are written
+    bucketed on the (renamed) customer key with equal bucket counts,
+    then joined straight off the bucket layout — the plan contract
+    (no Exchange on either side) is pinned in tests/test_sources.py;
+    this row pins the values.  Prices aggregate as exact cents
+    (ROUND(price*100) -> BIGINT) so both engines sum integers."""
+    from bloomjoin_spark.sources import co_located_join, write_bucketed
+
+    tag = _layout_tag(sf_dir)
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    write_bucketed(cust, f"bj_cust_{tag}", by="c_custkey", buckets=8)
+    write_bucketed(orders, f"bj_ord_{tag}", by="c_custkey", buckets=8)
+    j = co_located_join(spark, f"bj_cust_{tag}", f"bj_ord_{tag}",
+                        on="c_custkey")
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("c_custkey").alias("n_custs"),
+        F.sum("cents").alias("sum_cents"),
+    )
+
+
+def _partitioned_scan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned scan: events rewritten partitioned by
+    event_type, then filtered on the partition column — the read
+    touches one directory (PartitionFilters plan-asserted in
+    tests/test_sources.py); this row pins the pruned values against
+    the unpartitioned table."""
+    import tempfile
+
+    from bloomjoin_spark.sources import write_partitioned
+
+    path = os.path.join(
+        tempfile.gettempdir(), f"bj_events_by_type_{_layout_tag(sf_dir)}"
+    )
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id",
+                                            "value", "event_type")
+    write_partitioned(ev, path, by="event_type")
+    got = spark.read.parquet(path).filter(
+        F.col("event_type").isin("click", "purchase"))
+    return got.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bloom_inner_join": _bloom_inner,
@@ -1551,6 +1609,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_source_join_f0": _salted_source_join_f0,
         "bloom_params_report": _bloom_params_report,
         "token_profile_f0": _token_profile_f0,
+        "bucketed_join_orders": _bucketed_join_orders,
+        "partitioned_scan_events": _partitioned_scan_events,
     }
 
 
@@ -2470,5 +2530,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT 809271 AS exact_total_tokens, TRUE AS total_exact,
                    TRUE AS hll_within_bound, TRUE AS cms_within_bound,
                    TRUE AS quantiles_monotone
+        """,
+        "bucketed_join_orders": """
+            SELECT c.c_mktsegment,
+                   COUNT(*)::BIGINT AS n_orders,
+                   COUNT(DISTINCT c.c_custkey)::BIGINT AS n_custs,
+                   SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT))::BIGINT
+                     AS sum_cents
+            FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+            GROUP BY c.c_mktsegment
+        """,
+        "partitioned_scan_events": """
+            SELECT event_type,
+                   COUNT(*)::BIGINT AS n_events,
+                   COUNT(DISTINCT user_id)::BIGINT AS n_users,
+                   ROUND(AVG(value), 6) AS avg_value
+            FROM events
+            WHERE event_type IN ('click', 'purchase')
+            GROUP BY event_type
         """,
     }

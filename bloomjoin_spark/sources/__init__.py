@@ -1,3 +1,18 @@
 from .io import iceberg_session_conf, read_table, tables, token_table_ref
+from .layout import (
+    co_located_join,
+    plan_exchange_count,
+    write_bucketed,
+    write_partitioned,
+)
 
-__all__ = ["iceberg_session_conf", "read_table", "tables", "token_table_ref"]
+__all__ = [
+    "iceberg_session_conf",
+    "read_table",
+    "tables",
+    "token_table_ref",
+    "write_bucketed",
+    "write_partitioned",
+    "co_located_join",
+    "plan_exchange_count",
+]

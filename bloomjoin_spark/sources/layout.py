@@ -1,0 +1,122 @@
+"""Physical storage layout: bucketed tables and partitioned writes.
+
+The reference joins in-memory data.frames, so physical layout is not
+its concern (``/root/reference/R/bloomjoin.R:126-129`` — inputs arrive
+already materialized).  At 100 TB the layout *is* the join plan:
+
+- Two fact tables **bucketed** on the same key with the same bucket
+  count sort-merge-join with **no Exchange on either side** — the
+  single biggest shuffle eliminator available to a recurring pipeline
+  (pay the shuffle once at write time, never again at read time).
+  ``write_bucketed`` + ``co_located_join`` make that layout
+  reproducible and ``tests/test_sources.py`` plan-asserts the
+  no-Exchange guarantee.
+- A **partitioned** write turns a predicate on the partition column
+  into directory-level pruning: a scan of one event type touches one
+  directory, not the table.  ``write_partitioned`` + the
+  ``PartitionFilters`` plan assertion pin that.
+
+Both helpers are thin on purpose: the value is the *contract* (bucket
+count parity, sorted buckets, partition column ordering) plus the plan
+tests that notice when a Spark upgrade or a conf change silently
+reintroduces the shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = [
+    "write_bucketed",
+    "write_partitioned",
+    "co_located_join",
+    "plan_exchange_count",
+]
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    by: str | list[str],
+    buckets: int,
+    sort: bool = True,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Materialize ``df`` as a bucketed catalog table.
+
+    Bucketing hash-partitions rows into ``buckets`` files per write
+    task *at write time*; Spark's scan then reports the matching
+    ``HashPartitioning``, so joins/aggregations on the bucket key skip
+    their Exchange.  ``sort=True`` additionally sorts each bucket by
+    the key (lets the sort-merge join skip its Sort when each bucket
+    is a single file).
+
+    Bucket-count choice at scale: buckets should be a divisor-friendly
+    number sized so one bucket of the LARGER table fits an executor
+    core's working memory (e.g. a 10 TB table at 512 MB per bucket
+    target → ~20k buckets).  Two tables co-locate when their bucket
+    counts are equal (Spark 3+ can also coalesce a multiple into the
+    smaller count when ``spark.sql.bucketing.coalesceBucketsInJoin``
+    is enabled).
+    """
+    keys = [by] if isinstance(by, str) else list(by)
+    w = df.write.format(fmt).mode(mode).bucketBy(buckets, *keys)
+    if sort:
+        w = w.sortBy(*keys)
+    w.saveAsTable(table)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    by: str | list[str],
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Materialize ``df`` under ``path`` partitioned by ``by``.
+
+    Each distinct value of the partition column(s) becomes a
+    directory; a reader's equality/IN predicate on that column prunes
+    at the directory level (visible as ``PartitionFilters`` in the
+    scan node, asserted in ``tests/test_sources.py``).  Partition by
+    LOW-cardinality operational columns (date, source, language) —
+    high-cardinality partitioning explodes file counts and kills
+    listing; use bucketing for join keys instead.
+    """
+    keys = [by] if isinstance(by, str) else list(by)
+    df.write.format(fmt).mode(mode).partitionBy(*keys).save(path)
+
+
+def co_located_join(
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    on: str | list[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Join two same-bucketed catalog tables on their bucket key.
+
+    With both tables written via ``write_bucketed(..., by=on,
+    buckets=N)`` for the same N, the resulting plan has no Exchange on
+    either input (pinned by ``test_bucketed_join_has_no_exchange``).
+    The join itself is a plain DataFrame join — Catalyst recognizes
+    the bucket layout from the catalog; nothing here forces a
+    strategy, so AQE/broadcast still apply when genuinely better.
+    """
+    left = spark.read.table(left_table)
+    right = spark.read.table(right_table)
+    keys = [on] if isinstance(on, str) else list(on)
+    return left.join(right, on=keys, how=how)
+
+
+def plan_exchange_count(df: DataFrame) -> int:
+    """Number of Exchange operators (shuffle or broadcast) in the
+    optimized physical plan — the audit metric the layout helpers
+    exist to drive to zero on recurring-join paths."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return sum(
+        1
+        for line in plan.splitlines()
+        if "Exchange" in line and "ReusedExchange" not in line
+    )
