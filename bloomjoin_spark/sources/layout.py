@@ -61,10 +61,32 @@ def write_bucketed(
     is enabled).
     """
     keys = [by] if isinstance(by, str) else list(by)
+    if mode == "overwrite":
+        _drop_stale_managed_table(df.sparkSession, table)
     w = df.write.format(fmt).mode(mode).bucketBy(buckets, *keys)
     if sort:
         w = w.sortBy(*keys)
     w.saveAsTable(table)
+
+
+def _drop_stale_managed_table(spark: SparkSession, table: str) -> None:
+    """Make ``mode='overwrite'`` idempotent ACROSS sessions: with a
+    session-local metastore (the default derby setup) a previous
+    session's managed table leaves its warehouse directory behind with
+    no catalog entry, and ``saveAsTable`` then fails with
+    LOCATION_ALREADY_EXISTS.  Drop any registered table first (which
+    also removes its managed location), then clear an orphaned
+    location if one lingers.  Only unqualified names in the current
+    database are handled — qualified names keep Spark's own behavior."""
+    spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+    if "." in table:
+        return
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(wh.rstrip("/") + "/" + table.lower())
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(path):
+        fs.delete(path, True)
 
 
 def write_partitioned(
