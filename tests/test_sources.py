@@ -117,3 +117,28 @@ def test_write_partitioned_scan_is_pruned(spark, tmp_path):
     pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
     assert "event_type" in pf_line
     assert got.count() == ev.filter("event_type = 'click'").count()
+
+
+def test_write_bucketed_overwrite_recovers_orphan_location(spark):
+    """Cross-session idempotency: a session-local metastore forgets the
+    table but leaves its managed warehouse directory; overwrite mode
+    must clear the orphan instead of failing LOCATION_ALREADY_EXISTS."""
+    import os
+
+    from bloomjoin_spark.sources import write_bucketed
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    orphan = os.path.join(wh, "bj_orphan_t")
+    spark.sql("DROP TABLE IF EXISTS bj_orphan_t")
+    os.makedirs(orphan, exist_ok=True)
+    with open(os.path.join(orphan, "stale.parquet"), "w") as f:
+        f.write("not a real file")
+    try:
+        df = spark.range(0, 50).withColumnRenamed("id", "k")
+        write_bucketed(df, "bj_orphan_t", by="k", buckets=2)
+        assert spark.read.table("bj_orphan_t").count() == 50
+        # second overwrite (registered-table path) also succeeds
+        write_bucketed(df, "bj_orphan_t", by="k", buckets=2)
+        assert spark.read.table("bj_orphan_t").count() == 50
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bj_orphan_t")
