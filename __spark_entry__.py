@@ -1539,6 +1539,34 @@ def _partitioned_scan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _range_scan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min/max data-skipping layout: events rewritten globally
+    range-sorted by user_id (repartitionByRange + sortWithinPartitions
+    → non-overlapping per-file footer ranges, pinned by
+    tests/test_sources.py), then scanned with a range predicate — the
+    parquet reader skips every out-of-range file from the footer
+    stats alone.  This row pins the read-back values."""
+    import tempfile
+
+    from bloomjoin_spark.sources import write_range_sorted
+
+    path = os.path.join(
+        tempfile.gettempdir(), f"bj_events_by_user_{_layout_tag(sf_dir)}"
+    )
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id",
+                                            "value", "event_type")
+    write_range_sorted(ev, path, by="user_id", num_files=8)
+    got = spark.read.parquet(path).filter(
+        (F.col("user_id") >= 100) & (F.col("user_id") <= 500))
+    return got.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("user_id").alias("min_user"),
+        F.max("user_id").alias("max_user"),
+        F.sum(F.round(F.col("value") * 1000, 0).cast("long")).alias(
+            "sum_value_milli"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bloom_inner_join": _bloom_inner,
@@ -1611,6 +1639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_profile_f0": _token_profile_f0,
         "bucketed_join_orders": _bucketed_join_orders,
         "partitioned_scan_events": _partitioned_scan_events,
+        "range_scan_events": _range_scan_events,
     }
 
 
@@ -2539,6 +2568,17 @@ def oracle_sql() -> dict[str, str]:
                      AS sum_cents
             FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
             GROUP BY c.c_mktsegment
+        """,
+        "range_scan_events": """
+            SELECT event_type,
+                   COUNT(*)::BIGINT AS n_events,
+                   MIN(user_id)::BIGINT AS min_user,
+                   MAX(user_id)::BIGINT AS max_user,
+                   SUM(CAST(ROUND(value * 1000, 0) AS BIGINT))::BIGINT
+                     AS sum_value_milli
+            FROM events
+            WHERE user_id BETWEEN 100 AND 500
+            GROUP BY event_type
         """,
         "partitioned_scan_events": """
             SELECT event_type,

@@ -4,6 +4,7 @@ from .layout import (
     plan_exchange_count,
     write_bucketed,
     write_partitioned,
+    write_range_sorted,
 )
 
 __all__ = [
@@ -14,5 +15,6 @@ __all__ = [
     "write_bucketed",
     "write_partitioned",
     "co_located_join",
+    "write_range_sorted",
     "plan_exchange_count",
 ]

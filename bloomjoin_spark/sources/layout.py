@@ -132,6 +132,45 @@ def co_located_join(
     return left.join(right, on=keys, how=how)
 
 
+def write_range_sorted(
+    df: DataFrame,
+    path: str,
+    by: str | list[str],
+    num_files: int | None = None,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Materialize ``df`` globally range-sorted on ``by`` — the
+    min/max data-skipping layout for RANGE predicates.
+
+    ``repartitionByRange`` (sampled range boundaries, one shuffle) +
+    ``sortWithinPartitions`` yields files whose per-column min/max
+    stats are **non-overlapping ranges** (pinned by
+    ``test_write_range_sorted_files_do_not_overlap`` reading the
+    parquet footers), so a ``BETWEEN`` / ``>=`` predicate skips every
+    file — and every row group inside a file — outside the range.
+    That skipping happens in the parquet reader from the footer stats
+    alone, below the plan level: on a 100 TB event table sorted by
+    timestamp, a one-day query touches ~1/365 of the files without
+    any partition directories.
+
+    Use this for high-cardinality ordered columns (timestamps, ids)
+    where ``write_partitioned`` would explode into millions of tiny
+    directories; cardinality-bounded categorical predicates still
+    belong to partitions, join keys to buckets.
+
+    ``num_files`` defaults to the session's shuffle parallelism; size
+    it so files land near the target file size (~512 MB–1 GB at
+    scale).  Rows compare by the concatenation order of ``by``.
+    """
+    keys = [by] if isinstance(by, str) else list(by)
+    if num_files is not None:
+        out = df.repartitionByRange(num_files, *keys)
+    else:
+        out = df.repartitionByRange(*keys)
+    out.sortWithinPartitions(*keys).write.format(fmt).mode(mode).save(path)
+
+
 def plan_exchange_count(df: DataFrame) -> int:
     """Number of Exchange operators (shuffle or broadcast) in the
     optimized physical plan — the audit metric the layout helpers

@@ -142,3 +142,37 @@ def test_write_bucketed_overwrite_recovers_orphan_location(spark):
         assert spark.read.table("bj_orphan_t").count() == 50
     finally:
         spark.sql("DROP TABLE IF EXISTS bj_orphan_t")
+
+
+def test_write_range_sorted_files_do_not_overlap(spark, tmp_path):
+    """Range-sorted layout contract: parquet footer min/max stats of
+    the sort column form non-overlapping ranges across files, so a
+    range predicate skips every out-of-range file from the footer
+    alone — and the read-back values are unchanged."""
+    import pyarrow.parquet as pq
+
+    from bloomjoin_spark.sources import read_table, write_range_sorted
+
+    ev = read_table(spark, f"{SF_DIR}/events.parquet")
+    path = str(tmp_path / "events_by_user")
+    write_range_sorted(ev, path, by="user_id", num_files=4)
+
+    ranges = []
+    for fname in sorted((tmp_path / "events_by_user").glob("*.parquet")):
+        md = pq.ParquetFile(str(fname)).metadata
+        idx = next(i for i in range(md.num_columns)
+                   if md.row_group(0).column(i).path_in_schema == "user_id")
+        lo = min(md.row_group(g).column(idx).statistics.min
+                 for g in range(md.num_row_groups))
+        hi = max(md.row_group(g).column(idx).statistics.max
+                 for g in range(md.num_row_groups))
+        ranges.append((lo, hi))
+    assert len(ranges) >= 2  # range partitioning actually split
+    ranges.sort()
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert hi_prev <= lo_next, f"overlapping file ranges: {ranges}"
+    # values survive the rewrite, and a range read matches the source
+    got = spark.read.parquet(path).filter("user_id BETWEEN 100 AND 200")
+    want = ev.filter("user_id BETWEEN 100 AND 200")
+    assert got.count() == want.count()
+    assert spark.read.parquet(path).count() == ev.count()
