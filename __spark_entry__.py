@@ -1567,6 +1567,21 @@ def _range_scan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _contiguous_ids_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global gap-free id assignment in doc_id order — ROW_NUMBER
+    semantics via range-sort + per-partition offsets (two KB-scale
+    passes, no single-partition window; operators/sampling.py
+    assign_contiguous_ids).  Shard ids derive deterministically."""
+    from bloomjoin_spark.operators import assign_contiguous_ids
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    out = assign_contiguous_ids(docs, "doc_id", num_partitions=8)
+    return out.select(
+        "doc_id", "source", "seq_id",
+        F.floor(F.col("seq_id") / 100).alias("shard_id"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bloom_inner_join": _bloom_inner,
@@ -1640,6 +1655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_join_orders": _bucketed_join_orders,
         "partitioned_scan_events": _partitioned_scan_events,
         "range_scan_events": _range_scan_events,
+        "contiguous_ids_docs": _contiguous_ids_docs,
     }
 
 
@@ -2568,6 +2584,14 @@ def oracle_sql() -> dict[str, str]:
                      AS sum_cents
             FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
             GROUP BY c.c_mktsegment
+        """,
+        "contiguous_ids_docs": """
+            SELECT doc_id, source,
+                   (ROW_NUMBER() OVER (ORDER BY doc_id) - 1)::BIGINT
+                     AS seq_id,
+                   ((ROW_NUMBER() OVER (ORDER BY doc_id) - 1) // 100)::BIGINT
+                     AS shard_id
+            FROM documents
         """,
         "range_scan_events": """
             SELECT event_type,

@@ -475,3 +475,90 @@ def token_budget_mixture(
     if return_rates:
         return kept, {s: (totals.get(s, 0), rates.get(s, 0.0)) for s in budgets}
     return kept
+
+
+def assign_contiguous_ids(
+    df: DataFrame,
+    order_by: str | list[str],
+    out_col: str = "seq_id",
+    start: int = 0,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Globally contiguous, gap-free int64 row ids in ``order_by``
+    order — ``ROW_NUMBER() OVER (ORDER BY ...) - 1 + start`` semantics
+    WITHOUT the single-partition exchange a global window plans (an
+    un-partitioned window funnels the entire corpus through ONE task;
+    at 100 TB that is the job).
+
+    The scalable shape is sort + two passes:
+
+    1. ``repartitionByRange`` (sampled boundaries, one shuffle) +
+       ``sortWithinPartitions`` gives a global order across partitions;
+       the layout is pinned with a lazy ``localCheckpoint`` so both
+       passes see identical partitions.
+    2. A partition-count aggregation collects ONE int per partition;
+       the driver prefix-sums them into per-partition offsets (KB-scale
+       at any corpus size).
+    3. One ``mapInArrow`` pass adds ``offset[pid] + local_index`` —
+       no further shuffle, no Python per-row work (ids are a numpy
+       arange per batch).
+
+    ``order_by`` should be a unique key (ties make the id assignment
+    within the tie arbitrary, exactly as ROW_NUMBER's would be).
+    Downstream: deterministic training shards are
+    ``F.floor(F.col(out_col) / shard_size)``.
+
+    No counterpart in the reference (scope: Bloom prefilter joins);
+    extends the training-pipeline set — ids for packed sequences,
+    sample manifests, resumable shard writing.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    keys = [order_by] if isinstance(order_by, str) else list(order_by)
+    if out_col in df.columns:
+        raise ValueError(f"out_col {out_col!r} already exists")
+    parts = num_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    sorted_df = (
+        df.repartitionByRange(parts, *[F.col(k) for k in keys])
+        .sortWithinPartitions(*keys)
+        .withColumn("_bj_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    counts = {
+        r["_bj_pid"]: r["n"]
+        for r in sorted_df.groupBy("_bj_pid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    max_pid = max(counts, default=-1)
+    offsets = []
+    acc = int(start)
+    for pid in range(max_pid + 1):
+        offsets.append(acc)
+        acc += counts.get(pid, 0)
+
+    out_fields = [f for f in sorted_df.schema.fields if f.name != "_bj_pid"]
+    out_schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                           for f in out_fields) + f", `{out_col}` bigint"
+
+    def _add_ids(batches):
+        base = None
+        seen = 0
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            if base is None:
+                base = offsets[batch.column("_bj_pid")[0].as_py()]
+            ids = pa.array(
+                np.arange(base + seen, base + seen + batch.num_rows,
+                          dtype=np.int64)
+            )
+            seen += batch.num_rows
+            names = [n for n in batch.schema.names if n != "_bj_pid"]
+            arrays = [batch.column(n) for n in names] + [ids]
+            yield pa.RecordBatch.from_arrays(arrays, names + [out_col])
+
+    return sorted_df.mapInArrow(_add_ids, out_schema)

@@ -354,3 +354,53 @@ def test_list_offsets_i32_overflow_guard():
     big = np.full(9, 250_000_000, dtype=np.int64)  # 2.25e9 total
     with pytest.raises(ValueError, match="32-bit Arrow list offsets"):
         _list_offsets_i32(big, "tokens")
+
+
+class TestAssignContiguousIds:
+    def test_matches_row_number(self, spark):
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        from bloomjoin_spark.operators import assign_contiguous_ids
+
+        df = spark.range(0, 997, 1, 7).select(
+            ((F.col("id") * 131) % 2003).alias("k"),
+            F.col("id").alias("payload"),
+        )
+        got = assign_contiguous_ids(df, "k", num_partitions=5)
+        want = df.withColumn(
+            "seq_id", F.row_number().over(Window.orderBy("k")) - 1
+        )
+        a = sorted((r["k"], r["payload"], r["seq_id"]) for r in got.collect())
+        b = sorted((r["k"], r["payload"], r["seq_id"]) for r in want.collect())
+        assert a == b
+        # gap-free and contiguous
+        ids = sorted(r["seq_id"] for r in got.collect())
+        assert ids == list(range(997))
+
+    def test_start_offset_and_determinism(self, spark):
+        from pyspark.sql import functions as F
+
+        from bloomjoin_spark.operators import assign_contiguous_ids
+
+        df = spark.range(0, 200, 1, 4).select(F.col("id").alias("k"))
+        a = assign_contiguous_ids(df, "k", start=1000).collect()
+        b = assign_contiguous_ids(df, "k", start=1000).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        assert min(r["seq_id"] for r in a) == 1000
+        assert max(r["seq_id"] for r in a) == 1199
+        # ids follow the sort order: k == seq_id - 1000 here
+        assert all(r["seq_id"] - 1000 == r["k"] for r in a)
+
+    def test_empty_and_collision_guard(self, spark):
+        import pytest
+        from pyspark.sql import functions as F
+
+        from bloomjoin_spark.operators import assign_contiguous_ids
+
+        empty = spark.range(0).select(F.col("id").alias("k"))
+        assert assign_contiguous_ids(empty, "k").count() == 0
+        with pytest.raises(ValueError, match="already exists"):
+            assign_contiguous_ids(
+                spark.range(3).withColumnRenamed("id", "seq_id"), "seq_id"
+            )
