@@ -1582,6 +1582,19 @@ def _contiguous_ids_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _shuffled_ids_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle: rank = ROW_NUMBER over
+    md5(salt || doc_id) — reproducible across engines and reruns,
+    re-randomized per salt (epoch).  operators/sampling.py
+    deterministic_shuffle, built on assign_contiguous_ids."""
+    from bloomjoin_spark.operators import deterministic_shuffle
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    out = deterministic_shuffle(docs, "doc_id", salt="epoch0",
+                                num_partitions=8)
+    return out.select("doc_id", "shuffle_rank")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bloom_inner_join": _bloom_inner,
@@ -1656,6 +1669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partitioned_scan_events": _partitioned_scan_events,
         "range_scan_events": _range_scan_events,
         "contiguous_ids_docs": _contiguous_ids_docs,
+        "shuffled_ids_docs": _shuffled_ids_docs,
     }
 
 
@@ -2584,6 +2598,13 @@ def oracle_sql() -> dict[str, str]:
                      AS sum_cents
             FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
             GROUP BY c.c_mktsegment
+        """,
+        "shuffled_ids_docs": """
+            SELECT doc_id,
+                   (ROW_NUMBER() OVER (
+                        ORDER BY md5('epoch0' || doc_id::VARCHAR)
+                    ) - 1)::BIGINT AS shuffle_rank
+            FROM documents
         """,
         "contiguous_ids_docs": """
             SELECT doc_id, source,

@@ -562,3 +562,32 @@ def assign_contiguous_ids(
             yield pa.RecordBatch.from_arrays(arrays, names + [out_col])
 
     return sorted_df.mapInArrow(_add_ids, out_schema)
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    key_col: str,
+    salt: str = "",
+    out_col: str = "shuffle_rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Reproducible global random ordering — the training-order
+    shuffle.  Rows are ranked by ``md5(salt || key)`` (the same
+    engine-portable construction as ``hash_split``): one range-sort
+    shuffle at any scale, no RNG state, the SAME order on every rerun
+    and every engine, and a different-but-deterministic order per
+    ``salt`` (use the epoch number).  The rank is materialized through
+    :func:`assign_contiguous_ids`, so downstream shard assignment is
+    ``floor(rank / shard_size)`` and a resumable reader can seek to an
+    exact rank.  ``key_col`` must be unique (ties would make the order
+    within the tie arbitrary)."""
+    if "__ds_key" in df.columns:
+        raise ValueError("reserved column __ds_key already exists")
+    keyed = df.withColumn(
+        "__ds_key",
+        F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))),
+    )
+    out = assign_contiguous_ids(
+        keyed, "__ds_key", out_col=out_col, num_partitions=num_partitions
+    )
+    return out.drop("__ds_key")

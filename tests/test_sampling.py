@@ -404,3 +404,47 @@ class TestAssignContiguousIds:
             assign_contiguous_ids(
                 spark.range(3).withColumnRenamed("id", "seq_id"), "seq_id"
             )
+
+
+class TestDeterministicShuffle:
+    def test_reproducible_and_salt_sensitive(self, spark):
+        from pyspark.sql import functions as F
+
+        from bloomjoin_spark.operators import deterministic_shuffle
+
+        df = spark.range(0, 300, 1, 4).select(F.col("id").alias("k"))
+        a = {r["k"]: r["shuffle_rank"]
+             for r in deterministic_shuffle(df, "k", salt="e1").collect()}
+        b = {r["k"]: r["shuffle_rank"]
+             for r in deterministic_shuffle(df, "k", salt="e1").collect()}
+        c = {r["k"]: r["shuffle_rank"]
+             for r in deterministic_shuffle(df, "k", salt="e2").collect()}
+        assert a == b  # same salt: identical order
+        assert a != c  # different salt (epoch): different order
+        assert sorted(a.values()) == list(range(300))  # a permutation
+        # not the identity order (md5 actually shuffles)
+        assert [a[k] for k in sorted(a)] != list(range(300))
+
+    def test_matches_sql_rule(self, spark):
+        """The order rule is engine-portable: rank == ROW_NUMBER over
+        md5(salt || key) computed by plain SQL."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        from bloomjoin_spark.operators import deterministic_shuffle
+
+        df = spark.range(0, 250, 1, 3).select(F.col("id").alias("k"))
+        got = {r["k"]: r["shuffle_rank"]
+               for r in deterministic_shuffle(df, "k", salt="s").collect()}
+        want = {
+            r["k"]: r["rn"]
+            for r in df.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.orderBy(
+                        F.md5(F.concat(F.lit("s"), F.col("k").cast("string")))
+                    )
+                ) - 1,
+            ).collect()
+        }
+        assert got == want
