@@ -1567,6 +1567,31 @@ def _range_scan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bloom_index_lookup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file Bloom data-skipping index (sources/skipping.py):
+    documents rewritten hash-clustered by doc_id with a sidecar
+    per-file Bloom table, then point-looked-up through the index —
+    only files whose filter may contain a requested key are opened
+    (skip evidence tested in tests/test_sources.py), and the exact
+    post-filter makes the rows identical to filtering the full table,
+    which is what this row pins.  The lookup set is deterministic:
+    every doc_id whose n_chars is divisible by 97."""
+    import tempfile
+
+    from bloomjoin_spark.sources import read_bloom_indexed, write_bloom_indexed
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    path = os.path.join(
+        tempfile.gettempdir(), f"bj_docs_bloom_idx_{_layout_tag(sf_dir)}"
+    )
+    write_bloom_indexed(docs, path, key="doc_id", num_files=8)
+    wanted = [
+        r["doc_id"]
+        for r in docs.filter(F.col("n_chars") % 97 == 0).select("doc_id").collect()
+    ]
+    return read_bloom_indexed(spark, path, "doc_id", wanted)
+
+
 def _contiguous_ids_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global gap-free id assignment in doc_id order — ROW_NUMBER
     semantics via range-sort + per-partition offsets (two KB-scale
@@ -1668,6 +1693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_join_orders": _bucketed_join_orders,
         "partitioned_scan_events": _partitioned_scan_events,
         "range_scan_events": _range_scan_events,
+        "bloom_index_lookup_docs": _bloom_index_lookup_docs,
         "contiguous_ids_docs": _contiguous_ids_docs,
         "shuffled_ids_docs": _shuffled_ids_docs,
     }
@@ -2633,5 +2659,10 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE event_type IN ('click', 'purchase')
             GROUP BY event_type
+        """,
+        "bloom_index_lookup_docs": """
+            SELECT doc_id, source, n_chars
+            FROM documents
+            WHERE n_chars % 97 = 0
         """,
     }

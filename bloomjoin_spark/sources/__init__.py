@@ -6,6 +6,7 @@ from .layout import (
     write_partitioned,
     write_range_sorted,
 )
+from .skipping import read_bloom_indexed, write_bloom_indexed
 
 __all__ = [
     "iceberg_session_conf",
@@ -17,4 +18,6 @@ __all__ = [
     "co_located_join",
     "write_range_sorted",
     "plan_exchange_count",
+    "write_bloom_indexed",
+    "read_bloom_indexed",
 ]

@@ -176,3 +176,68 @@ def test_write_range_sorted_files_do_not_overlap(spark, tmp_path):
     want = ev.filter("user_id BETWEEN 100 AND 200")
     assert got.count() == want.count()
     assert spark.read.parquet(path).count() == ev.count()
+
+
+def test_bloom_index_skips_files(spark, tmp_path):
+    """Per-file Bloom index (sources/skipping.py): a point lookup on
+    the indexed key opens a strict subset of files — with cluster=True
+    one key lives in exactly one file — and the result is row-identical
+    to filtering the full table (false positives only widen the scan)."""
+    from bloomjoin_spark.sources import read_bloom_indexed, write_bloom_indexed
+    from bloomjoin_spark.sources import skipping
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "source", "n_chars")
+    path = str(tmp_path / "docs_indexed")
+    stats = write_bloom_indexed(docs, path, key="doc_id", num_files=8)
+    assert stats["files"] >= 2
+    assert stats["rows"] == docs.count()
+
+    some = [r["doc_id"] for r in docs.limit(3).collect()]
+    got = read_bloom_indexed(spark, path, "doc_id", some)
+    want = docs.filter(docs.doc_id.isin(some))
+    assert sorted(r["doc_id"] for r in got.collect()) == \
+        sorted(r["doc_id"] for r in want.collect())
+    st = skipping.last_skip_stats
+    assert st["files_total"] == stats["files"]
+    # 3 clustered keys touch at most 3 files (+ tiny fpp slack)
+    assert st["files_read"] <= 3
+
+
+def test_bloom_index_miss_reads_nothing(spark, tmp_path):
+    """Absent keys prune every file; the lookup is still a valid empty
+    frame with the data schema."""
+    from bloomjoin_spark.sources import read_bloom_indexed, write_bloom_indexed
+    from bloomjoin_spark.sources import skipping
+
+    df = spark.range(0, 2000).selectExpr(
+        "concat('k', id) AS k", "id AS v")
+    path = str(tmp_path / "kv_indexed")
+    write_bloom_indexed(df, path, key="k", num_files=4)
+
+    got = read_bloom_indexed(spark, path, "k", ["absent-a", "absent-b"])
+    assert got.count() == 0
+    assert got.columns == ["k", "v"]
+    assert skipping.last_skip_stats["files_read"] == 0
+
+    # empty lookup list: empty result, no probe work
+    assert read_bloom_indexed(spark, path, "k", []).count() == 0
+
+
+def test_bloom_index_composite_key_and_fp_safety(spark, tmp_path):
+    """Composite keys share the canonical row-hash domain, and a
+    deliberately tiny filter (capacity pressure via fpp=0.3) may open
+    extra files but never returns a wrong row."""
+    from bloomjoin_spark.sources import read_bloom_indexed, write_bloom_indexed
+
+    df = spark.range(0, 1000).selectExpr(
+        "cast(id % 13 AS int) AS a", "concat('s', id % 7) AS b",
+        "id AS payload")
+    path = str(tmp_path / "comp_indexed")
+    write_bloom_indexed(df, path, key=["a", "b"], fpp=0.3, num_files=4)
+
+    keys = [(3, "s2"), (12, "s0")]
+    got = read_bloom_indexed(spark, path, ["a", "b"], keys).collect()
+    want = df.filter("(a = 3 AND b = 's2') OR (a = 12 AND b = 's0')").collect()
+    assert sorted(r["payload"] for r in got) == \
+        sorted(r["payload"] for r in want)
