@@ -680,6 +680,31 @@ def _bloom_fpr_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS inner-product join-size estimation (operators/stats.py
+    estimate_join_size): Σ_k f_L(k)·f_R(k) from two one-scan frequency
+    sketches IS |lineitem ⋈ orders| — the planner's pick-a-strategy
+    number without paying for the join.  Pinned: the estimate never
+    undercounts the exact count and lands within the published
+    ε·N_L·N_R additive bound (both sketches deterministic — fixed
+    hash seeds — so the booleans are stable)."""
+    from bloomjoin_spark.operators import estimate_join_size
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey")
+    r = estimate_join_size(li, orders, on="l_orderkey",
+                           right_on="o_orderkey", eps=1e-5, delta=0.01)
+    exact = li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+    return spark.createDataFrame(
+        [(
+            int(exact),
+            bool(r["estimate"] >= exact),
+            bool(r["estimate"] <= exact + r["bound"]),
+        )],
+        "exact_rows bigint, est_ge_exact boolean, est_within_bound boolean",
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline operators
 # ---------------------------------------------------------------------------
@@ -1654,6 +1679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdigest_quantiles_price": _tdigest_quantiles_price,
         "kll_quantiles_nchars": _kll_quantiles_nchars,
         "bloom_fpr_check": _bloom_fpr_check,
+        "join_size_estimate": _join_size_estimate,
         "exact_dedup_union": _exact_dedup_union,
         "incremental_dedup_docs": _incremental_dedup_docs,
         "minhash_dedup_planted": _minhash_dedup_planted,
@@ -2341,6 +2367,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bloom_fpr_check": """
             SELECT TRUE AS fpr_within_target, 0 AS false_negatives
+        """,
+        "join_size_estimate": """
+            SELECT COUNT(*)::BIGINT AS exact_rows,
+                   TRUE AS est_ge_exact, TRUE AS est_within_bound
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         """,
         "exact_dedup_union": """
             WITH u AS (

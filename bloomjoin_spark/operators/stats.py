@@ -26,6 +26,7 @@ __all__ = [
     "group_token_divergence",
     "bigram_logprob_score",
     "trigram_logprob_score",
+    "estimate_join_size",
 ]
 
 
@@ -326,3 +327,57 @@ def source_overlap_matrix(
         "jaccard double, bound double"
     )
     return df.sparkSession.createDataFrame(out, schema)
+
+
+def estimate_join_size(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    right_on: str | list[str] | None = None,
+    eps: float = 1e-5,
+    delta: float = 0.01,
+) -> dict:
+    """Estimate |left ⋈ right| (inner join) WITHOUT running the join:
+    the CMS inner product Σ_k f_L(k)·f_R(k) is exactly the join
+    cardinality, so two one-scan frequency sketches answer the
+    planner's question — is this shuffle going to produce 10^6 rows or
+    10^12? — for the cost of KB–MB blobs instead of the join itself.
+    This is the sketch the reference's cost gate cannot have (it sees
+    both tables in memory, ``R/bloomjoin.R:98-109``); at 100 TB the
+    estimate is how you pick bloom-vs-broadcast-vs-plain BEFORE paying
+    for the wrong plan.
+
+    Both sides hash through the canonical key hash (cross-type safe,
+    NULL keys dropped — inner-join semantics), build as the standard
+    two-phase partial/tree-merge aggregate, and the estimate NEVER
+    undercounts; the overcount is ≤ eps·n_left·n_right with
+    probability ≥ 1−delta (returned as ``bound``).  Pick eps so that
+    bound ≪ the decision threshold: the sketch is d×w ≈
+    ln(1/δ)×(e/ε) int64 cells — eps=1e-5, delta=0.01 is a ~11 MB
+    sketch, fine for a planner singleton; per-partition partials ship
+    sparse (cms.py payload mode 1) so the shuffle stays proportional
+    to per-partition DISTINCT keys, not w.
+
+    Returns ``{"estimate", "bound", "n_left", "n_right", "eps",
+    "delta"}``.
+    """
+    from ..aggregate import build_sketch
+    from ..sketches.cms import CmsSketch
+
+    lkeys = [on] if isinstance(on, str) else list(on)
+    rkeys = lkeys if right_on is None else (
+        [right_on] if isinstance(right_on, str) else list(right_on)
+    )
+    if len(lkeys) != len(rkeys):
+        raise ValueError("left and right key lists must have equal length")
+    factory = lambda: CmsSketch(eps, delta)  # noqa: E731
+    lsk = build_sketch(left.select(*lkeys), factory, cols=lkeys).sketch
+    rsk = build_sketch(right.select(*rkeys), factory, cols=rkeys).sketch
+    return {
+        "estimate": lsk.inner_product(rsk),
+        "bound": lsk.inner_product_bound(rsk),
+        "n_left": int(lsk.total),
+        "n_right": int(rsk.total),
+        "eps": eps,
+        "delta": delta,
+    }

@@ -113,6 +113,26 @@ class CmsSketch(Sketch):
         """εN — the additive overcount bound (prob ≥ 1−δ)."""
         return self.eps * self.total
 
+    def inner_product(self, other: "CmsSketch") -> int:
+        """Estimate ⟨a, b⟩ = Σ_k f_a(k)·f_b(k) — for key-frequency
+        sketches this IS the inner-join cardinality |A ⋈ B|.
+
+        Row position hashing is deterministic and shared (same
+        ``_ROW_SEED`` schedule), so two same-shape sketches align
+        cell-for-cell: estimate = min_i ⟨table_a[i], table_b[i]⟩.
+        Guarantees (Cormode–Muthukrishnan §4.2): never an
+        UNDERestimate (every cell sum dominates the true product), and
+        the overcount is ≤ ε·N_a·N_b with probability ≥ 1−δ —
+        ``inner_product_bound`` returns that additive bound."""
+        if (self.d, self.w) != (other.d, other.w):
+            raise ValueError("cannot inner-product CMS of different shapes")
+        return int(np.einsum("ij,ij->i", self.table, other.table).min())
+
+    def inner_product_bound(self, other: "CmsSketch") -> float:
+        """ε·N_a·N_b — additive overcount bound for ``inner_product``
+        (prob ≥ 1−δ)."""
+        return self.eps * self.total * other.total
+
     # -- serialization ---------------------------------------------------
     # mode 0: dense d×w int64 table.  mode 1: sparse (flat index, count)
     # pairs — a per-partition partial of a wide CMS (ε=1e-4 ⇒ ~1.5 MB

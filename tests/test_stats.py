@@ -200,3 +200,62 @@ def test_source_overlap_matrix_max_groups_guard(spark, sf_dir):
         source_overlap_matrix(
             docs, group_col="doc_id", cols=["text"], max_groups=4
         )
+
+
+def test_cms_inner_product_bounds():
+    """Pure-sketch property: the CMS inner product never undercounts
+    the true Σ f_a(k)·f_b(k) and stays within ε·N_a·N_b above it."""
+    import numpy as np
+
+    from bloomjoin_spark.hashing import hash_numeric_array
+    from bloomjoin_spark.sketches.cms import CmsSketch
+
+    rng = np.random.default_rng(7)
+    a_keys = rng.integers(0, 500, size=4000)
+    b_keys = rng.integers(200, 700, size=3000)
+    fa = np.bincount(a_keys, minlength=700).astype(np.int64)
+    fb = np.bincount(b_keys, minlength=700).astype(np.int64)
+    exact = int((fa * fb).sum())
+
+    sa, sb = CmsSketch(1e-4, 0.01), CmsSketch(1e-4, 0.01)
+    sa.update_hashes(hash_numeric_array(a_keys.astype(np.int64)))
+    sb.update_hashes(hash_numeric_array(b_keys.astype(np.int64)))
+    est = sa.inner_product(sb)
+    assert est >= exact
+    assert est <= exact + sa.inner_product_bound(sb)
+
+    with pytest.raises(ValueError):
+        sa.inner_product(CmsSketch(1e-3, 0.01))
+
+
+def test_estimate_join_size_matches_exact_count(spark):
+    """Distributed path: the estimate brackets the real inner-join
+    cardinality on skewed keys, cross-typed key columns included."""
+    from bloomjoin_spark.operators import estimate_join_size
+
+    left = spark.range(0, 20000).selectExpr(
+        "cast(id % 300 AS int) AS k", "id AS pay")
+    right = spark.range(0, 5000).selectExpr(
+        "cast(id % 450 AS bigint) AS kk")
+    exact = left.join(right, left.k == right.kk).count()
+    r = estimate_join_size(left, right, on="k", right_on="kk",
+                           eps=1e-4, delta=0.01)
+    assert r["n_left"] == 20000 and r["n_right"] == 5000
+    assert exact <= r["estimate"] <= exact + r["bound"]
+
+    with pytest.raises(ValueError):
+        estimate_join_size(left, right, on=["k"], right_on=["kk", "kk"])
+
+
+def test_estimate_join_size_null_keys_dropped(spark):
+    """NULL keys never match in an inner join; the sketch drops them
+    so they inflate neither the estimate nor the bound's N terms."""
+    from bloomjoin_spark.operators import estimate_join_size
+
+    left = spark.createDataFrame(
+        [("a",), ("a",), (None,), ("b",)], "k string")
+    right = spark.createDataFrame([("a",), (None,)], "k string")
+    r = estimate_join_size(left, right, on="k", eps=1e-3, delta=0.01)
+    assert r["n_left"] == 3 and r["n_right"] == 1
+    exact = 2  # two 'a' rows match the one right-side 'a'
+    assert exact <= r["estimate"] <= exact + r["bound"]
