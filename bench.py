@@ -699,6 +699,45 @@ def run_headline(spark) -> dict[str, float]:
     qs["unbucketed_join_read"] = res_bkt["unbucketed_join_read"]
     qs["bucketed_join_read"] = res_bkt["bucketed_join_read"]
 
+    # --- per-file Bloom index (sources/skipping.py): point lookup on
+    # the 2M-row token table through the sidecar index vs the same
+    # lookup as a full-table filter. The write (hash-cluster + index
+    # build) is its own one-shot cell like bucketed_write; the lookups
+    # interleave so capacity drift can't corrupt the ratio.
+    from bloomjoin_spark.sources import read_bloom_indexed, write_bloom_indexed
+
+    idx_path = os.path.join(tempfile.gettempdir(), "bj_bench_bloom_idx")
+    qs["bloom_index_write"], _ = timed_min_q(
+        "bloom_index_write",
+        lambda: write_bloom_indexed(toks, idx_path, key="doc_id",
+                                    num_files=CPUS),
+        repeats=1)
+    want_ids = [f"doc_{i:012d}" for i in
+                (3, TOKEN_ROWS // 3, TOKEN_ROWS - 1)]
+    flat_toks = os.path.join(tempfile.gettempdir(), "bj_bench_toks_flat")
+    toks.write.mode("overwrite").parquet(flat_toks)
+    res_idx = timed_min_multi([
+        ("fullscan_point_lookup", lambda: spark.read.parquet(flat_toks)
+            .filter(F.col("doc_id").isin(want_ids)).collect()),
+        ("bloom_index_lookup", lambda: read_bloom_indexed(
+            spark, idx_path, "doc_id", want_ids).collect()),
+    ])
+    qs["fullscan_point_lookup"] = res_idx["fullscan_point_lookup"]
+    qs["bloom_index_lookup"] = res_idx["bloom_index_lookup"]
+
+    # --- CMS join-size estimation vs running the join for its count:
+    # the planner-question cell (operators/stats.py estimate_join_size)
+    from bloomjoin_spark.operators import estimate_join_size
+
+    res_jse = timed_min_multi([
+        ("join_size_exact", lambda: toks.select("doc_id").join(
+            lk.select("doc_id"), "doc_id").count()),
+        ("join_size_cms", lambda: estimate_join_size(
+            toks, lk, on="doc_id", eps=1e-5, delta=0.01)),
+    ])
+    qs["join_size_exact"] = res_jse["join_size_exact"]
+    qs["join_size_cms"] = res_jse["join_size_cms"]
+
     toks.unpersist()
     lk.unpersist()
     return qs
@@ -747,6 +786,11 @@ QUERY_SHORT_KEYS = {
     "bucketed_write": "bkw",
     "unbucketed_join_read": "ubj",
     "bucketed_join_read": "bkj",
+    "bloom_index_write": "biw",
+    "fullscan_point_lookup": "fpl",
+    "bloom_index_lookup": "bil",
+    "join_size_exact": "jse",
+    "join_size_cms": "jsc",
 }
 
 

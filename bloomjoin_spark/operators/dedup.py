@@ -28,6 +28,23 @@ _PERM_SEED = 0x3C6EF372FE94F82A
 
 
 # ---------------------------------------------------------------------------
+# canonical content fingerprint
+# ---------------------------------------------------------------------------
+
+def content_fingerprint(text_col: str = "text"):
+    """THE canonical exact-dup key: ``md5(lower(trim(text)))``.
+
+    Every tier that compares content across calls — ``exact_dedup``,
+    ``incremental_dedup`` and its ``build_history_filter``, the
+    streaming history probe (``streaming/sketch_stream.py``), and
+    ``text.add_fingerprint`` — MUST build the key through this one
+    expression: the tiers compose only because batch, stream, and
+    history fingerprints live in one domain, and an edit applied to a
+    single copy would break that silently."""
+    return F.md5(F.lower(F.trim(F.col(text_col))))
+
+
+# ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
 
@@ -36,7 +53,7 @@ def exact_dedup(
 ) -> DataFrame:
     """Keep one row per exact content (md5 of lower/trim), choosing the
     smallest id — deterministic, portable to the SQL oracle."""
-    fp = F.md5(F.lower(F.trim(F.col(text_col)))).alias("__fp")
+    fp = content_fingerprint(text_col).alias("__fp")
     keep = (
         df.select(fp, F.col(id_col))
         .groupBy("__fp")
@@ -776,7 +793,7 @@ def build_history_filter(
     from ..sketches import BloomSketch
 
     fps = history.select(
-        F.md5(F.lower(F.trim(F.col(text_col)))).alias("__fp")
+        content_fingerprint(text_col).alias("__fp")
     )
     if n_hint is None:
         n_hint = fps.agg(
@@ -836,7 +853,7 @@ def incremental_dedup(
     """
     from .bloom_join import bloom_join
 
-    fp_expr = F.md5(F.lower(F.trim(F.col(text_col)))).alias("__fp")
+    fp_expr = content_fingerprint(text_col).alias("__fp")
     bfp = batch.select(fp_expr, F.col(id_col))
     # within-batch: representative (min id) per distinct fingerprint
     reps = bfp.groupBy("__fp").agg(F.min(id_col).alias(id_col))
@@ -858,6 +875,12 @@ def incremental_dedup(
         return pd.Series(bc.value.contains_hashes(hash_series(s)))
 
     probed = reps.withColumn("__hit", _probe.asNondeterministic()(F.col("__fp")))
+    if report is not None:
+        # one materialization serves both the counters and the
+        # returned lineage — without it every counter job re-runs the
+        # probe UDF (and the verify join below), multiplying the
+        # call's cost ~4× just for observability
+        probed = probed.localCheckpoint(eager=False)
     # hit fingerprints might be in history (or are Bloom false
     # positives): verify with an exact anti join whose history scan is
     # itself bloom-prefiltered down to ~|candidates| rows
@@ -867,6 +890,8 @@ def incremental_dedup(
         cand, hfp, on="__fp", how="anti",
         fpp=fpp, force_prefilter=True, collect_metrics=False,
     )
+    if report is not None:
+        verified_new = verified_new.localCheckpoint(eager=False)
     new_ids = (
         probed.filter(~F.col("__hit")).drop("__hit")
         .unionByName(verified_new)
@@ -876,8 +901,12 @@ def incremental_dedup(
 
     if report is not None:
         n_batch = batch.count()
-        n_reps = reps.count()
-        n_cand = cand.count()
+        agg = probed.agg(
+            F.count(F.lit(1)).alias("n_reps"),
+            F.sum(F.col("__hit").cast("long")).alias("n_cand"),
+        ).collect()[0]
+        n_reps = agg["n_reps"]
+        n_cand = int(agg["n_cand"] or 0)
         n_new_cand = verified_new.count()
         report.n_batch = n_batch
         report.n_within_dups = n_batch - n_reps

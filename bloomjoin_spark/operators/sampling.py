@@ -518,9 +518,20 @@ def assign_contiguous_ids(
     keys = [order_by] if isinstance(order_by, str) else list(order_by)
     if out_col in df.columns:
         raise ValueError(f"out_col {out_col!r} already exists")
-    parts = num_partitions or int(
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    )
+    if "_bj_pid" in df.columns:
+        raise ValueError(
+            "assign_contiguous_ids uses '_bj_pid' internally; rename the "
+            "input column"
+        )
+    if num_partitions is not None:
+        parts = num_partitions
+    else:
+        try:
+            parts = int(
+                df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            )
+        except ValueError:  # vendor-managed value, e.g. "auto"
+            parts = df.sparkSession.sparkContext.defaultParallelism
     sorted_df = (
         df.repartitionByRange(parts, *[F.col(k) for k in keys])
         .sortWithinPartitions(*keys)

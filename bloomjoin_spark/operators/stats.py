@@ -275,10 +275,24 @@ def source_overlap_matrix(
     bound of the intersection/difference estimates
     (`ThetaSketch.error_bound_vs`; 0.0 means both sketches are exact).
     """
+    import numpy as np
     import pandas as pd
 
     from ..aggregate import grouped_sketch_partials
     from ..sketches import Sketch, ThetaSketch
+    from ..sketches.theta import _FULL_THETA
+
+    # guard BEFORE any blob reaches the driver: a group_col mistake
+    # (doc_id instead of source) must fail on a column-pruned key scan,
+    # not after collecting millions of sketch blobs
+    n_groups = df.select(group_col).distinct().limit(max_groups + 1).count()
+    if n_groups > max_groups:
+        raise ValueError(
+            f"source_overlap_matrix: more than max_groups={max_groups} "
+            f"distinct {group_col!r} values; the K^2 pair matrix is meant "
+            "for source/domain-level monitoring — raise max_groups "
+            "explicitly if you really want a larger matrix"
+        )
 
     partials = grouped_sketch_partials(
         df, lambda: ThetaSketch(k), group_col, cols=cols, token_col=token_col
@@ -296,29 +310,35 @@ def source_overlap_matrix(
         merge_fn, f"`{group_col}` {gtype}, blob binary"
     )
     rows = merged.collect()  # bounded: ONE ≤8k-byte blob per group
-    if len(rows) > max_groups:
-        raise ValueError(
-            f"source_overlap_matrix: {len(rows)} groups exceed "
-            f"max_groups={max_groups}; the K^2 pair matrix is meant for "
-            "source/domain-level monitoring — raise max_groups explicitly "
-            "if you really want a larger matrix"
-        )
     sks = {r[group_col]: Sketch.from_bytes(bytes(r["blob"])) for r in rows}
     groups = sorted(sks, key=str)
     out = []
     for i, a in enumerate(groups):
         for b in groups[i + 1 :]:
             sa, sb = sks[a], sks[b]
+            # one θ-alignment + one intersect1d + one union merge per
+            # pair; estimator values identical to the per-method calls
+            theta, ha, hb = sa._common_theta_sets(sb)
+            inter_n = np.intersect1d(ha, hb, assume_unique=True).size
+            scale = (
+                1.0 if theta == _FULL_THETA else float(_FULL_THETA) / theta
+            )
+            un_n = ha.size + hb.size - inter_n
+            both_exact = (
+                sa.theta == _FULL_THETA and sb.theta == _FULL_THETA
+            )
+            un = sa.union(sb)
             out.append(
                 (
                     a,
                     b,
                     sa.estimate(),
                     sb.estimate(),
-                    sa.intersect(sb),
-                    sa.union(sb).estimate(),
-                    sa.jaccard(sb),
-                    sa.error_bound_vs(sb, z=z),
+                    inter_n * scale,
+                    un.estimate(),
+                    inter_n / un_n if un_n else 0.0,
+                    0.0 if both_exact
+                    else z * un.estimate() * un.rel_std_error,
                 )
             )
     schema = (

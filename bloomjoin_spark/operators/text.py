@@ -97,10 +97,12 @@ def add_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
 def add_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """content_fp = md5 of lower(trim(text)) — exact-dup key, portable
     to any SQL engine; fp64 = xxhash64 for cheap joins."""
+    from .dedup import content_fingerprint
+
     canon = F.lower(F.trim(F.col(text_col)))
-    return df.withColumn("content_fp", F.md5(canon)).withColumn(
-        "fp64", F.xxhash64(canon)
-    )
+    return df.withColumn(
+        "content_fp", content_fingerprint(text_col)
+    ).withColumn("fp64", F.xxhash64(canon))
 
 
 def bpe_ish_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -126,7 +126,16 @@ class CmsSketch(Sketch):
         ``inner_product_bound`` returns that additive bound."""
         if (self.d, self.w) != (other.d, other.w):
             raise ValueError("cannot inner-product CMS of different shapes")
-        return int(np.einsum("ij,ij->i", self.table, other.table).min())
+        # accumulate in float64: at the design scale (two 10^12-row
+        # sides, eps=1e-5) a row's cell-product sum is ~N_a·N_b/w ≈
+        # 7e18 > int64 max — int accumulation would wrap negative and
+        # silently break the never-undercount guarantee.  float64's
+        # 2^53 mantissa is far inside the ε-bound noise at any scale
+        # where the sum exceeds it.
+        dots = np.einsum(
+            "ij,ij->i", self.table, other.table, dtype=np.float64
+        )
+        return int(dots.min())
 
     def inner_product_bound(self, other: "CmsSketch") -> float:
         """ε·N_a·N_b — additive overcount bound for ``inner_product``

@@ -70,7 +70,10 @@ class ThetaSketch(Sketch):
     # -- error model ---------------------------------------------------
     @property
     def rel_std_error(self) -> float:
-        """RSE of estimate()/union once the sketch is full (else 0)."""
+        """RSE of estimate()/union once the sketch has trimmed;
+        0.0 while it is still exact (θ untouched — every hash kept)."""
+        if self.theta == _FULL_THETA:
+            return 0.0
         return 1.0 / math.sqrt(self.k - 1)
 
     def error_bound_vs(self, other: "ThetaSketch", z: float = 5.0) -> float:

@@ -92,7 +92,10 @@ def write_bloom_indexed(
     keys = [key] if isinstance(key, str) else list(key)
     spark = df.sparkSession
     if num_files is None:
-        num_files = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        try:
+            num_files = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except ValueError:  # vendor-managed value, e.g. "auto"
+            num_files = spark.sparkContext.defaultParallelism
     out = df.repartition(num_files, *keys) if cluster else df.repartition(num_files)
     out.write.mode(mode).parquet(_data_dir(path))
 
@@ -199,17 +202,20 @@ def read_bloom_indexed(
         )
 
     index = spark.read.parquet(_index_dir(path))
-    files_total = index.count()
-    survivors = [
-        r["file"]
-        for r in index.filter(_any_hit(F.col("blob"))).select("file").collect()
-    ]
+    # one probe job: blobs stay executor-side, (file, hit) comes back —
+    # file names are the listing the scan planner must hold anyway
+    probed = index.select("file", _any_hit(F.col("blob")).alias("hit")).collect()
+    survivors = [r["file"] for r in probed if r["hit"]]
     last_skip_stats = {
-        "files_total": int(files_total),
+        "files_total": len(probed),
         "files_read": len(survivors),
         "n_values": len(vals),
     }
     cond = _exact_condition(keys, vals)
     if not survivors:
         return base.filter(cond).filter(F.lit(False))
-    return spark.read.parquet(*survivors).filter(cond)
+    # input_file_name() yields percent-ENCODED URIs; the reader wants
+    # plain paths (a space in the table path would otherwise 404)
+    from urllib.parse import unquote
+
+    return spark.read.parquet(*[unquote(f) for f in survivors]).filter(cond)

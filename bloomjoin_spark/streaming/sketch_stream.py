@@ -406,11 +406,11 @@ def dedup_stream(
     (fine for bounded backfills, not for a forever-stream)."""
     from ..operators.text import add_fingerprint
 
-    df = add_fingerprint(stream, text_col)
     if (event_time_col is None) != (watermark is None):
         raise ValueError(
             "pass event_time_col AND watermark together (or neither)"
         )
+    df = add_fingerprint(stream, text_col)
     if event_time_col is not None:
         return df.withWatermark(event_time_col, watermark).dropDuplicatesWithinWatermark(
             ["content_fp"]
@@ -454,13 +454,17 @@ def incremental_dedup_stream(
     same caveat as ``bloom_join_stream``; re-create the query to pick
     up a newer filter.
     """
-    from ..operators.dedup import build_history_filter
+    from ..operators.dedup import build_history_filter, content_fingerprint
     from ..operators.text import add_fingerprint
 
     if history is None and history_filter is None:
         raise ValueError(
             "incremental_dedup_stream needs history= (exact verify) "
             "and/or history_filter= (prebuilt Bloom filter)"
+        )
+    if (event_time_col is None) != (watermark is None):
+        raise ValueError(
+            "pass event_time_col AND watermark together (or neither)"
         )
     if history_filter is None:
         history_filter = build_history_filter(history, text_col, fpp=fpp)
@@ -477,7 +481,7 @@ def incremental_dedup_stream(
     hit = _probe.asNondeterministic()(F.col("content_fp"))
     if history is not None:
         hfp = history.select(
-            F.md5(F.lower(F.trim(F.col(text_col)))).alias("content_fp")
+            content_fingerprint(text_col).alias("content_fp")
         ).distinct()
         fresh = df.filter(~hit).unionByName(
             df.filter(hit).join(hfp, "content_fp", "left_anti")
@@ -485,10 +489,6 @@ def incremental_dedup_stream(
     else:
         fresh = df.filter(~hit)
 
-    if (event_time_col is None) != (watermark is None):
-        raise ValueError(
-            "pass event_time_col AND watermark together (or neither)"
-        )
     if event_time_col is not None:
         return fresh.withWatermark(
             event_time_col, watermark

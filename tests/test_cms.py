@@ -96,3 +96,21 @@ def test_cms_sparse_partial_roundtrip():
     big.update_hashes(hash_int64(np.arange(100_000, dtype=np.int64)))
     rt2 = CmsSketch.from_bytes(big.to_bytes())
     assert np.array_equal(rt2.table, big.table)
+
+
+def test_inner_product_no_int64_overflow():
+    """At the documented 100 TB design point the per-row cell-product
+    sum exceeds int64; the accumulation must not wrap negative."""
+    import numpy as np
+
+    from bloomjoin_spark.sketches.cms import CmsSketch
+
+    a = CmsSketch(0.5, 0.5)  # tiny table so cells get huge counts
+    b = CmsSketch(0.5, 0.5)
+    w = np.array([2.0**40] * 4)
+    h = np.arange(1, 5, dtype=np.uint64)
+    for _ in range(4):
+        a.update_hashes(h, weights=w)
+        b.update_hashes(h, weights=w)
+    est = a.inner_product(b)
+    assert est > 0  # int64 einsum would have wrapped negative here

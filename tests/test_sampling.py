@@ -448,3 +448,11 @@ class TestDeterministicShuffle:
             ).collect()
         }
         assert got == want
+
+
+def test_assign_contiguous_ids_rejects_internal_column(spark):
+    from bloomjoin_spark.operators import assign_contiguous_ids
+
+    df = spark.range(5).selectExpr("id AS k", "id AS _bj_pid")
+    with pytest.raises(ValueError, match="_bj_pid"):
+        assign_contiguous_ids(df, "k")

@@ -241,3 +241,16 @@ def test_bloom_index_composite_key_and_fp_safety(spark, tmp_path):
     want = df.filter("(a = 3 AND b = 's2') OR (a = 12 AND b = 's0')").collect()
     assert sorted(r["payload"] for r in got) == \
         sorted(r["payload"] for r in want)
+
+
+def test_bloom_index_path_with_space(spark, tmp_path):
+    """input_file_name() returns percent-encoded URIs; the lookup must
+    decode them before re-reading or any escapable char in the table
+    path 404s."""
+    from bloomjoin_spark.sources import read_bloom_indexed, write_bloom_indexed
+
+    df = spark.range(0, 300).selectExpr("concat('k', id) AS k", "id AS v")
+    path = str(tmp_path / "dir with space" / "idx")
+    write_bloom_indexed(df, path, key="k", num_files=3)
+    got = read_bloom_indexed(spark, path, "k", ["k7", "k200"]).collect()
+    assert sorted(r["v"] for r in got) == [7, 200]

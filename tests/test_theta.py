@@ -144,3 +144,19 @@ def test_theta_spark_build_and_source_overlap(spark, sf_dir):
     est = sk[sources[0]].intersect(sk[sources[1]])
     bound = max(sk[sources[0]].error_bound_vs(sk[sources[1]]), 1e-9)
     assert abs(est - exact) <= bound or est == exact
+
+
+def test_rel_std_error_zero_while_exact():
+    """An untrimmed sketch is exact — its documented RSE is 0, not
+    1/sqrt(k-1) (callers build confidence intervals from this)."""
+    import numpy as np
+
+    from bloomjoin_spark.sketches.theta import ThetaSketch
+
+    sk = ThetaSketch(4096)
+    sk.update_hashes(np.arange(1, 100, dtype=np.uint64))
+    assert sk.rel_std_error == 0.0
+    big = ThetaSketch(64)
+    big.update_hashes(np.random.default_rng(1).integers(
+        1, 2**63, size=5000, dtype=np.uint64).astype(np.uint64))
+    assert big.rel_std_error > 0.0
