@@ -714,8 +714,14 @@ def run_headline(spark) -> dict[str, float]:
         repeats=1)
     want_ids = [f"doc_{i:012d}" for i in
                 (3, TOKEN_ROWS // 3, TOKEN_ROWS - 1)]
+    # the flat baseline is round-robin-mixed: the generator emits
+    # doc_ids in order, and writing that order as-is would give the
+    # fullscan free min/max file skipping this cell isn't about — the
+    # general lake table the index targets has no such ordering (the
+    # indexed side's hash-clustered files are full-range too, so both
+    # layouts skip nothing from footer stats; only the sidecar differs)
     flat_toks = os.path.join(tempfile.gettempdir(), "bj_bench_toks_flat")
-    toks.write.mode("overwrite").parquet(flat_toks)
+    toks.repartition(CPUS).write.mode("overwrite").parquet(flat_toks)
     res_idx = timed_min_multi([
         ("fullscan_point_lookup", lambda: spark.read.parquet(flat_toks)
             .filter(F.col("doc_id").isin(want_ids)).collect()),
@@ -726,17 +732,28 @@ def run_headline(spark) -> dict[str, float]:
     qs["bloom_index_lookup"] = res_idx["bloom_index_lookup"]
 
     # --- CMS join-size estimation vs running the join for its count:
-    # the planner-question cell (operators/stats.py estimate_join_size)
+    # the planner-question cell (operators/stats.py estimate_join_size).
+    # On a page-cache-resident box the exact count wins wall-clock (the
+    # same RAM-speed story as the win cell's 16g regime) — the scale
+    # evidence is the MEASURED shuffle-write each plan pays, recorded
+    # alongside: the estimate ships KB-scale sparse sketch partials
+    # where the join exchanges both key columns.
     from bloomjoin_spark.operators import estimate_join_size
 
+    exact_fn = lambda: toks.select("doc_id").join(  # noqa: E731
+        lk.select("doc_id"), "doc_id").count()
+    cms_fn = lambda: estimate_join_size(  # noqa: E731
+        toks, lk, on="doc_id", eps=1e-5, delta=0.01)
     res_jse = timed_min_multi([
-        ("join_size_exact", lambda: toks.select("doc_id").join(
-            lk.select("doc_id"), "doc_id").count()),
-        ("join_size_cms", lambda: estimate_join_size(
-            toks, lk, on="doc_id", eps=1e-5, delta=0.01)),
+        ("join_size_exact", exact_fn),
+        ("join_size_cms", cms_fn),
     ])
     qs["join_size_exact"] = res_jse["join_size_exact"]
     qs["join_size_cms"] = res_jse["join_size_cms"]
+    SHUFFLE_STATS["join_size_shuffle_mb"] = {
+        "exact": measured_shuffle_mb(spark, exact_fn),
+        "cms": measured_shuffle_mb(spark, cms_fn),
+    }
 
     toks.unpersist()
     lk.unpersist()
