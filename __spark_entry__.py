@@ -836,6 +836,37 @@ def _salted_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the event stream (operators.temporal):
+    one hash exchange on user_id, two window expressions, groupBy reuses
+    the partitioning — the oracle recomputes sessions with the identical
+    window SQL."""
+    from bloomjoin_spark.operators import session_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return session_stats(
+        ev, "user_id", "ts", gap_sec=1800.0, order_cols=["event_id"]
+    )
+
+
+def _asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each non-error event picks the user's most recent
+    error at-or-before it (union+window plan, no join operator) —
+    oracled by DuckDB's native ASOF LEFT JOIN."""
+    from bloomjoin_spark.operators import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    probe = ev.filter(F.col("event_type") != "error").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    state = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(
+        probe, state, on="user_id", right_cols=["value"], suffix="_err"
+    )
+
+
 def _multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bloomjoin_spark.operators import synthesize_media
 
@@ -1689,6 +1720,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _ann_cosine_topk,
         "embedding_near_dup_planted": _embedding_near_dup_planted,
         "salted_join_counts": _salted_join_counts,
+        "sessionize_events": _sessionize_events,
+        "asof_join_events": _asof_join_events,
         "multimodal_meta": _multimodal_meta,
         "streaming_windowed_counts": _streaming_windowed_counts,
         "streaming_bloom_join": _streaming_bloom_join,
@@ -2484,6 +2517,34 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT source, count(*) AS src_total
                   FROM documents GROUP BY source) g USING (source)
             GROUP BY d.source
+        """,
+        "sessionize_events": """
+            WITH lagged AS (
+              SELECT user_id, ts, event_id, epoch_us(ts) AS us,
+                     LAG(epoch_us(ts)) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              FROM events),
+            seq AS (
+              SELECT user_id, ts, us,
+                     SUM(CASE WHEN prev IS NULL OR us - prev > 1800000000
+                              THEN 1 ELSE 0 END) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sseq
+              FROM lagged)
+            SELECT user_id, CAST(sseq AS BIGINT) AS session_id_seq,
+                   count(*) AS n_events,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   (max(us) - min(us)) / 1000000.0 AS duration_sec
+            FROM seq GROUP BY user_id, sseq
+        """,
+        "asof_join_events": """
+            SELECT p.event_id, p.user_id, p.ts, p.value,
+                   e.ts AS ts_err, e.value AS value_err
+            FROM (SELECT event_id, user_id, ts, value FROM events
+                  WHERE event_type <> 'error') p
+            ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                            WHERE event_type = 'error') e
+              ON p.user_id = e.user_id AND p.ts >= e.ts
         """,
         "multimodal_meta": """
             SELECT doc_id AS media_id,
