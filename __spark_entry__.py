@@ -1284,6 +1284,24 @@ def _streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _session_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming gap sessionization (native session_window state store):
+    a bounded run must equal the batch window rule, which the oracle
+    recomputes in SQL. Timestamps travel as epoch micros (the stream
+    schema is LTZ; epoch integers dodge engine TZ rendering)."""
+    from bloomjoin_spark.streaming import events_stream, session_counts
+    from bloomjoin_spark.streaming.sketch_stream import run_stream_to_memory
+
+    agg = session_counts(events_stream(spark, sf_dir), gap="30 minutes")
+    name = run_stream_to_memory(agg, "q_sess_counts")
+    return spark.table(name).select(
+        "user_id",
+        F.unix_micros("session_start").alias("start_us"),
+        F.unix_micros("session_end").alias("end_us"),
+        "n_events",
+    )
+
+
 def _hll_distinct_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 3: per-group HLL distinct via the DISTRIBUTED group merge
     (grouped_sketch_estimates — no driver-side per-group state):
@@ -1722,6 +1740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join_counts": _salted_join_counts,
         "sessionize_events": _sessionize_events,
         "asof_join_events": _asof_join_events,
+        "session_stream_events": _session_stream_events,
         "multimodal_meta": _multimodal_meta,
         "streaming_windowed_counts": _streaming_windowed_counts,
         "streaming_bloom_join": _streaming_bloom_join,
@@ -2535,6 +2554,23 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    min(ts) AS session_start, max(ts) AS session_end,
                    (max(us) - min(us)) / 1000000.0 AS duration_sec
+            FROM seq GROUP BY user_id, sseq
+        """,
+        "session_stream_events": """
+            WITH lagged AS (
+              SELECT user_id, ts, event_id, epoch_us(ts) AS us,
+                     LAG(epoch_us(ts)) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              FROM events),
+            seq AS (
+              SELECT user_id, us,
+                     SUM(CASE WHEN prev IS NULL OR us - prev > 1800000000
+                              THEN 1 ELSE 0 END) OVER
+                       (PARTITION BY user_id ORDER BY us
+                        ROWS UNBOUNDED PRECEDING) AS sseq
+              FROM lagged)
+            SELECT user_id, min(us) AS start_us, max(us) AS end_us,
+                   count(*) AS n_events
             FROM seq GROUP BY user_id, sseq
         """,
         "asof_join_events": """

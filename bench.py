@@ -605,6 +605,25 @@ def run_headline(spark) -> dict[str, float]:
 
     qs["pipeline_docs"], _ = timed_min_q("pipeline_docs", _pipeline_cell)
 
+    # --- round-5: temporal operators over the events table — both are
+    # one-exchange window plans (docs/PLANS.md §17), so the cells pin
+    # "window overhead ≈ the shuffle", not a join blow-up
+    from bloomjoin_spark.operators import asof_join, session_stats
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").persist()
+    ev.count()
+    qs["sessionize_events"], _ = timed_min_q("sessionize_events",
+        lambda: session_stats(ev, "user_id", "ts", gap_sec=1800.0)
+        .agg(F.count(F.lit(1)), F.sum("n_events")).collect())
+    _ev_state = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "value")
+    qs["asof_join_events"], _ = timed_min_q("asof_join_events",
+        lambda: asof_join(
+            ev.filter(F.col("event_type") != "error"), _ev_state,
+            on="user_id", right_cols=["value"], suffix="_err",
+        ).agg(F.count(F.lit(1)), F.count("value_err")).collect())
+    ev.unpersist()
+
     # --- round-5: theta sketch over all token instances — directly
     # comparable to the hll_distinct_tokens cell (same scan, same hash
     # path); the extra capability (set algebra) costs the per-batch
@@ -798,6 +817,8 @@ QUERY_SHORT_KEYS = {
     "profile_docs": "prf",
     "pipeline_docs": "pipe",
     "theta_distinct_tokens": "the",
+    "sessionize_events": "ses",
+    "asof_join_events": "aoj",
     "incr_dedup_full": "idf",
     "incr_dedup_reuse": "idr",
     "bucketed_write": "bkw",

@@ -6,6 +6,7 @@ from .sketch_stream import (
     incremental_dedup_stream,
     documents_stream,
     events_stream,
+    session_counts,
     windowed_counts,
 )
 
@@ -17,5 +18,6 @@ __all__ = [
     "incremental_dedup_stream",
     "documents_stream",
     "events_stream",
+    "session_counts",
     "windowed_counts",
 ]

@@ -89,6 +89,38 @@ def windowed_counts(
     )
 
 
+def session_counts(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 day",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Streaming gap-based sessionization via the engine's native
+    session-window state store (``F.session_window``): sessions merge
+    as micro-batches arrive, the watermark bounds state, and a session
+    closes (its state is evictable) once the watermark passes its end.
+
+    Boundary semantics are IDENTICAL to the batch ``sessionize``
+    (``operators/temporal.py``): an event at exactly ``prev + gap``
+    still merges; a strictly greater gap opens a new session — so a
+    bounded stream's output row-equals the batch operator's
+    ``session_stats`` on (key, session_start, n_events, last_ts), and
+    batch boundaries can never change the result (the state store
+    merges adjacent windows across batches).
+    """
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key_col), F.session_window(ts_col, gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+        )
+        .select(key_col, "session_start", "session_end", "n_events")
+    )
+
+
 def run_stream_to_memory(df: DataFrame, name: str, output_mode: str = "complete"):
     """Drive a bounded file stream to completion synchronously; returns
     the in-memory table name."""

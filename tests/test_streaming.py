@@ -348,3 +348,39 @@ def test_incremental_dedup_stream_filter_only_and_validation(spark, sf_dir):
 
     with _pytest.raises(ValueError, match="history"):
         incremental_dedup_stream(documents_stream(spark, sf_dir))
+
+
+def test_session_counts_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming sessionization == batch sessionize, including session
+    MERGES across micro-batch boundaries: the input is split into 3
+    time-interleaved files streamed one per trigger, so most sessions
+    arrive in pieces the state store must merge."""
+    from bloomjoin_spark.operators import session_stats
+    from bloomjoin_spark.streaming import session_counts
+
+    # watermarks require TIMESTAMP (LTZ): the parquet carries NTZ, so
+    # stamp the stream schema the same way events_stream does
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    src = str(tmp_path / "ev_split")
+    # interleave by event_id so each file spans the full time range →
+    # every micro-batch touches almost every open session
+    batch.withColumn("part", F.col("event_id") % 3).repartition(
+        3, "part"
+    ).drop("part").write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = session_counts(stream, gap="30 minutes")
+    run_stream_to_memory(agg, "sess_counts")
+    got = spark.table("sess_counts")
+
+    exp = session_stats(batch, "user_id", "ts", gap_sec=1800.0).select(
+        "user_id", "session_start", "session_end", "n_events"
+    )
+    assert got.count() == exp.count()
+    assert got.exceptAll(exp).count() == 0
