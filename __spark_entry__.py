@@ -836,6 +836,16 @@ def _salted_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sample_exact_k_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exactly-k sample (TakeOrderedAndProject plan, no
+    global sort) — the oracle reruns the identical portable md5-rank
+    rule in SQL, so membership must match row-for-row."""
+    from bloomjoin_spark.operators import sample_exact_k
+
+    docs = _t(spark, sf_dir, "documents")
+    return sample_exact_k(docs, "doc_id", 500).select("doc_id", "source")
+
+
 def _sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization of the event stream (operators.temporal):
     one hash exchange on user_id, two window expressions, groupBy reuses
@@ -1741,6 +1751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": _sessionize_events,
         "asof_join_events": _asof_join_events,
         "session_stream_events": _session_stream_events,
+        "sample_exact_k_docs": _sample_exact_k_docs,
         "multimodal_meta": _multimodal_meta,
         "streaming_windowed_counts": _streaming_windowed_counts,
         "streaming_bloom_join": _streaming_bloom_join,
@@ -2555,6 +2566,12 @@ def oracle_sql() -> dict[str, str]:
                    min(ts) AS session_start, max(ts) AS session_end,
                    (max(us) - min(us)) / 1000000.0 AS duration_sec
             FROM seq GROUP BY user_id, sseq
+        """,
+        "sample_exact_k_docs": """
+            SELECT doc_id, source FROM documents
+            WHERE doc_id IS NOT NULL
+            ORDER BY md5('' || CAST(doc_id AS VARCHAR))
+            LIMIT 500
         """,
         "session_stream_events": """
             WITH lagged AS (

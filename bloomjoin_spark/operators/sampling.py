@@ -602,3 +602,41 @@ def deterministic_shuffle(
         keyed, "__ds_key", out_col=out_col, num_partitions=num_partitions
     )
     return out.drop("__ds_key")
+
+
+def sample_exact_k(
+    df: DataFrame,
+    key_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic EXACTLY-k global sample: the k rows whose
+    ``md5(salt || key)`` ranks lowest.  Complements ``hash_sample``
+    (Bernoulli: deterministic membership, binomial SIZE) when a job
+    needs a fixed budget — eval sets, spot-check panels, pilot
+    corpora.  Same engine-portable construction as ``hash_split``:
+    reproducible across engines and reruns, a different independent
+    draw per ``salt``, and NESTED — the k=1000 sample is a subset of
+    the k=2000 sample (ranks only extend), the same growth-stability
+    contract ``hash_sample`` gives fractions.
+
+    Scale shape: ``orderBy(h).limit(k)`` plans as
+    TakeOrderedAndProject — each partition keeps a size-k heap and the
+    driver merges P·k CANDIDATE KEYS, never a global sort or full
+    shuffle.  For k·P beyond driver comfort (k in the millions on 10^5
+    partitions), pre-gate with ``hash_sample`` at a fraction a few
+    sigma above k/N, then exact-k among survivors — same output,
+    because the Bernoulli gate keeps every row the top-k rule keeps.
+
+    ``key_col`` should be unique (md5 ties between distinct keys are
+    2^-128 events; duplicate keys tie and make which copy wins
+    arbitrary).  NULL keys are dropped (SQL semantics, as in
+    ``hash_sample``)."""
+    if k < 0:
+        raise ValueError(f"k must be non-negative, got {k}")
+    h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    return (
+        df.filter(F.col(key_col).isNotNull())
+        .orderBy(h.asc())
+        .limit(k)
+    )

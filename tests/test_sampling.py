@@ -456,3 +456,63 @@ def test_assign_contiguous_ids_rejects_internal_column(spark):
     df = spark.range(5).selectExpr("id AS k", "id AS _bj_pid")
     with pytest.raises(ValueError, match="_bj_pid"):
         assign_contiguous_ids(df, "k")
+
+
+class TestSampleExactK:
+    def test_exact_size_and_determinism(self, spark, sf_dir):
+        from bloomjoin_spark.operators import sample_exact_k
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        s1 = sample_exact_k(docs, "doc_id", 50)
+        s2 = sample_exact_k(docs, "doc_id", 50)
+        ids1 = sorted(r.doc_id for r in s1.select("doc_id").collect())
+        ids2 = sorted(r.doc_id for r in s2.select("doc_id").collect())
+        assert len(ids1) == 50 and ids1 == ids2
+
+    def test_nested_and_salt_independence(self, spark, sf_dir):
+        from bloomjoin_spark.operators import sample_exact_k
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        k50 = {r.doc_id for r in
+               sample_exact_k(docs, "doc_id", 50).select("doc_id").collect()}
+        k100 = {r.doc_id for r in
+                sample_exact_k(docs, "doc_id", 100).select("doc_id").collect()}
+        assert k50 < k100  # nested: ranks only extend
+        other = {r.doc_id for r in
+                 sample_exact_k(docs, "doc_id", 50, salt="epoch2")
+                 .select("doc_id").collect()}
+        assert other != k50  # a different deterministic draw per salt
+
+    def test_matches_row_number_rule_and_drops_nulls(self, spark):
+        from pyspark.sql import Window
+
+        from bloomjoin_spark.operators import sample_exact_k
+
+        df = spark.createDataFrame(
+            [(str(i),) for i in range(200)] + [(None,)], "k string"
+        )
+        got = {r.k for r in sample_exact_k(df, "k", 20).collect()}
+        want = {
+            r.k for r in df.filter(F.col("k").isNotNull())
+            .withColumn("rn", F.row_number().over(
+                Window.orderBy(F.md5(F.concat(F.lit(""), F.col("k"))))))
+            .filter(F.col("rn") <= 20).collect()
+        }
+        assert got == want and None not in got
+
+    def test_plans_as_take_ordered_not_global_sort(self, spark, sf_dir):
+        from bloomjoin_spark.operators import sample_exact_k
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        plan = (sample_exact_k(docs, "doc_id", 50)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "TakeOrderedAndProject" in plan
+        # no range-exchange global sort: per-partition heaps only
+        assert "rangepartitioning" not in plan.lower()
+
+    def test_rejects_negative_k(self, spark, sf_dir):
+        from bloomjoin_spark.operators import sample_exact_k
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        with pytest.raises(ValueError, match="k must be"):
+            sample_exact_k(docs, "doc_id", -1)
