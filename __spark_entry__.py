@@ -836,6 +836,26 @@ def _salted_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _zorder_scan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout rewrite (sources.layout.write_zordered) + a
+    two-column conjunction read-back: the multi-dim skipping layout
+    must change NO values — the oracle runs the same predicate on the
+    original table."""
+    import tempfile
+
+    from bloomjoin_spark.sources import write_zordered
+
+    ev = _t(spark, sf_dir, "events")
+    # fixed path + overwrite mode: repeated oracle/bench runs reuse the
+    # same dir instead of leaking one per call (ADVICE r4 #5 pattern)
+    path = os.path.join(tempfile.gettempdir(), "bj_zorder_q", "ev")
+    write_zordered(ev, path, ["user_id", "ts"], num_files=8)
+    back = spark.read.parquet(path)
+    return back.filter(
+        (F.col("user_id") % 10 == 3) & (F.col("value") > 5.0)
+    ).select("event_id", "user_id", "ts", "event_type", "value")
+
+
 def _sample_exact_k_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic exactly-k sample (TakeOrderedAndProject plan, no
     global sort) — the oracle reruns the identical portable md5-rank
@@ -1752,6 +1772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_events": _asof_join_events,
         "session_stream_events": _session_stream_events,
         "sample_exact_k_docs": _sample_exact_k_docs,
+        "zorder_scan_events": _zorder_scan_events,
         "multimodal_meta": _multimodal_meta,
         "streaming_windowed_counts": _streaming_windowed_counts,
         "streaming_bloom_join": _streaming_bloom_join,
@@ -2566,6 +2587,11 @@ def oracle_sql() -> dict[str, str]:
                    min(ts) AS session_start, max(ts) AS session_end,
                    (max(us) - min(us)) / 1000000.0 AS duration_sec
             FROM seq GROUP BY user_id, sseq
+        """,
+        "zorder_scan_events": """
+            SELECT event_id, user_id, ts, event_type, value
+            FROM events
+            WHERE user_id % 10 = 3 AND value > 5.0
         """,
         "sample_exact_k_docs": """
             SELECT doc_id, source FROM documents

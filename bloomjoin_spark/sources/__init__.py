@@ -5,6 +5,8 @@ from .layout import (
     write_bucketed,
     write_partitioned,
     write_range_sorted,
+    write_zordered,
+    zorder_col,
 )
 from .skipping import read_bloom_indexed, write_bloom_indexed
 
@@ -17,6 +19,8 @@ __all__ = [
     "write_partitioned",
     "co_located_join",
     "write_range_sorted",
+    "write_zordered",
+    "zorder_col",
     "plan_exchange_count",
     "write_bloom_indexed",
     "read_bloom_indexed",

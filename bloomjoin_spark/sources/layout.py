@@ -28,6 +28,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 __all__ = [
     "write_bucketed",
+    "write_zordered",
+    "zorder_col",
     "write_partitioned",
     "co_located_join",
     "plan_exchange_count",
@@ -180,4 +182,138 @@ def plan_exchange_count(df: DataFrame) -> int:
         1
         for line in plan.splitlines()
         if "Exchange" in line and "ReusedExchange" not in line
+    )
+
+
+def zorder_col(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 8,
+    relative_error: float = 0.001,
+):
+    """Build the interleaved-bit z-value Column for ``cols`` — the
+    multi-dimensional ordering key behind :func:`write_zordered`.
+
+    Each column is ranked into ``2**bits`` QUANTILE buckets (boundaries
+    from one ``approxQuantile`` pass, so skewed distributions still
+    spread evenly across buckets — a linear min/max scale would
+    collapse a heavy-tailed column into one bucket), then the per-bit
+    interleave ``z = Σ_b Σ_i bit_b(rank_i) << (b·k + i)`` is emitted
+    as pure codegen shift/or arithmetic.  The rank itself is
+    ``array_size(filter(lit(bounds), x -> x <= col))`` — a
+    searchsorted over a ≤255-element literal array, JVM-side, no
+    Python in the row path.  NULLs rank 0 (cluster together in the
+    lowest files).
+
+    Numeric and timestamp columns only (timestamps rank on epoch
+    micros); ``bits·len(cols)`` must fit a signed long.
+    """
+    from pyspark.sql import functions as F
+
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    if bits < 1 or bits * len(cols) > 62:
+        raise ValueError(
+            f"bits*len(cols) must be in [1, 62], got {bits}*{len(cols)}"
+        )
+    dtypes = dict(df.dtypes)
+    n_buckets = (1 << bits) - 1  # ranks 0..n_buckets fit in `bits` bits
+    rank_exprs = []
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    for c in cols:
+        dt = dtypes.get(c)
+        if dt is None:
+            raise ValueError(f"column {c!r} not in DataFrame")
+        if dt == "timestamp_ntz":
+            num = F.expr(
+                "timestampdiff(MICROSECOND, "
+                f"TIMESTAMP_NTZ '1970-01-01 00:00:00', `{c}`)"
+            ).cast("double")
+        elif dt == "timestamp":
+            num = F.unix_micros(F.col(c)).cast("double")
+        elif dt in ("string", "binary", "boolean") or dt.startswith(
+            ("array", "map", "struct")
+        ):
+            raise ValueError(
+                f"zorder_col supports numeric/timestamp columns; {c!r} is {dt}"
+            )
+        else:
+            num = F.col(c).cast("double")
+        tmp = f"__zq_{c}"
+        bounds = sorted(
+            set(
+                df.select(num.alias(tmp))
+                .approxQuantile(tmp, probs, relative_error)
+            )
+        )
+        rank = F.coalesce(
+            F.array_size(
+                F.filter(
+                    F.lit(bounds).cast("array<double>"),
+                    lambda b: b <= num,  # noqa: B023
+                )
+            ),
+            F.lit(0),
+        ).cast("long")
+        # LEFT-ALIGN the rank inside its `bits` bit planes: a low-
+        # cardinality column dedupes to fewer boundaries, and without
+        # the shift its top planes would be constant zero — the other
+        # columns would own every file-splitting bit and the layout
+        # would degenerate to a 1-column sort.
+        bits_used = max(1, (len(bounds)).bit_length())
+        if bits_used < bits:
+            rank = F.shiftleft(rank, bits - bits_used)
+        rank_exprs.append(rank)
+
+    k = len(cols)
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, rank in enumerate(rank_exprs):
+            bit = F.shiftright(rank, b).bitwiseAND(F.lit(1).cast("long"))
+            z = z.bitwiseOR(F.shiftleft(bit, b * k + i))
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    num_files: int | None = None,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+    bits: int = 8,
+) -> None:
+    """Materialize ``df`` z-ordered on ``cols`` — min/max data
+    skipping for predicates on ANY of several columns at once.
+
+    ``write_range_sorted`` gives one column perfect non-overlapping
+    file ranges but leaves every OTHER column's per-file range at the
+    full domain.  Interleaving the bit-planes of per-column quantile
+    ranks (Morton order) makes file locality multi-dimensional: with
+    F files and k columns each file's footer min/max covers roughly a
+    ``F^(-1/k)`` fraction of each column's domain, so a selective
+    predicate on any single z column — or a conjunction — skips most
+    files from the footer stats alone, below the plan level.  The
+    pinned contract (``test_write_zordered_skips_on_both_columns``)
+    is that BOTH columns' average per-file range fraction beats the
+    1-column sort's losing column by a wide margin, and read-back
+    values are unchanged.
+
+    Same write shape as ``write_range_sorted``: one boundary-sampling
+    pass, one ``repartitionByRange`` shuffle on the z-value, sorted
+    files.  Use it for event tables queried by user AND by time, or
+    geo tables by lat AND lon.
+    """
+    z = zorder_col(df, cols, bits=bits)
+    tagged = df.withColumn("__zval", z)
+    if num_files is not None:
+        out = tagged.repartitionByRange(num_files, "__zval")
+    else:
+        out = tagged.repartitionByRange("__zval")
+    (
+        out.sortWithinPartitions("__zval")
+        .drop("__zval")
+        .write.format(fmt)
+        .mode(mode)
+        .save(path)
     )

@@ -1,6 +1,8 @@
 """Source-layer tests: catalog-or-path entry point (SURVEY §1.3 —
 reference has no scans; the Spark engine's inputs are tables/paths)."""
 
+import pytest
+
 from conftest import SF_DIR
 
 
@@ -254,3 +256,79 @@ def test_bloom_index_path_with_space(spark, tmp_path):
     write_bloom_indexed(df, path, key="k", num_files=3)
     got = read_bloom_indexed(spark, path, "k", ["k7", "k200"]).collect()
     assert sorted(r["v"] for r in got) == [7, 200]
+
+
+def test_write_zordered_skips_on_both_columns(spark, tmp_path):
+    """Z-order layout contract: per-file footer min/max ranges are
+    NARROW on BOTH z columns (multi-dimensional skipping), where the
+    1-column range sort leaves its losing column at the full domain —
+    and the rewrite changes no values."""
+    import pyarrow.parquet as pq
+
+    from bloomjoin_spark.sources import write_range_sorted, write_zordered
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    zp = str(tmp_path / "ev_z")
+    rp = str(tmp_path / "ev_r")
+    write_zordered(ev, zp, ["user_id", "ts"], num_files=16)
+    write_range_sorted(ev, rp, by="user_id", num_files=16)
+
+    def avg_range_frac(path, col):
+        los, his = [], []
+        for fname in sorted((tmp_path / path).glob("*.parquet")):
+            md = pq.ParquetFile(str(fname)).metadata
+            idx = next(i for i in range(md.num_columns)
+                       if md.row_group(0).column(i).path_in_schema == col)
+            los.append(min(md.row_group(g).column(idx).statistics.min
+                           for g in range(md.num_row_groups)))
+            his.append(max(md.row_group(g).column(idx).statistics.max
+                           for g in range(md.num_row_groups)))
+        width = max(his) - min(los)
+        fracs = [(h - l) / width for l, h in zip(los, his)]
+        return sum(fracs) / len(fracs)
+
+    z_user, z_ts = avg_range_frac("ev_z", "user_id"), avg_range_frac("ev_z", "ts")
+    r_ts = avg_range_frac("ev_r", "ts")
+    assert z_user < 0.75 and z_ts < 0.75, (z_user, z_ts)
+    assert r_ts > 0.9  # the 1-col sort's losing column: full domain
+    # both beat the losing column by a wide margin
+    assert max(z_user, z_ts) < r_ts / 1.3
+
+    back = spark.read.parquet(zp)
+    assert back.count() == ev.count()
+    assert back.exceptAll(ev).count() == 0 and ev.exceptAll(back).count() == 0
+
+
+def test_zorder_col_validation(spark):
+    from bloomjoin_spark.sources import zorder_col
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    with pytest.raises(ValueError, match="numeric/timestamp"):
+        zorder_col(ev, ["event_type"])
+    with pytest.raises(ValueError, match="not in DataFrame"):
+        zorder_col(ev, ["nope"])
+    with pytest.raises(ValueError, match="bits"):
+        zorder_col(ev, ["user_id", "value"], bits=40)
+    with pytest.raises(ValueError, match="non-empty"):
+        zorder_col(ev, [])
+
+
+def test_zorder_col_null_and_skew_handling(spark):
+    """NULLs rank 0; a heavily skewed column still spreads across
+    buckets (quantile ranks, not linear min/max scaling)."""
+    from pyspark.sql import functions as F
+
+    from bloomjoin_spark.sources import zorder_col
+
+    # 90% of mass at 0, tail to 10^9: linear scaling would put 90% in
+    # bucket 0; quantile ranks must spread the tail
+    df = spark.range(0, 10_000).select(
+        F.when(F.col("id") % 10 != 0, F.lit(0.0))
+        .otherwise((F.col("id") * F.lit(100_000.0))).alias("v"),
+        F.when(F.col("id") % 100 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("id").cast("double")).alias("w"),
+    )
+    z = df.select(zorder_col(df, ["v", "w"], bits=6).alias("z"))
+    n_distinct = z.distinct().count()
+    assert n_distinct > 32  # spread, not collapsed into one bucket
+    assert z.filter(F.col("z").isNull()).count() == 0  # nulls rank 0
