@@ -71,6 +71,10 @@ def sessionize(
     """
     if gap_sec <= 0:
         raise ValueError(f"gap_sec must be positive, got {gap_sec}")
+    seq_name = f"{session_col}_seq"
+    for c in (session_col, seq_name):
+        if c in df.columns:
+            raise ValueError(f"output column {c!r} already exists")
     order = [F.col(ts_col).asc(), *(F.col(c).asc() for c in order_cols)]
     w = Window.partitionBy(key_col).orderBy(*order)
     # Microsecond integer arithmetic: exact on both Spark and the
@@ -155,6 +159,16 @@ def asof_join(
     for k in keys:
         if k not in left.columns or k not in right.columns:
             raise ValueError(f"join key {k!r} must exist on both sides")
+    reserved = [c for c in left.columns if c.startswith("__asof_")]
+    if reserved:
+        raise ValueError(f"reserved __asof_ columns already exist: {reserved}")
+    clashes = [f"{c}{suffix}" for c in [right_ts, *right_cols]
+               if f"{c}{suffix}" in left.columns]
+    if clashes:
+        raise ValueError(
+            f"output columns {clashes} already exist on the left side; "
+            "pass a different suffix"
+        )
 
     # The right payload (match ts, both raw-typed and in micros, +
     # value columns) travels as ONE struct, null on left rows —

@@ -168,3 +168,16 @@ def test_asof_ntz_timestamps(spark):
     assert r.v_right == 9.0
     s = sessionize(left, "user_id", "ts", gap_sec=60)
     assert s.collect()[0].session_id_seq == 1
+
+
+def test_output_column_collision_guards(spark, events):
+    state = _state(spark, [(1, _ts(0), 1.0)])
+    with pytest.raises(ValueError, match="already exist"):
+        asof_join(events.withColumn("v_right", F.lit(1)), state,
+                  on="user_id", right_cols=["v"])
+    with pytest.raises(ValueError, match="__asof_"):
+        asof_join(events.withColumn("__asof_x", F.lit(1)), state,
+                  on="user_id", right_cols=["v"])
+    with pytest.raises(ValueError, match="already exists"):
+        sessionize(events.withColumn("session_id", F.lit("x")),
+                   "user_id", "ts", gap_sec=60)
