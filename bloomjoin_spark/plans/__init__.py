@@ -1,3 +1,4 @@
+from .audit import PlanAudit, plan_audit
 from .planner import (
     BloomJoinPlan,
     BloomJoinReport,
@@ -8,6 +9,8 @@ from .planner import (
 )
 
 __all__ = [
+    "PlanAudit",
+    "plan_audit",
     "BloomJoinPlan",
     "BloomJoinReport",
     "choose_prefilter_target",

@@ -268,3 +268,72 @@ def test_top_ngram_frac_single_chain_no_window(spark):
     assert "EvalPython" not in plan
     rs = next(l for l in plan.splitlines() if "ReadSchema" in l)
     assert "lang" not in rs and "source" not in rs
+
+
+class TestPlanAudit:
+    """plan_audit (plans/audit.py): the user-facing instrument for the
+    plan contracts the library pins internally."""
+
+    def test_join_pushdown_and_exchange_counts(self, spark):
+        from bloomjoin_spark.plans import plan_audit
+
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        part = spark.read.parquet(f"{SF_DIR}/part.parquet")
+        q = (
+            li.filter(F.col("l_quantity") > 10)
+            .join(part.filter(F.col("p_partkey") % 10 == 0),
+                  li.l_partkey == part.p_partkey)
+            .groupBy("p_name").agg(F.sum("l_quantity").alias("s"))
+        )
+        a = plan_audit(q)
+        assert a.n_shuffle_exchanges == 1      # the groupBy
+        assert a.n_broadcast_exchanges == 1    # small part side
+        assert a.joins == {"BroadcastHashJoin": 1}
+        assert a.n_row_python_udfs == 0 and a.python_operators == []
+        # the quantity filter reached the lineitem scan, and the scan
+        # reads only the joined/aggregated columns
+        li_scan = next(s for s in a.scans
+                       if "l_quantity" in s["read_schema_cols"])
+        assert any("GreaterThan(l_quantity" in f
+                   for f in li_scan["pushed_filters"])
+        assert set(li_scan["read_schema_cols"]) == {"l_partkey", "l_quantity"}
+
+    def test_codegen_spans_after_execution(self, spark):
+        from bloomjoin_spark.plans import plan_audit
+
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        q = li.filter(F.col("l_quantity") > 10).groupBy("l_returnflag").count()
+        q.collect()  # AQE finalizes; fusion markers appear
+        assert plan_audit(q).n_codegen_spans >= 1
+
+    def test_detects_python_operators(self, spark):
+        import pandas as pd
+        from pyspark.sql.types import DoubleType
+
+        from bloomjoin_spark.plans import plan_audit
+
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+
+        @F.pandas_udf("double")
+        def arrow_sq(s: pd.Series) -> pd.Series:
+            return s * s
+
+        assert plan_audit(
+            li.select(arrow_sq("l_quantity"))
+        ).python_operators == ["ArrowEvalPython"]
+
+        row_udf = F.udf(lambda x: x * 2.0, DoubleType())
+        a = plan_audit(li.select(row_udf("l_quantity")))
+        assert a.n_row_python_udfs == 1  # the anti-pattern counter
+
+    def test_asof_and_colocated_contracts_via_audit(self, spark):
+        from bloomjoin_spark.operators import asof_join
+        from bloomjoin_spark.plans import plan_audit
+
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        st = ev.filter(F.col("event_type") == "error").select(
+            "user_id", "ts", "value")
+        aj = asof_join(ev.filter(F.col("event_type") != "error"), st,
+                       on="user_id", right_cols=["value"])
+        a = plan_audit(aj)
+        assert a.n_shuffle_exchanges == 1 and a.joins == {}
