@@ -1724,9 +1724,30 @@ def _shuffled_ids_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "shuffle_rank")
 
 
+def _span_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 5: cross-document duplicate token-SPAN removal (the
+    exact-substring dedup tier, Lee et al. 2022) — word 6-grams shared
+    by >= 2 documents are removed as merged maximal spans, order
+    preserved, rows never dropped.  The DuckDB oracle recomputes the
+    whole thing with TRUE list-equality gram grouping, pinning both the
+    removed-token counts and the exact rebuilt text of every document."""
+    from bloomjoin_spark.operators import remove_duplicate_spans, words_col
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", words_col(F.col("text")).alias("w")
+    )
+    out = remove_duplicate_spans(docs, n=6, tokens_col="w", id_col="doc_id")
+    return out.select(
+        "doc_id",
+        "n_dup_tokens",
+        F.array_join("w", " ").alias("clean_text"),
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bloom_inner_join": _bloom_inner,
+        "span_dedup_docs": _span_dedup_docs,
         "bloom_inner_join_auto_floor": _bloom_inner_auto_floor,
         "decontam_docs": _decontam_docs,
         "repetition_docs": _repetition_docs,
@@ -1828,6 +1849,48 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem l
             JOIN (SELECT p_partkey, p_name FROM part WHERE p_partkey % 10 = 0) p
               ON l.l_partkey = p.p_partkey
+        """,
+        "span_dedup_docs": r"""
+            WITH words AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+              FROM documents
+            ),
+            pos AS (
+              SELECT doc_id, i, w[i:i+5] AS g
+              FROM words, UNNEST(generate_series(1, len(w) - 5)) t(i)
+            ),
+            dup AS (
+              SELECT g FROM pos GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+            ),
+            hits AS (
+              SELECT DISTINCT p.doc_id, p.i FROM pos p JOIN dup USING (g)
+            ),
+            covered AS (
+              SELECT DISTINCT h.doc_id, h.i + o AS j
+              FROM hits h, UNNEST(generate_series(0, 5)) t(o)
+            ),
+            toks AS (
+              SELECT doc_id, j, w[j] AS tok
+              FROM words, UNNEST(generate_series(1, len(w))) t(j)
+            ),
+            kept AS (
+              SELECT t.doc_id, t.j, t.tok FROM toks t
+              ANTI JOIN covered c ON t.doc_id = c.doc_id AND t.j = c.j
+            ),
+            agg AS (
+              SELECT doc_id, string_agg(tok, ' ' ORDER BY j) AS clean_text
+              FROM kept GROUP BY doc_id
+            ),
+            nrm AS (
+              SELECT doc_id, COUNT(*)::BIGINT AS n_dup_tokens
+              FROM covered GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(nrm.n_dup_tokens, 0)::BIGINT AS n_dup_tokens,
+                   coalesce(agg.clean_text, '') AS clean_text
+            FROM documents d
+            LEFT JOIN agg USING (doc_id) LEFT JOIN nrm USING (doc_id)
+            ORDER BY d.doc_id
         """,
         "decontam_docs": r"""
             WITH words AS (
