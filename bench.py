@@ -582,6 +582,18 @@ def run_headline(spark) -> dict[str, float]:
     qs["profile_docs"], _ = timed_min_q("profile_docs",
         lambda: profile_table(docs).count()
     )
+    # cross-doc duplicate SPAN removal (exact-substring dedup tier):
+    # the count shuffle moves (hash, doc) pairs, locate+verify volume
+    # is ∝ the planted duplication — the cell times the whole
+    # count→prefilter→locate→verify→rewrite composition
+    from bloomjoin_spark.operators import remove_duplicate_spans
+
+    docs_w = docs.select("doc_id", words_col(F.col("text")).alias("w"))
+    qs["span_dedup_docs"], _ = timed_min_q("span_dedup_docs",
+        lambda: remove_duplicate_spans(
+            docs_w, n=6, tokens_col="w", id_col="doc_id"
+        ).agg(F.sum("n_dup_tokens"), F.sum(F.size("w"))).first()
+    )
 
     # --- round-5: the composed prepare_corpus pipeline end-to-end
     # (dedup → minhash → boilerplate → quality → scrub → mixture →
@@ -815,6 +827,7 @@ QUERY_SHORT_KEYS = {
     "bigram_score_docs": "bg2",
     "trigram_score_docs": "bg3",
     "profile_docs": "prf",
+    "span_dedup_docs": "spd",
     "pipeline_docs": "pipe",
     "theta_distinct_tokens": "the",
     "sessionize_events": "ses",
