@@ -866,6 +866,34 @@ def _sample_exact_k_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_exact_k(docs, "doc_id", 500).select("doc_id", "source")
 
 
+def _topk_per_group_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group quota (at most k rows per group, best-ranked first) via
+    the salted two-phase top-k — full rows never shuffle, no group ever
+    lands on one reduce task.  The DuckDB oracle recomputes the quota
+    with the identical total order (row_number over n_chars DESC,
+    doc_id DESC), so membership must match row-for-row."""
+    from bloomjoin_spark.operators import topk_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    return topk_per_group(
+        docs, "source", "n_chars", 7, "doc_id", salts=8
+    ).select("doc_id", "source", "n_chars")
+
+
+def _weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted exactly-k sample (Efraimidis–Spirakis
+    A-ES over the engine-portable md5 uniform; TakeOrderedAndProject
+    plan).  The oracle reruns the identical -ln(u)/w rank rule in
+    DuckDB — both engines read the same 52-bit uniform exactly, so
+    membership must match row-for-row."""
+    from bloomjoin_spark.operators import weighted_sample_exact_k
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_sample_exact_k(docs, "doc_id", "n_chars", 100).select(
+        "doc_id", "source"
+    )
+
+
 def _sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization of the event stream (operators.temporal):
     one hash exchange on user_id, two window expressions, groupBy reuses
@@ -1793,6 +1821,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_events": _asof_join_events,
         "session_stream_events": _session_stream_events,
         "sample_exact_k_docs": _sample_exact_k_docs,
+        "topk_per_group_docs": _topk_per_group_docs,
+        "weighted_sample_docs": _weighted_sample_docs,
         "zorder_scan_events": _zorder_scan_events,
         "multimodal_meta": _multimodal_meta,
         "streaming_windowed_counts": _streaming_windowed_counts,
@@ -2661,6 +2691,27 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id IS NOT NULL
             ORDER BY md5('' || CAST(doc_id AS VARCHAR))
             LIMIT 500
+        """,
+        "topk_per_group_docs": """
+            SELECT doc_id, source, n_chars FROM (
+              SELECT doc_id, source, n_chars,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY n_chars DESC, doc_id DESC) AS rn
+              FROM documents
+              WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL
+            ) WHERE rn <= 7
+        """,
+        "weighted_sample_docs": """
+            SELECT doc_id, source FROM documents
+            WHERE doc_id IS NOT NULL
+              AND n_chars IS NOT NULL AND CAST(n_chars AS DOUBLE) > 0
+            ORDER BY -ln(
+                (CAST(CAST('0x' || substr(md5('' || CAST(doc_id AS VARCHAR)), 1, 13)
+                           AS BIGINT) AS DOUBLE) + 1.0)
+                / (16.0 ** 13)
+              ) / CAST(n_chars AS DOUBLE)
+            LIMIT 100
         """,
         "session_stream_events": """
             WITH lagged AS (

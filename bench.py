@@ -617,6 +617,18 @@ def run_headline(spark) -> dict[str, float]:
 
     qs["pipeline_docs"], _ = timed_min_q("pipeline_docs", _pipeline_cell)
 
+    # --- round-5: per-group quota (salted two-phase top-k; full rows
+    # never shuffle) and weighted exact-k sampling (A-ES rank, plans as
+    # TakeOrderedAndProject — size-k per-partition heaps, no sort)
+    from bloomjoin_spark.operators import topk_per_group, weighted_sample_exact_k
+
+    qs["topk_per_group_docs"], _ = timed_min_q("topk_per_group_docs",
+        lambda: topk_per_group(docs, "source", "n_chars", 7, "doc_id", salts=8)
+        .agg(F.count(F.lit(1)), F.sum("n_chars")).collect())
+    qs["weighted_sample_docs"], _ = timed_min_q("weighted_sample_docs",
+        lambda: weighted_sample_exact_k(docs, "doc_id", "n_chars", 500)
+        .agg(F.count(F.lit(1)), F.sum("n_chars")).collect())
+
     # --- round-5: temporal operators over the events table — both are
     # one-exchange window plans (docs/PLANS.md §17), so the cells pin
     # "window overhead ≈ the shuffle", not a join blow-up
@@ -829,6 +841,8 @@ QUERY_SHORT_KEYS = {
     "profile_docs": "prf",
     "span_dedup_docs": "spd",
     "pipeline_docs": "pipe",
+    "topk_per_group_docs": "tpg",
+    "weighted_sample_docs": "wsk",
     "theta_distinct_tokens": "the",
     "sessionize_events": "ses",
     "asof_join_events": "aoj",

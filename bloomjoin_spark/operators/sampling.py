@@ -640,3 +640,124 @@ def sample_exact_k(
         .orderBy(h.asc())
         .limit(k)
     )
+
+
+def weighted_sample_exact_k(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted EXACTLY-k sample without replacement
+    (Efraimidis–Spirakis A-ES, Inf. Process. Lett. 97(5), 2006): keep
+    the k rows minimizing ``-ln(u) / w``, where ``u`` is the row's
+    engine-portable md5 uniform and ``w`` its weight.  Every run — and
+    every engine that implements md5/ln the same way — selects the
+    SAME rows; inclusion probability scales with weight, which is the
+    per-domain/per-quality budget rule production corpora use ("sample
+    200k docs, proportional to quality score").
+
+    The uniform is the first 13 hex digits of ``md5(salt || key)``
+    (52 bits — exact in a double) scaled to (0,1]; the +1 in the
+    numerator keeps u>0 so ln(u) is finite.  Like
+    ``sample_exact_k``: a different ``salt`` is an independent draw,
+    and the output is NESTED in k (ranks only extend).
+
+    Scale shape: identical to ``sample_exact_k`` —
+    ``orderBy(rank).limit(k)`` plans as TakeOrderedAndProject (size-k
+    per-partition heaps, P·k candidates merged on the driver, no
+    global sort).
+
+    Rows with NULL keys, or NULL/non-positive weights, are dropped
+    (a zero weight has zero inclusion probability; negative weights
+    are undefined under A-ES).  ``key_col`` should be unique — see
+    ``sample_exact_k``."""
+    if k < 0:
+        raise ValueError(f"k must be non-negative, got {k}")
+    h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    # (0,1]-uniform: 13 hex chars = 52 bits, exact in IEEE double both
+    # here (conv → double) and in DuckDB (('0x'||…)::BIGINT::DOUBLE).
+    u = (F.conv(F.substring(h, 1, 13), 16, 10).cast("double") + F.lit(1.0)) / F.lit(
+        float(16**13)
+    )
+    rank = -F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.filter(
+            F.col(key_col).isNotNull()
+            & F.col(weight_col).isNotNull()
+            & (F.col(weight_col).cast("double") > 0)
+        )
+        .orderBy(rank.asc())
+        .limit(k)
+    )
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_cols: str | list[str],
+    order_col: str,
+    k: int,
+    id_col: str,
+    descending: bool = True,
+    salts: int = 32,
+) -> DataFrame:
+    """Per-group quota: keep at most ``k`` rows per group, the ones
+    ranking highest (``descending=True``) or lowest on
+    ``(order_col, id_col)``.  The domain-cap / source-cap primitive
+    web corpora need ("at most 10k docs per domain, best quality
+    first") — a rule a global sort cannot give you affordably and a
+    plain window gives you at the price of one reducer per group.
+
+    Scale shape — the full rows NEVER shuffle and no group ever lands
+    on one task:
+
+    1. **rank slice** — only ``(group, order, id)`` triples leave the
+       scan.
+    2. **salted phase 1** — ``groupBy(group, xxhash64(id) % salts)``
+       collects and slices a size-k sorted list per cell, so a
+       pathological group (one domain = 10% of the corpus) is spread
+       over ``salts`` reduce cells instead of melting one task.
+    3. **phase 2** — per group, merge the ≤ ``salts`` size-k lists
+       (≤ ``salts·k`` structs per group move) and slice the final k.
+    4. **fan back** — a LEFT SEMI join on ``id_col`` restores the
+       original rows; the winner set is ≤ groups·k ids, which AQE
+       broadcasts when small, so the corpus-side rows still never
+       shuffle.
+
+    Determinism: selection is by the lexicographic struct order of
+    ``(order_col, id_col)`` — ties on ``order_col`` break by
+    ``id_col`` in the SAME direction (largest id wins under
+    ``descending=True``).  Rows with NULL ``order_col`` or NULL
+    ``id_col`` are dropped from RANKING (never selected); ``id_col``
+    MUST be row-unique or the semi-join fans a win out to every
+    duplicate (same contract as ``remove_boilerplate_lines``)."""
+    if k < 0:
+        raise ValueError(f"k must be non-negative, got {k}")
+    if k == 0:
+        return df.limit(0)
+    if salts < 1:
+        raise ValueError(f"salts must be >= 1, got {salts}")
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    entry = F.struct(F.col(order_col).alias("o"), F.col(id_col).alias("i"))
+
+    def _top(col: Column) -> Column:
+        # ascending struct sort either way; "largest k" = the tail.
+        # (a plain slice(-k) start would fall off the front of cells
+        # holding fewer than k entries and return [] — clamp to 1.)
+        s = F.sort_array(col)
+        if not descending:
+            return F.slice(s, 1, k)
+        return F.slice(s, F.greatest(F.size(s) - F.lit(k) + 1, F.lit(1)), k)
+
+    ranks = (
+        df.select(*groups, entry.alias("_e"))
+        .filter(F.col("_e.o").isNotNull() & F.col("_e.i").isNotNull())
+        .groupBy(*groups, (F.pmod(F.xxhash64(F.col("_e.i")), F.lit(salts))).alias("_s"))
+        .agg(_top(F.collect_list("_e")).alias("_t"))
+        .groupBy(*groups)
+        .agg(_top(F.flatten(F.collect_list("_t"))).alias("_t"))
+        .select(F.explode("_t").alias("_e"))
+        .select(F.col("_e.i").alias("_win_id"))
+    )
+    return df.join(ranks, on=F.col(id_col) == F.col("_win_id"), how="left_semi")

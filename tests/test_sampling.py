@@ -516,3 +516,124 @@ class TestSampleExactK:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         with pytest.raises(ValueError, match="k must be"):
             sample_exact_k(docs, "doc_id", -1)
+
+
+class TestTopkPerGroup:
+    def test_matches_window_rule_desc_and_asc(self, spark, sf_dir):
+        from pyspark.sql import Window
+
+        from bloomjoin_spark.operators import topk_per_group
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        for desc, k in ((True, 7), (False, 5)):
+            got = {
+                r.doc_id
+                for r in topk_per_group(
+                    docs, "source", "n_chars", k, "doc_id",
+                    descending=desc, salts=3,
+                ).select("doc_id").collect()
+            }
+            o = (F.col("n_chars").desc(), F.col("doc_id").desc()) if desc \
+                else (F.col("n_chars").asc(), F.col("doc_id").asc())
+            want = {
+                r.doc_id
+                for r in docs.withColumn(
+                    "rn",
+                    F.row_number().over(Window.partitionBy("source").orderBy(*o)),
+                ).filter(F.col("rn") <= k).collect()
+            }
+            assert got == want and got
+
+    def test_small_groups_survive_whole(self, spark):
+        # groups smaller than k keep every row (the slice clamp): a
+        # 2-row group under k=5 must return both rows, not [].
+        from bloomjoin_spark.operators import topk_per_group
+
+        df = spark.createDataFrame(
+            [("a", 1, 10), ("a", 2, 20), ("b", 3, 5)], "g string, id int, q int"
+        )
+        out = topk_per_group(df, "g", "q", 5, "id")
+        assert out.count() == 3
+
+    def test_multi_group_cols_and_null_order_dropped(self, spark):
+        from bloomjoin_spark.operators import topk_per_group
+
+        df = spark.createDataFrame(
+            [("a", "x", 1, 10), ("a", "x", 2, None), ("a", "y", 3, 1),
+             ("b", "x", 4, 2), ("b", "x", 5, 2)],
+            "g1 string, g2 string, id int, q int",
+        )
+        got = {r.id for r in topk_per_group(
+            df, ["g1", "g2"], "q", 1, "id").collect()}
+        # null q never ranks; (b,x) tie on q=2 breaks by larger id.
+        assert got == {1, 3, 5}
+
+    def test_k_zero_and_validation(self, spark):
+        from bloomjoin_spark.operators import topk_per_group
+
+        df = spark.createDataFrame([("a", 1, 1)], "g string, id int, q int")
+        assert topk_per_group(df, "g", "q", 0, "id").count() == 0
+        with pytest.raises(ValueError, match="non-negative"):
+            topk_per_group(df, "g", "q", -1, "id")
+        with pytest.raises(ValueError, match="salts"):
+            topk_per_group(df, "g", "q", 1, "id", salts=0)
+
+    def test_salt_count_does_not_change_answer(self, spark, sf_dir):
+        from bloomjoin_spark.operators import topk_per_group
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        a = {r.doc_id for r in topk_per_group(
+            docs, "source", "n_chars", 4, "doc_id", salts=1)
+            .select("doc_id").collect()}
+        b = {r.doc_id for r in topk_per_group(
+            docs, "source", "n_chars", 4, "doc_id", salts=64)
+            .select("doc_id").collect()}
+        assert a == b
+
+
+class TestWeightedSampleExactK:
+    def test_exact_size_nested_and_deterministic(self, spark, sf_dir):
+        from bloomjoin_spark.operators import weighted_sample_exact_k
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        s50 = {r.doc_id for r in weighted_sample_exact_k(
+            docs, "doc_id", "n_chars", 50).select("doc_id").collect()}
+        s50b = {r.doc_id for r in weighted_sample_exact_k(
+            docs, "doc_id", "n_chars", 50).select("doc_id").collect()}
+        s100 = {r.doc_id for r in weighted_sample_exact_k(
+            docs, "doc_id", "n_chars", 100).select("doc_id").collect()}
+        assert len(s50) == 50 and s50 == s50b and s50 < s100
+        other = {r.doc_id for r in weighted_sample_exact_k(
+            docs, "doc_id", "n_chars", 50, salt="v2")
+            .select("doc_id").collect()}
+        assert other != s50
+
+    def test_weights_bias_inclusion(self, spark):
+        # two weight classes 100:1 — the heavy class must dominate the
+        # sample far beyond its 50% population share.
+        from bloomjoin_spark.operators import weighted_sample_exact_k
+
+        df = spark.createDataFrame(
+            [(i, 100.0 if i % 2 == 0 else 1.0) for i in range(2000)],
+            "id long, w double",
+        )
+        got = weighted_sample_exact_k(df, "id", "w", 200).collect()
+        heavy = sum(1 for r in got if r.id % 2 == 0)
+        assert len(got) == 200 and heavy > 180
+
+    def test_null_and_nonpositive_weights_dropped(self, spark):
+        from bloomjoin_spark.operators import weighted_sample_exact_k
+
+        df = spark.createDataFrame(
+            [(1, 1.0), (2, 0.0), (3, -5.0), (4, None), (None, 1.0)],
+            "id int, w double",
+        )
+        got = {r.id for r in weighted_sample_exact_k(df, "id", "w", 10).collect()}
+        assert got == {1}
+
+    def test_k_validation(self, spark):
+        from bloomjoin_spark.operators import weighted_sample_exact_k
+
+        df = spark.createDataFrame([(1, 1.0)], "id int, w double")
+        with pytest.raises(ValueError, match="non-negative"):
+            weighted_sample_exact_k(df, "id", "w", -1)
