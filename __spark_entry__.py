@@ -866,6 +866,23 @@ def _sample_exact_k_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_exact_k(docs, "doc_id", 500).select("doc_id", "source")
 
 
+def _dedup_lines_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repeated-unit removal (keep the first occurrence
+    in order) — one row-local codegen expression, no shuffle.  The test
+    corpus has no newlines, so the row runs the operator at word level
+    (sep=' '), which removes plenty; the DuckDB oracle recomputes the
+    identical first-occurrence rule and the rebuilt text."""
+    from bloomjoin_spark.operators.text import dedup_lines_within
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = dedup_lines_within(docs, sep=" ")
+    return out.select(
+        "doc_id",
+        F.col("n_removed_lines").cast("long").alias("n_removed"),
+        F.col("text").alias("clean_text"),
+    )
+
+
 def _topk_per_group_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group quota (at most k rows per group, best-ranked first) via
     the salted two-phase top-k — full rows never shuffle, no group ever
@@ -1822,6 +1839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stream_events": _session_stream_events,
         "sample_exact_k_docs": _sample_exact_k_docs,
         "topk_per_group_docs": _topk_per_group_docs,
+        "dedup_lines_docs": _dedup_lines_docs,
         "weighted_sample_docs": _weighted_sample_docs,
         "zorder_scan_events": _zorder_scan_events,
         "multimodal_meta": _multimodal_meta,
@@ -2691,6 +2709,25 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id IS NOT NULL
             ORDER BY md5('' || CAST(doc_id AS VARCHAR))
             LIMIT 500
+        """,
+        "dedup_lines_docs": """
+            WITH l AS (
+              SELECT doc_id, str_split(text, ' ') AS ls FROM documents
+            ),
+            pos AS (
+              SELECT doc_id, i, ls[i] AS tok,
+                     list_position(ls, ls[i]) AS fi
+              FROM l, UNNEST(generate_series(1, len(ls))) t(i)
+            ),
+            kept AS (
+              SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean,
+                     count(*) AS c
+              FROM pos WHERE fi = i GROUP BY doc_id
+            )
+            SELECT l.doc_id,
+                   (len(l.ls) - kept.c)::BIGINT AS n_removed,
+                   kept.clean AS clean_text
+            FROM l JOIN kept USING (doc_id)
         """,
         "topk_per_group_docs": """
             SELECT doc_id, source, n_chars FROM (

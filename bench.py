@@ -629,6 +629,15 @@ def run_headline(spark) -> dict[str, float]:
         lambda: weighted_sample_exact_k(docs, "doc_id", "n_chars", 500)
         .agg(F.count(F.lit(1)), F.sum("n_chars")).collect())
 
+    # --- round-5: within-document repeated-unit removal — one
+    # row-local codegen expression (split → index-aware filter →
+    # rejoin), no shuffle; word-level here (corpus has no newlines)
+    from bloomjoin_spark.operators import dedup_lines_within
+
+    qs["dedup_lines_docs"], _ = timed_min_q("dedup_lines_docs",
+        lambda: dedup_lines_within(docs.select("doc_id", "text"), sep=" ")
+        .agg(F.sum("n_removed_lines"), F.sum(F.length("text"))).collect())
+
     # --- round-5: temporal operators over the events table — both are
     # one-exchange window plans (docs/PLANS.md §17), so the cells pin
     # "window overhead ≈ the shuffle", not a join blow-up
@@ -843,6 +852,7 @@ QUERY_SHORT_KEYS = {
     "pipeline_docs": "pipe",
     "topk_per_group_docs": "tpg",
     "weighted_sample_docs": "wsk",
+    "dedup_lines_docs": "dlw",
     "theta_distinct_tokens": "the",
     "sessionize_events": "ses",
     "asof_join_events": "aoj",

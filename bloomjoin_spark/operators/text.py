@@ -418,3 +418,45 @@ def chunk_words(
         F.array_join("__cw_chunk", " ").alias("chunk_text"),
         F.size("__cw_chunk").alias("n_words"),
     )
+
+
+def dedup_lines_within(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+    sep: str = "\n",
+    count_col: str = "n_removed_lines",
+) -> DataFrame:
+    """Remove REPEATED lines within each document, keeping the first
+    occurrence in order — the within-document half of line dedup
+    (``remove_boilerplate_lines`` is the cross-document half): nav
+    menus pasted per section, chat headers, scraped pagination repeat
+    INSIDE a page and never reach ``min_docs`` across pages.  Standard
+    public-pipeline cleaning (duplicate-line removal à la
+    MassiveText/RefinedWeb repetition rules, here exact instead of
+    threshold-gated).
+
+    One row-local whole-stage-codegen expression — split, index-aware
+    ``filter`` keeping line *i* iff ``array_position`` says *i* is its
+    first occurrence, rejoin — no shuffle, no Python.
+    ``array_position`` inside ``filter`` is O(L²) in the document's
+    LINE count, all JVM-side; lines per document are bounded in
+    practice (a 10k-line document is 10⁸ comparisons — gate upstream
+    if your corpus has those).
+
+    Adds ``count_col`` (lines removed, computed pre-rewrite) and
+    rewrites ``text_col`` (or ``out_col``).  NULL text stays NULL with
+    a NULL count.  Empty lines dedup like any other line — blank-line
+    runs collapse to the first blank; pass a custom ``sep`` (a LITERAL
+    string — it is regex-escaped for the split) to change the line
+    rule."""
+    import re as _re
+
+    out_col = out_col or text_col
+    lines = F.split(F.col(text_col), _re.escape(sep))
+    kept = F.filter(
+        lines, lambda x, i: F.array_position(lines, x) == i + F.lit(1)
+    )
+    return df.withColumn(
+        count_col, (F.size(lines) - F.size(kept)).cast("int")
+    ).withColumn(out_col, F.array_join(kept, sep))

@@ -311,3 +311,57 @@ def test_quality_filter_does_not_clobber_caller_rule_columns(spark):
     out = quality_filter(df, min_words=20)
     assert out.columns == ["doc_id", "text", "passes_quality"]
     assert out.collect()[0]["passes_quality"] == "caller-owned"
+
+
+class TestDedupLinesWithin:
+    def test_first_occurrence_kept_in_order(self, spark):
+        from bloomjoin_spark.operators.text import dedup_lines_within
+
+        df = spark.createDataFrame(
+            [(1, "a\nb\na\nc\nb\nd"), (2, "x"), (3, None), (4, ""),
+             (5, "m\n\n\nm\nn")],
+            "id int, text string",
+        )
+        got = {r.id: (r.text, r.n_removed_lines)
+               for r in dedup_lines_within(df).collect()}
+        assert got[1] == ("a\nb\nc\nd", 2)
+        assert got[2] == ("x", 0)
+        assert got[3] == (None, None)       # NULL text stays NULL
+        assert got[4] == ("", 0)
+        assert got[5] == ("m\n\nn", 2)      # blank-run collapses too
+
+    def test_custom_sep_is_literal_not_regex(self, spark):
+        from bloomjoin_spark.operators.text import dedup_lines_within
+
+        # '|' and '.' are regex metachars; a raw split would explode
+        # every character.  sep must behave as a literal.
+        df = spark.createDataFrame([(1, "ab|cd|ab|ef")], "id int, text string")
+        r = dedup_lines_within(df, sep="|").collect()[0]
+        assert (r.text, r.n_removed_lines) == ("ab|cd|ef", 1)
+        df2 = spark.createDataFrame([(1, "a.b.a")], "id int, text string")
+        r2 = dedup_lines_within(df2, sep=".").collect()[0]
+        assert (r2.text, r2.n_removed_lines) == ("a.b", 1)
+
+    def test_out_col_preserves_original(self, spark):
+        from bloomjoin_spark.operators.text import dedup_lines_within
+
+        df = spark.createDataFrame([(1, "a a b")], "id int, text string")
+        r = dedup_lines_within(df, sep=" ", out_col="clean").collect()[0]
+        assert r.text == "a a b" and r.clean == "a b" and r.n_removed_lines == 1
+
+    def test_matches_python_brute_force_on_corpus(self, spark, sf_dir):
+        from bloomjoin_spark.operators.text import dedup_lines_within
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+        got = dedup_lines_within(
+            docs.select("doc_id", "text"), sep=" "
+        ).collect()
+        src = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+        for r in got:
+            ls = src[r.doc_id].split(" ")
+            seen: list[str] = []
+            for x in ls:
+                if x not in seen:
+                    seen.append(x)
+            assert r.text == " ".join(seen)
+            assert r.n_removed_lines == len(ls) - len(seen)
