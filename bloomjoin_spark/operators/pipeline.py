@@ -66,8 +66,14 @@ from .dedup import (
     ngram_jaccard_dedup,
     simhash_dedup,
 )
-from .sampling import hash_split, pack_sequences, weighted_mixture
-from .text import quality_filter, scrub_patterns
+from .sampling import (
+    hash_split,
+    pack_sequences,
+    sample_exact_k_per_group,
+    topk_per_group,
+    weighted_mixture,
+)
+from .text import dedup_lines_within, quality_filter, scrub_patterns
 
 __all__ = ["prepare_corpus", "PreparedCorpus"]
 
@@ -80,9 +86,11 @@ STAGE_ORDER = (
     "ngram_jaccard_dedup",
     "embedding_dedup",
     "decontaminate",
+    "dedup_lines_within",
     "remove_boilerplate_lines",
     "quality_filter",
     "scrub_patterns",
+    "group_quota",
     "weighted_mixture",
     "hash_split",
     "pack_sequences",
@@ -159,9 +167,11 @@ def prepare_corpus(
     embedding: Mapping | None = None,
     bench: DataFrame | None = None,
     decontam: Mapping | None = None,
+    line_dedup: Mapping | bool | None = None,
     boilerplate_min_docs: int | None = None,
     quality: Mapping | bool | None = None,
     scrub: Mapping | bool | None = None,
+    quota: Mapping | None = None,
     mixture: Mapping | None = None,
     split: Mapping | None = None,
     pack: Mapping | None = None,
@@ -204,12 +214,27 @@ def prepare_corpus(
       decontamination — giving ``bench`` enables the stage; token
       columns default to canonical word tokenization of ``text_col``
       on both sides (override for token-id corpora).
+    - ``line_dedup``: True or kwargs for ``dedup_lines_within`` —
+      within-document repeated-line removal (keep first occurrence);
+      runs BEFORE the cross-document boilerplate stage so a page's
+      internally-repeated banner is already collapsed when line
+      document-frequencies are counted.  The pipeline drops the count
+      column by default (lean schema); pass ``count_col=`` to keep it
+      under that name.
     - ``boilerplate_min_docs``: int — drop lines occurring in at least
       that many distinct docs, reassemble text in place.
     - ``quality``: True or kwargs for ``quality_filter`` thresholds.
     - ``scrub``: True or kwargs for ``scrub_patterns``; the pipeline
       default is ``with_counts=False`` (the lean schema a corpus
       pipeline wants; pass ``with_counts=True`` to keep the counts).
+    - ``quota``: kwargs — per-group cap BEFORE the mixture draw
+      (domain caps: "at most k docs per source").  Requires
+      ``group_cols`` and ``k``; with ``order_col`` (+ optional
+      ``descending``, default True) keeps the best-ranked k via
+      ``topk_per_group``, without it keeps a deterministic random k
+      via ``sample_exact_k_per_group`` (optional ``salt``).  Both
+      inherit the salted two-phase plan (optional ``salts``); the cap
+      keys on the pipeline ``id_col``.
     - ``mixture``: kwargs for ``weighted_mixture`` — requires
       ``rates``; ``stratum_col`` defaults to ``"source"``.
     - ``split``: kwargs for ``hash_split`` — requires ``fractions``;
@@ -311,6 +336,15 @@ def prepare_corpus(
         stages.append("decontaminate")
         reports["decontaminate"] = dc_report
 
+    if line_dedup is not None and line_dedup is not False:
+        kw = _as_kwargs(line_dedup, "line_dedup")
+        keep_count = "count_col" in kw
+        kw.setdefault("count_col", "_n_removed_lines")
+        out = dedup_lines_within(out, text_col=text_col, **kw)
+        if not keep_count:
+            out = out.drop("_n_removed_lines")
+        stages.append("dedup_lines_within")
+
     if boilerplate_min_docs is not None:
         out = remove_boilerplate_lines(
             out, text_col=text_col, id_col=id_col, min_docs=boilerplate_min_docs
@@ -327,6 +361,29 @@ def prepare_corpus(
         kw.setdefault("with_counts", False)
         out = scrub_patterns(out, text_col=text_col, **kw)
         stages.append("scrub_patterns")
+
+    if quota is not None:
+        kw = _as_mapping(quota, "quota", "group_cols")
+        if "k" not in kw:
+            raise ValueError("prepare_corpus: quota config requires 'k'")
+        group_cols = kw.pop("group_cols")
+        k = kw.pop("k")
+        order_col = kw.pop("order_col", None)
+        if order_col is not None:
+            if "salt" in kw:
+                raise ValueError(
+                    "prepare_corpus: quota 'salt' only applies to the "
+                    "random (no order_col) quota"
+                )
+            out = topk_per_group(out, group_cols, order_col, k, id_col, **kw)
+        else:
+            if "descending" in kw:
+                raise ValueError(
+                    "prepare_corpus: quota 'descending' requires "
+                    "'order_col' — the random quota has no order"
+                )
+            out = sample_exact_k_per_group(out, group_cols, id_col, k, **kw)
+        stages.append("group_quota")
 
     if mixture is not None:
         kw = _as_mapping(mixture, "mixture", "rates")

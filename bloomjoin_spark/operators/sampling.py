@@ -761,3 +761,30 @@ def topk_per_group(
         .select(F.col("_e.i").alias("_win_id"))
     )
     return df.join(ranks, on=F.col(id_col) == F.col("_win_id"), how="left_semi")
+
+
+def sample_exact_k_per_group(
+    df: DataFrame,
+    group_cols: str | list[str],
+    key_col: str,
+    k: int,
+    salt: str = "",
+    salts: int = 32,
+) -> DataFrame:
+    """Deterministic EXACTLY-k sample PER GROUP (at most k where the
+    group is smaller): ``sample_exact_k``'s md5-rank rule ranked within
+    each group — "5k random docs per language", "k eval docs per
+    source" — executed as ``topk_per_group`` over the portable rank,
+    so it inherits the salted two-phase plan (rows never shuffle, hot
+    groups never melt one reduce task) AND the engine-portable
+    determinism/nesting/salt contract of the global sampler.
+
+    NULL keys are dropped; ``key_col`` must be row-unique (both as the
+    rank domain and as the semi-join fan-back key)."""
+    rank = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    tagged = df.withColumn("_es_rank", rank)
+    out = topk_per_group(
+        tagged, group_cols, "_es_rank", k, key_col,
+        descending=False, salts=salts,
+    )
+    return out.drop("_es_rank")

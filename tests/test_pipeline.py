@@ -346,3 +346,78 @@ def test_history_dedup_kwargs_require_history(spark):
     batch = _docs(spark, [(1, "s0", "some text here")])
     with pytest.raises(ValueError, match="history"):
         prepare_corpus(batch, history_dedup={"fpp": 1e-3})
+
+
+def test_line_dedup_stage_runs_before_boilerplate(spark):
+    # doc 1 repeats the footer INTERNALLY twice; with only 2 docs and
+    # min_docs=2, the footer is boilerplate across docs.  line_dedup
+    # must collapse the internal repeat first (stage order), then
+    # boilerplate removes the surviving copy from both docs.
+    rows = [
+        (1, "web", f"{FOOTER}\nunique one two three\n{FOOTER}"),
+        (2, "web", f"other body words here\n{FOOTER}"),
+    ]
+    df = _docs(spark, rows)
+    res = prepare_corpus(
+        df, dedup_exact=False, line_dedup=True, boilerplate_min_docs=2
+    )
+    assert res.stages == ("dedup_lines_within", "remove_boilerplate_lines")
+    got = {r.doc_id: r.text for r in res.docs.collect()}
+    assert got[1] == "unique one two three" and got[2] == "other body words here"
+    # count column is dropped by default, kept on request under the name
+    assert "_n_removed_lines" not in res.docs.columns
+    res2 = prepare_corpus(
+        df, dedup_exact=False, line_dedup={"count_col": "n_line_dups"}
+    )
+    assert {r.doc_id: r.n_line_dups for r in res2.docs.collect()} == {1: 1, 2: 0}
+
+
+def test_quota_stage_caps_per_group(spark):
+    rows = [
+        (i, "web" if i < 20 else "books",
+         f"alpha{i} beta{i} gamma{i} delta{i} epsilon{i}")
+        for i in range(25)
+    ]
+    df = _docs(spark, rows)
+    # ranked quota: top 3 per source by doc_id
+    res = prepare_corpus(
+        df, dedup_exact=False,
+        quota={"group_cols": "source", "k": 3, "order_col": "doc_id"},
+    )
+    assert res.stages == ("group_quota",)
+    got = {r.doc_id for r in res.docs.collect()}
+    assert got == {17, 18, 19, 22, 23, 24}
+    # random quota: deterministic, exactly 3 per source, salt changes it
+    r1 = prepare_corpus(
+        df, dedup_exact=False, quota={"group_cols": "source", "k": 3},
+    ).docs
+    r2 = prepare_corpus(
+        df, dedup_exact=False, quota={"group_cols": "source", "k": 3},
+    ).docs
+    ids1 = sorted(r.doc_id for r in r1.collect())
+    assert ids1 == sorted(r.doc_id for r in r2.collect())
+    counts = {r.source: r.c for r in
+              r1.groupBy("source").agg(F.count("*").alias("c")).collect()}
+    assert counts == {"web": 3, "books": 3}
+    r3 = prepare_corpus(
+        df, dedup_exact=False,
+        quota={"group_cols": "source", "k": 3, "salt": "v2"},
+    ).docs
+    assert sorted(r.doc_id for r in r3.collect()) != ids1
+    # the temp rank column never leaks
+    assert "_es_rank" not in r1.columns
+
+
+def test_quota_config_validation(spark):
+    df = _docs(spark, [(1, "web", "a b c d e")])
+    with pytest.raises(ValueError, match="requires 'k'"):
+        prepare_corpus(df, quota={"group_cols": "source"})
+    with pytest.raises(ValueError, match="group_cols"):
+        prepare_corpus(df, quota={"k": 3})
+    with pytest.raises(ValueError, match="salt.*only applies"):
+        prepare_corpus(df, quota={
+            "group_cols": "source", "k": 1, "order_col": "doc_id",
+            "salt": "x"})
+    with pytest.raises(ValueError, match="descending.*requires"):
+        prepare_corpus(df, quota={
+            "group_cols": "source", "k": 1, "descending": False})
