@@ -637,3 +637,26 @@ class TestWeightedSampleExactK:
         df = spark.createDataFrame([(1, 1.0)], "id int, w double")
         with pytest.raises(ValueError, match="non-negative"):
             weighted_sample_exact_k(df, "id", "w", -1)
+
+
+def test_topk_per_group_plan_shape(spark, sf_dir):
+    """The scale contract of docs/PLANS.md §20: the rank branch scans
+    only (group, order, id) — payload columns never enter the rank
+    exchanges — and the winner-id fan-back is a BROADCAST semi join,
+    so corpus rows never shuffle at all."""
+    from bloomjoin_spark.operators import topk_per_group
+    from bloomjoin_spark.plans import plan_audit
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = topk_per_group(docs, "source", "n_chars", 7, "doc_id", salts=4)
+    out.count()  # settle AQE so join strategy/codegen are final
+    audit = plan_audit(out)
+
+    rank_scans = [
+        s for s in audit.scans
+        if set(s["read_schema_cols"]) == {"source", "n_chars", "doc_id"}
+    ]
+    assert rank_scans, f"rank branch not column-pruned: {audit.scans}"
+    assert audit.joins.get("BroadcastHashJoin", 0) >= 1, audit.joins
+    assert audit.joins.get("SortMergeJoin", 0) == 0, audit.joins
+    assert audit.n_row_python_udfs == 0 and not audit.python_operators
