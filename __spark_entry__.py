@@ -1769,6 +1769,43 @@ def _shuffled_ids_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "shuffle_rank")
 
 
+def _vocab_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 5: frequency-ranked vocabulary over the documents table —
+    word histogram → ROW_NUMBER() OVER (ORDER BY n DESC, word) ids,
+    contiguous from 1 (0 reserved for OOV), ranked WITHOUT a
+    single-partition window (operators/vocab.py build_vocab on
+    assign_contiguous_ids).  The DuckDB oracle recomputes the identical
+    rank rule value-for-value."""
+    from bloomjoin_spark.operators import build_vocab
+
+    docs = _t(spark, sf_dir, "documents")
+    return build_vocab(docs, min_count=2, num_partitions=8).orderBy(
+        "token_id"
+    )
+
+
+def _encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 5: encode every document as an ordered array of vocabulary
+    ids — the bridge from raw text to the north-rule pre-tokenized
+    shape (doc_id, tokens:array<int>, n_tok, source).  Words below
+    min_count become OOV id 0; empty docs keep empty arrays.  The
+    reassembly exchange carries only integer triples; the oracle
+    recomputes the vocabulary AND every per-document id sequence."""
+    from bloomjoin_spark.operators import build_vocab, encode_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = build_vocab(docs, min_count=2, num_partitions=8)
+    enc = encode_documents(docs, vocab)
+    return enc.select(
+        "doc_id",
+        "source",
+        F.array_join(
+            F.transform("tokens", lambda t: t.cast("string")), " "
+        ).alias("tokens_str"),
+        "n_tok",
+    ).orderBy("doc_id")
+
+
 def _span_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 5: cross-document duplicate token-SPAN removal (the
     exact-substring dedup tier, Lee et al. 2022) — word 6-grams shared
@@ -1793,6 +1830,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bloom_inner_join": _bloom_inner,
         "span_dedup_docs": _span_dedup_docs,
+        "vocab_docs": _vocab_docs,
+        "encode_docs": _encode_docs,
         "bloom_inner_join_auto_floor": _bloom_inner_auto_floor,
         "decontam_docs": _decontam_docs,
         "repetition_docs": _repetition_docs,
@@ -1897,6 +1936,59 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem l
             JOIN (SELECT p_partkey, p_name FROM part WHERE p_partkey % 10 = 0) p
               ON l.l_partkey = p.p_partkey
+        """,
+        "vocab_docs": r"""
+            WITH w AS (
+              SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+              FROM documents WHERE length(trim(text)) > 0
+            ),
+            h AS (
+              SELECT word, COUNT(*)::BIGINT AS n FROM w GROUP BY word
+              HAVING COUNT(*) >= 2
+            )
+            SELECT ROW_NUMBER() OVER (ORDER BY n DESC, word) AS token_id,
+                   word, n
+            FROM h
+            ORDER BY token_id
+        """,
+        "encode_docs": r"""
+            WITH wl AS (
+              SELECT doc_id, source,
+                     CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                          ELSE string_split_regex(trim(text), '\s+') END AS ws
+              FROM documents
+            ),
+            h AS (
+              SELECT word, COUNT(*)::BIGINT AS n
+              FROM (SELECT unnest(ws) AS word FROM wl) GROUP BY word
+              HAVING COUNT(*) >= 2
+            ),
+            v AS (
+              SELECT ROW_NUMBER() OVER (ORDER BY n DESC, word) AS token_id,
+                     word
+              FROM h
+            ),
+            e AS (
+              SELECT wl.doc_id, i AS pos, ws[i] AS word
+              FROM wl, UNNEST(generate_series(1, len(ws))) t(i)
+            ),
+            j AS (
+              SELECT e.doc_id, e.pos,
+                     COALESCE(v.token_id, 0) AS tid
+              FROM e LEFT JOIN v USING (word)
+            ),
+            agg AS (
+              SELECT doc_id,
+                     string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY pos)
+                       AS tokens_str,
+                     COUNT(*)::BIGINT AS n_tok
+              FROM j GROUP BY doc_id
+            )
+            SELECT d.doc_id, d.source,
+                   COALESCE(agg.tokens_str, '') AS tokens_str,
+                   COALESCE(agg.n_tok, 0)::INT AS n_tok
+            FROM documents d LEFT JOIN agg USING (doc_id)
+            ORDER BY d.doc_id
         """,
         "span_dedup_docs": r"""
             WITH words AS (
