@@ -1769,6 +1769,20 @@ def _shuffled_ids_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "shuffle_rank")
 
 
+def _length_buckets_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 5: equi-depth quartile binning of documents by length —
+    exact-percentile cutoffs (Hive rule pos = p*(n-1), linear
+    interpolation) then ONE stateless codegen assignment; ties land in
+    the lower bucket, k=4 keeps every p exactly binary-representable so
+    the DuckDB oracle's manual interpolation is bit-identical
+    (operators/sampling.py quantile_buckets; KLL is the declared
+    100 TB path for continuous domains)."""
+    from bloomjoin_spark.operators import quantile_buckets
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return quantile_buckets(docs, "n_chars", k=4).orderBy("doc_id")
+
+
 def _vocab_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 5: frequency-ranked vocabulary over the documents table —
     word histogram → ROW_NUMBER() OVER (ORDER BY n DESC, word) ids,
@@ -1832,6 +1846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup_docs": _span_dedup_docs,
         "vocab_docs": _vocab_docs,
         "encode_docs": _encode_docs,
+        "length_buckets_docs": _length_buckets_docs,
         "bloom_inner_join_auto_floor": _bloom_inner_auto_floor,
         "decontam_docs": _decontam_docs,
         "repetition_docs": _repetition_docs,
@@ -1936,6 +1951,31 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem l
             JOIN (SELECT p_partkey, p_name FROM part WHERE p_partkey % 10 = 0) p
               ON l.l_partkey = p.p_partkey
+        """,
+        "length_buckets_docs": r"""
+            WITH n AS (SELECT COUNT(*)::BIGINT AS c FROM documents),
+            o AS (
+              SELECT n_chars,
+                     ROW_NUMBER() OVER (ORDER BY n_chars) - 1 AS r
+              FROM documents
+            ),
+            cut AS (
+              SELECT i, (i / 4.0) * (c - 1) AS idx
+              FROM UNNEST([1, 2, 3]) t(i), n
+            ),
+            cv AS (
+              SELECT lo.n_chars
+                     + (hi.n_chars - lo.n_chars) * (cut.idx - FLOOR(cut.idx))
+                       AS cutoff
+              FROM cut
+              JOIN o lo ON lo.r = CAST(FLOOR(cut.idx) AS BIGINT)
+              JOIN o hi ON hi.r = CAST(CEIL(cut.idx) AS BIGINT)
+            )
+            SELECT d.doc_id, d.n_chars,
+                   (SELECT COUNT(*) FROM cv WHERE d.n_chars > cv.cutoff)::INT
+                     AS bucket
+            FROM documents d
+            ORDER BY d.doc_id
         """,
         "vocab_docs": r"""
             WITH w AS (

@@ -582,6 +582,17 @@ def run_headline(spark) -> dict[str, float]:
     qs["profile_docs"], _ = timed_min_q("profile_docs",
         lambda: profile_table(docs).count()
     )
+    # vocabulary build + full-corpus encoding to the pre-tokenized
+    # shape: histogram shuffle (map-side combined), range-sort rank
+    # pass, AQE vocab join, int-triple reassembly exchange — the cell
+    # times the whole documents→(doc_id, tokens, n_tok) bridge
+    from bloomjoin_spark.operators import build_vocab, encode_documents
+
+    qs["encode_docs"], _ = timed_min_q("encode_docs",
+        lambda: encode_documents(
+            docs, build_vocab(docs, min_count=2)
+        ).agg(F.sum("n_tok"), F.count(F.lit(1))).first()
+    )
     # cross-doc duplicate SPAN removal (exact-substring dedup tier):
     # the count shuffle moves (hash, doc) pairs, locate+verify volume
     # is ∝ the planted duplication — the cell times the whole
@@ -848,6 +859,7 @@ QUERY_SHORT_KEYS = {
     "bigram_score_docs": "bg2",
     "trigram_score_docs": "bg3",
     "profile_docs": "prf",
+    "encode_docs": "enc",
     "span_dedup_docs": "spd",
     "pipeline_docs": "pipe",
     "topk_per_group_docs": "tpg",

@@ -788,3 +788,74 @@ def sample_exact_k_per_group(
         descending=False, salts=salts,
     )
     return out.drop("_es_rank")
+
+
+def quantile_cutoffs(
+    df: DataFrame,
+    col: str,
+    k: int,
+    method: str = "exact",
+    kll_k: int = 200,
+) -> list[float]:
+    """The ``k-1`` equi-depth cutoffs of ``df[col]`` at quantiles
+    ``i/k`` (``i = 1..k-1``).
+
+    ``method="exact"`` uses Spark's exact ``percentile`` aggregate
+    (Hive rule: ``pos = p·(n-1)``, linear interpolation) — the
+    engine-portable rule the DuckDB oracle recomputes value-for-value.
+    Its per-partition buffer is a counts map over DISTINCT values, so
+    it is exact-and-cheap for bounded domains (lengths, token counts)
+    but not for continuous doubles at 100 TB.
+
+    ``method="kll"`` is the declared scale path: one mergeable
+    KLL-sketch build (``aggregate.build_sketch`` — Arrow partials,
+    tree merge, published rank-error bound), constant memory per
+    partition regardless of the value domain.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    ps = [i / k for i in range(1, k)]
+    if method == "exact":
+        row = df.agg(F.percentile(F.col(col), F.lit(ps)).alias("q")).first()
+        return [float(v) for v in row["q"]]
+    if method == "kll":
+        from ..aggregate import build_sketch
+        from ..sketches import KllSketch
+
+        sk = build_sketch(df, lambda: KllSketch(kll_k), cols=col).sketch
+        return [float(sk.quantile(p)) for p in ps]
+    raise ValueError(f"method must be 'exact' or 'kll', got {method!r}")
+
+
+def quantile_buckets(
+    df: DataFrame,
+    col: str,
+    k: int | None = None,
+    method: str = "exact",
+    cutoffs: list[float] | None = None,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Equi-depth bucket id per row: ``out_col`` = number of cutoffs
+    strictly below ``col`` (0-based; ties land in the LOWER bucket;
+    NULL values get a NULL bucket).  Curriculum binning, length-
+    stratified mixtures, skew-aware salting all start here.
+
+    Two jobs total: the cutoff aggregate (see
+    :func:`quantile_cutoffs`), then ONE stateless codegen projection —
+    the cutoff array is a ``k-1`` element literal, so assignment adds
+    no shuffle and no Python.  Pass precomputed ``cutoffs`` to skip
+    the first job entirely (e.g. bucket a 100 TB corpus by cutoffs
+    measured on one day's partition).
+    """
+    if out_col in df.columns:
+        raise ValueError(f"out_col {out_col!r} already exists")
+    if cutoffs is None:
+        if k is None:
+            raise ValueError("pass k or precomputed cutoffs")
+        cutoffs = quantile_cutoffs(df, col, k, method=method)
+    arr = F.array(*[F.lit(float(c)) for c in cutoffs])
+    v = F.col(col).cast("double")
+    bucket = F.size(F.filter(arr, lambda c: v > c))
+    return df.withColumn(
+        out_col, F.when(v.isNotNull(), bucket).cast("int")
+    )

@@ -660,3 +660,65 @@ def test_topk_per_group_plan_shape(spark, sf_dir):
     assert audit.joins.get("BroadcastHashJoin", 0) >= 1, audit.joins
     assert audit.joins.get("SortMergeJoin", 0) == 0, audit.joins
     assert audit.n_row_python_udfs == 0 and not audit.python_operators
+
+
+class TestQuantileBuckets:
+    """Equi-depth bucketing: exact-percentile rule, KLL scale path."""
+
+    def test_equi_depth_and_rule(self, spark):
+        from bloomjoin_spark.operators import quantile_buckets
+
+        df = spark.range(1000).withColumn("v", F.col("id").cast("double"))
+        out = quantile_buckets(df, "v", k=4)
+        sizes = {r["bucket"]: r["n"] for r in
+                 out.groupBy("bucket").agg(F.count("*").alias("n")).collect()}
+        assert set(sizes) == {0, 1, 2, 3}
+        assert max(sizes.values()) - min(sizes.values()) <= 1
+        # rule check: cutoff q1 of 0..999 is 249.75 → 249 in bucket 0,
+        # 250 in bucket 1
+        rows = {r["id"]: r["bucket"] for r in out.collect()}
+        assert rows[249] == 0 and rows[250] == 1
+
+    def test_tie_goes_lower_and_null_is_null(self, spark):
+        from bloomjoin_spark.operators import quantile_buckets
+
+        df = spark.createDataFrame(
+            [(1, 5.0), (2, 10.0), (3, None)], "id long, v double"
+        )
+        out = {r["id"]: r["bucket"]
+               for r in quantile_buckets(df, "v", cutoffs=[5.0]).collect()}
+        assert out[1] == 0  # equal to the cutoff → lower bucket
+        assert out[2] == 1
+        assert out[3] is None
+
+    def test_kll_close_to_exact(self, spark):
+        from bloomjoin_spark.operators import quantile_cutoffs
+
+        df = spark.range(20000).withColumn(
+            "v", (F.col("id") % 997).cast("double")
+        )
+        exact = quantile_cutoffs(df, "v", k=4, method="exact")
+        kll = quantile_cutoffs(df, "v", k=4, method="kll")
+        for e, s in zip(exact, kll):
+            assert abs(e - s) <= 0.05 * 997  # KLL(200) rank error ~1.3%
+
+    def test_validation(self, spark):
+        from bloomjoin_spark.operators import quantile_buckets, quantile_cutoffs
+
+        df = spark.range(10).withColumn("v", F.col("id").cast("double"))
+        with pytest.raises(ValueError):
+            quantile_cutoffs(df, "v", k=1)
+        with pytest.raises(ValueError):
+            quantile_cutoffs(df, "v", k=4, method="nope")
+        with pytest.raises(ValueError):
+            quantile_buckets(df, "v")  # neither k nor cutoffs
+        with pytest.raises(ValueError):
+            quantile_buckets(df.withColumn("bucket", F.lit(1)), "v", k=2)
+
+    def test_assignment_is_codegen_no_shuffle(self, spark):
+        from bloomjoin_spark.operators import quantile_buckets
+
+        df = spark.range(100).withColumn("v", F.col("id").cast("double"))
+        out = quantile_buckets(df, "v", cutoffs=[25.0, 50.0, 75.0])
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "EvalPython" not in plan
