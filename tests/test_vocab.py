@@ -121,3 +121,38 @@ class TestEncodeDocuments:
             F.size(words_col(F.col("text"))).alias("s")
         ).agg(F.sum("s")).first()[0]
         assert n_enc == n_words
+
+
+class TestEncodeFeedsDownstream:
+    """Cross-operator contract: encode_documents output IS the
+    pre-tokenized shape pack_sequences and the token sketches consume."""
+
+    def test_encode_then_pack_conserves_tokens(self, spark, sf_dir):
+        from bloomjoin_spark.operators import (
+            build_vocab,
+            encode_documents,
+            pack_sequences,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        enc = encode_documents(docs, build_vocab(docs, min_count=2))
+        packs = pack_sequences(enc, max_tokens=512, tokens_col="tokens")
+        total_enc = enc.agg(F.sum("n_tok")).first()[0]
+        total_pck = packs.agg(F.sum("n_tokens")).first()[0]
+        assert total_pck == total_enc
+        assert packs.agg(F.max("n_tokens")).first()[0] <= 512
+
+    def test_encode_feeds_token_sketches(self, spark, sf_dir):
+        from bloomjoin_spark.aggregate import build_sketch
+        from bloomjoin_spark.operators import build_vocab, encode_documents
+        from bloomjoin_spark.sketches import HllSketch
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        enc = encode_documents(docs, build_vocab(docs, min_count=2))
+        hll = build_sketch(
+            enc, lambda: HllSketch(12), token_col="tokens"
+        ).sketch
+        exact = (
+            enc.select(F.explode("tokens").alias("t")).distinct().count()
+        )
+        assert abs(hll.estimate() - exact) <= 0.05 * exact + 3
