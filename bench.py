@@ -593,6 +593,14 @@ def run_headline(spark) -> dict[str, float]:
             docs, build_vocab(docs, min_count=2)
         ).agg(F.sum("n_tok"), F.count(F.lit(1))).first()
     )
+    # equi-depth binning: exact-percentile cutoff agg + one codegen
+    # assignment pass (no shuffle in the second job)
+    from bloomjoin_spark.operators import quantile_buckets
+
+    qs["length_buckets_docs"], _ = timed_min_q("length_buckets_docs",
+        lambda: quantile_buckets(docs, "n_chars", k=8)
+        .groupBy("bucket").count().count()
+    )
     # cross-doc duplicate SPAN removal (exact-substring dedup tier):
     # the count shuffle moves (hash, doc) pairs, locate+verify volume
     # is ∝ the planted duplication — the cell times the whole
@@ -860,6 +868,7 @@ QUERY_SHORT_KEYS = {
     "trigram_score_docs": "bg3",
     "profile_docs": "prf",
     "encode_docs": "enc",
+    "length_buckets_docs": "lqb",
     "span_dedup_docs": "spd",
     "pipeline_docs": "pipe",
     "topk_per_group_docs": "tpg",
