@@ -93,6 +93,7 @@ STAGE_ORDER = (
     "group_quota",
     "weighted_mixture",
     "hash_split",
+    "encode_documents",
     "pack_sequences",
 )
 
@@ -125,6 +126,9 @@ class PreparedCorpus:
     # hash=False keeps frozen-dataclass instances hashable (a dict
     # field would otherwise poison the auto-generated __hash__)
     reports: dict = field(default_factory=dict, hash=False)
+    #: the vocabulary frame when the encode stage ran (built here or
+    #: passed in via ``encode={"vocab": ...}``), else None
+    vocab: DataFrame | None = None
 
 
 def _as_kwargs(cfg, stage: str) -> dict:
@@ -174,6 +178,7 @@ def prepare_corpus(
     quota: Mapping | None = None,
     mixture: Mapping | None = None,
     split: Mapping | None = None,
+    encode: Mapping | bool | None = None,
     pack: Mapping | None = None,
 ) -> PreparedCorpus:
     """Run the composed corpus-preparation pipeline; stages are opted
@@ -239,9 +244,19 @@ def prepare_corpus(
       ``rates``; ``stratum_col`` defaults to ``"source"``.
     - ``split``: kwargs for ``hash_split`` — requires ``fractions``;
       the label column defaults to ``"split"``.
+    - ``encode``: True or kwargs — tokenize the surviving corpus into
+      the pre-tokenized ``(id, ..., tokens:array<int>, n_tok)`` shape
+      (``operators.vocab``): vocabulary-build kwargs (``min_count``,
+      ``max_size``, ``num_partitions``) OR a prebuilt ``vocab=`` frame
+      (mutually exclusive), plus ``encode_documents`` kwargs
+      (``drop_oov``, ``oov_id``).  Runs after the split so the label
+      rides through; the built (or passed) vocabulary lands on
+      ``PreparedCorpus.vocab`` for reuse on later ingests.  The text
+      column is consumed by this stage.
     - ``pack``: kwargs for ``pack_sequences`` — requires
       ``max_tokens``; one of ``count_col``/``tokens_col``/``text_col``
-      selects the token source (default: pipeline ``text_col``).
+      selects the token source (default: the encode stage's
+      ``tokens`` array when encoding ran, else pipeline ``text_col``).
       ``use_split`` names the split label to pack (default
       ``"train"`` when the split stage ran — packs never mix splits);
       pass ``use_split=None`` to pack every surviving doc.
@@ -402,6 +417,39 @@ def prepare_corpus(
         out = hash_split(out, id_col, fractions, **kw)
         stages.append("hash_split")
 
+    vocab_df = None
+    encoded = False
+    if encode is not None and encode is not False:
+        from .vocab import build_vocab, encode_documents
+
+        kw = _as_kwargs(encode, "encode")
+        vocab_df = kw.pop("vocab", None)
+        vb = {
+            k: kw.pop(k)
+            for k in ("min_count", "max_size", "num_partitions")
+            if k in kw
+        }
+        if vocab_df is None:
+            # vocabulary built on the SURVIVING corpus: rare-word
+            # thresholds then mean what they say about the data that
+            # will actually train
+            vocab_df = build_vocab(out, text_col=text_col, **vb)
+        elif vb:
+            raise ValueError(
+                "prepare_corpus: encode config has both 'vocab' and "
+                "vocabulary-build kwargs "
+                f"({sorted(vb)}) — a passed vocab is used as-is"
+            )
+        # text is consumed here; every other surviving column (split
+        # label, source, mixture columns) rides through the encode
+        carry = [c for c in out.columns if c not in (id_col, text_col)]
+        out = encode_documents(
+            out, vocab_df, text_col=text_col, id_col=id_col,
+            carry_cols=carry, **kw,
+        )
+        stages.append("encode_documents")
+        encoded = True
+
     packs = None
     if pack is not None:
         kw = _as_mapping(pack, "pack", "max_tokens")
@@ -426,11 +474,17 @@ def prepare_corpus(
                 )
             to_pack = out.where(F.col(split_out_col) == F.lit(use_split))
         if not any(k in kw for k in ("count_col", "tokens_col", "text_col")):
-            kw["text_col"] = text_col
+            # encoded corpora pack their token-id arrays (packs carry
+            # the concatenated ids); raw corpora pack by text
+            if encoded:
+                kw["tokens_col"] = "tokens"
+            else:
+                kw["text_col"] = text_col
         kw.setdefault("id_col", id_col)
         packs = pack_sequences(to_pack, max_tokens, **kw)
         stages.append("pack_sequences")
 
     return PreparedCorpus(
-        docs=out, packs=packs, stages=tuple(stages), reports=reports
+        docs=out, packs=packs, stages=tuple(stages), reports=reports,
+        vocab=vocab_df,
     )

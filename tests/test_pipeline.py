@@ -421,3 +421,57 @@ def test_quota_config_validation(spark):
     with pytest.raises(ValueError, match="descending.*requires"):
         prepare_corpus(df, quota={
             "group_cols": "source", "k": 1, "descending": False})
+
+
+def test_encode_stage_tokenizes_and_packs_ids(spark):
+    from pyspark.sql import functions as F
+
+    rows = [(i, "web", f"alpha beta gamma doc{i}") for i in range(20)]
+    docs = _docs(spark, rows)
+    res = prepare_corpus(
+        docs,
+        dedup_exact=False,
+        split={"fractions": {"train": 1.0}},
+        encode={"min_count": 2},
+        pack={"max_tokens": 8},
+    )
+    assert res.stages == ("hash_split", "encode_documents", "pack_sequences")
+    # split label rides through the encode; text is consumed
+    assert set(res.docs.columns) == {"doc_id", "source", "split", "tokens", "n_tok"}
+    assert res.vocab is not None
+    vocab = {r["word"]: r["token_id"] for r in res.vocab.collect()}
+    assert set(vocab) == {"alpha", "beta", "gamma"}  # doc{i} are count-1
+    enc = {r["doc_id"]: r["tokens"] for r in res.docs.collect()}
+    assert len(enc) == 20
+    assert enc[3] == [vocab["alpha"], vocab["beta"], vocab["gamma"], 0]
+    # packs carry concatenated token ids, conserving every token
+    total_packed = res.packs.agg(F.sum("n_tokens")).first()[0]
+    total_docs = res.docs.agg(F.sum("n_tok")).first()[0]
+    assert total_packed == total_docs == 80
+    assert res.packs.agg(F.max("n_tokens")).first()[0] <= 8
+    first_pack_tokens = res.packs.select("tokens").first()[0]
+    assert all(isinstance(t, int) for t in first_pack_tokens)
+
+
+def test_encode_stage_reuses_passed_vocab(spark):
+    from bloomjoin_spark.operators import build_vocab
+
+    day1 = _docs(spark, [(1, "web", "aa bb aa"), (2, "web", "aa cc")])
+    vocab = build_vocab(day1, min_count=1)
+    day2 = _docs(spark, [(3, "web", "aa dd")])
+    res = prepare_corpus(day2, dedup_exact=False, encode={"vocab": vocab})
+    row = res.docs.first()
+    v = {r["word"]: r["token_id"] for r in vocab.collect()}
+    assert row["tokens"] == [v["aa"], 0]  # dd is OOV under day1's vocab
+    assert res.vocab is vocab
+
+
+def test_encode_config_validation(spark):
+    from bloomjoin_spark.operators import build_vocab
+
+    docs = _docs(spark, [(1, "web", "a b c")])
+    with pytest.raises(ValueError, match="vocab"):
+        prepare_corpus(
+            docs,
+            encode={"vocab": build_vocab(docs), "min_count": 2},
+        )
