@@ -1408,6 +1408,61 @@ def _hll_distinct_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sketch_store_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 5: persistent sketch store (`store.py`) — the corpus is
+    ingested as TWO disjoint snapshots (n_chars parity), each appended
+    as KB-scale per-(source, partition) HLL partials; per-source
+    estimates then come from stored blobs only, with no rescan of
+    either snapshot's rows.  Pins (a) merge associativity across the
+    durable boundary: the blob-only estimate EXACTLY equals a one-shot
+    grouped build over the union (HLL registers are order-free maxes),
+    and (b) the published error bound vs exact per-source distincts."""
+    import hashlib
+
+    from bloomjoin_spark import (
+        HllSketch,
+        append_sketch_snapshot,
+        grouped_sketch_estimates,
+        read_sketch_store,
+        store_estimates,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    path = "/tmp/bj_store_oracle_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    fac = lambda: HllSketch(13)  # noqa: E731
+    for snap, par in (("day1", 0), ("day2", 1)):
+        half = docs.where(F.pmod(F.col("n_chars"), F.lit(2)) == par)
+        append_sketch_snapshot(
+            half, fac, path, snap, group_col="source", cols=["doc_id"]
+        )
+    store = read_sketch_store(spark, path)
+    est = store_estimates(store, "source").withColumnRenamed("n_rows", "store_rows")
+    oneshot = grouped_sketch_estimates(docs, fac, "source", cols=["doc_id"]).select(
+        "source", F.col("estimate").alias("oneshot_estimate")
+    )
+    exact = docs.groupBy("source").agg(
+        F.count_distinct("doc_id").alias("exact_distinct"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    rel = 1.04 / (2 ** (13 / 2))
+    return (
+        est.join(oneshot, "source")
+        .join(exact, "source")
+        .select(
+            "source",
+            "exact_distinct",
+            "n_rows",
+            (F.col("store_rows") == F.col("n_rows")).alias("rows_accounted"),
+            (F.col("estimate") == F.col("oneshot_estimate")).alias("matches_oneshot"),
+            (
+                F.abs(F.col("estimate") - F.col("exact_distinct"))
+                / F.greatest(F.col("exact_distinct"), F.lit(1))
+                <= 4 * rel
+            ).alias("within_bound"),
+        )
+    )
+
+
 def _theta_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 5: theta (KMV) sketch set algebra — the distinct-count
     capability HLL lacks.  Per-source theta sketches over the distinct
@@ -1900,6 +1955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_windowed_counts": _streaming_windowed_counts,
         "streaming_bloom_join": _streaming_bloom_join,
         "hll_distinct_by_source": _hll_distinct_by_source,
+        "sketch_store_incremental": _sketch_store_incremental,
         "theta_source_overlap": _theta_source_overlap,
         "source_overlap_matrix_docs": _source_overlap_matrix_docs,
         "stateful_hll_stream": _stateful_hll_stream,
@@ -2929,6 +2985,12 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct_by_source": """
             SELECT source, count(DISTINCT doc_id) AS exact_distinct,
                    count(*) AS n_rows, TRUE AS within_bound
+            FROM documents GROUP BY source
+        """,
+        "sketch_store_incremental": """
+            SELECT source, count(DISTINCT doc_id) AS exact_distinct,
+                   count(*) AS n_rows, TRUE AS rows_accounted,
+                   TRUE AS matches_oneshot, TRUE AS within_bound
             FROM documents GROUP BY source
         """,
         "stateful_hll_stream": """

@@ -23,6 +23,12 @@ from .operators import (
     prepare_corpus,
 )
 from .plans import BloomJoinReport
+from .store import (
+    append_sketch_snapshot,
+    read_sketch_store,
+    store_estimates,
+    store_sketch,
+)
 from .sketches import (
     BloomSketch,
     CmsSketch,
@@ -63,4 +69,8 @@ __all__ = [
     "build_sketches",
     "grouped_sketch_estimates",
     "cms_params",
+    "append_sketch_snapshot",
+    "read_sketch_store",
+    "store_estimates",
+    "store_sketch",
 ]

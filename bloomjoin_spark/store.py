@@ -1,0 +1,154 @@
+"""Persistent sketch store: append-only per-snapshot sketch partials.
+
+The 100 TB monitoring problem: distinct-doc / frequency / quantile
+estimates over an ever-GROWING corpus must not rescan history on every
+refresh.  The store keeps the corpus as KB-scale mergeable sketch
+blobs, partitioned by ingest snapshot: each ingest scans ONLY its new
+rows and appends one partial row per (group, input partition); reading
+an estimate merges blobs (associative + commutative, any order — the
+same merge contract every sketch in this suite is property-tested
+under), never raw data.  A year of daily ingests over 100 TB is a few
+MB of parquet, and "distinct doc_ids per source, ever" is a
+blob-only aggregation.
+
+This is the reference's two-phase build (`src/bloom_interface.cpp`
+partial→merge) made durable: the stored rows ARE the per-partition
+lineage the north rule asks for — (snapshot, partition_id,
+fingerprint) identifies exactly what was ingested, and a killed or
+re-run ingest replaces ONLY its own snapshot partition (dynamic
+partition overwrite), so retries are idempotent and history is never
+touched.
+
+Hash-format safety: every row is stamped with ``hashing.HASH_FORMAT``.
+A store written under an older hash domain refuses to merge with
+current-version partials (mixed domains silently corrupt HLL / Bloom
+membership — the checkpoint marker closed this for transient
+checkpoints; the stamp column closes it for durable stores, and being
+per-row it survives partial appends from mixed library versions).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .aggregate import (
+    PARTIAL_SCHEMA,
+    grouped_sketch_partials,
+    sketch_partials,
+    tree_merge,
+)
+from .hashing import HASH_FORMAT
+from .sketches import Sketch
+
+#: store columns beyond the partial payload
+_META_COLS = ("snapshot", "hash_format")
+
+
+def append_sketch_snapshot(
+    df: DataFrame,
+    factory: Callable[[], Sketch],
+    path: str,
+    snapshot: str,
+    group_col: str | None = None,
+    cols: list[str] | str | None = None,
+    token_col: str | None = None,
+) -> None:
+    """Scan ``df`` (the NEW rows only — never re-feed history) into
+    sketch partials and write them under ``path`` as the ``snapshot``
+    partition.  One partial row per (group,) input partition; with no
+    ``group_col`` the store is global.
+
+    Idempotent per snapshot: dynamic partition overwrite replaces only
+    ``snapshot=<snapshot>``, so a killed ingest is safely re-run and a
+    corrected ingest is safely re-written, without touching any other
+    snapshot's rows.  Different snapshots may use different group
+    columns ONLY if the caller keeps them consistent — the reader
+    validates the schema union."""
+    if group_col is None:
+        partials = sketch_partials(df, factory, cols, token_col)
+    else:
+        partials = grouped_sketch_partials(df, factory, group_col, cols, token_col)
+    out = partials.withColumn("snapshot", F.lit(snapshot)).withColumn(
+        "hash_format", F.lit(int(HASH_FORMAT))
+    )
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("snapshot")
+        .parquet(path)
+    )
+
+
+def read_sketch_store(
+    spark: SparkSession, path: str, snapshots: list[str] | None = None
+) -> DataFrame:
+    """Load store partials, refusing mixed or foreign hash domains.
+
+    The distinct-format check aggregates to at most a handful of rows
+    (one per library version ever used), so the collect is bounded by
+    construction, not by data size."""
+    df = spark.read.parquet(path)
+    if snapshots is not None:
+        df = df.where(F.col("snapshot").isin(list(snapshots)))
+    fmts = sorted(
+        r["hash_format"]
+        for r in df.select("hash_format").distinct().collect()
+    )
+    if fmts and fmts != [HASH_FORMAT]:
+        raise ValueError(
+            f"sketch store {path!r} holds hash format(s) {fmts}, this "
+            f"library hashes format {HASH_FORMAT}: merging mixed domains "
+            "would silently corrupt estimates. Rebuild the store (re-run "
+            "append_sketch_snapshot per snapshot) under one version."
+        )
+    return df
+
+
+def store_estimates(
+    store: DataFrame,
+    group_col: str,
+    extract: Callable[[Sketch], float] | None = None,
+) -> DataFrame:
+    """Per-group estimates from stored blobs only: one shuffle of the
+    KB-scale partials, an ``applyInPandas`` merge per group — history
+    is never rescanned and per-group sketches never reach the driver
+    (group cardinality may be millions at 100 TB).  Output:
+    (group_col, estimate, n_rows) with n_rows the exact ingested total
+    across snapshots."""
+    gtype = dict(store.dtypes)[group_col]
+    out_schema = f"`{group_col}` {gtype}, estimate double, n_rows long"
+
+    def merge_fn(key, pdf):  # (key, pdf) form; hints confuse eval-type inference
+        acc: Sketch | None = None
+        for b in pdf["blob"]:
+            s = Sketch.from_bytes(bytes(b))
+            acc = s if acc is None else acc.merge(s)
+        if extract is not None:
+            est = extract(acc)
+        elif hasattr(acc, "estimate"):
+            est = acc.estimate()
+        else:
+            est = float(getattr(acc, "total", 0.0))
+        return pd.DataFrame(
+            {
+                group_col: [key[0]],
+                "estimate": [float(est)],
+                "n_rows": [int(pdf["n_rows"].sum())],
+            }
+        )
+
+    cols = [group_col, "n_rows", "blob"]
+    return store.select(*cols).groupBy(group_col).applyInPandas(merge_fn, out_schema)
+
+
+def store_sketch(store: DataFrame, fanin: int = 64) -> Sketch:
+    """Merge an (ungrouped) store into one Sketch via the distributed
+    tree merge — same fan-in-bounded reduction as ``build_sketch``, so
+    a store of any size merges without a driver-side fan-in."""
+    partial_cols = [c.split(" ")[0] for c in PARTIAL_SCHEMA.split(", ")]
+    sketch, _, _, _ = tree_merge(store.select(*partial_cols), fanin)
+    return sketch

@@ -1,0 +1,128 @@
+"""Persistent sketch store tests: incremental append, blob-only
+estimates, idempotent snapshot replacement, hash-domain guard."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bloomjoin_spark import HllSketch
+from bloomjoin_spark.store import (
+    append_sketch_snapshot,
+    read_sketch_store,
+    store_estimates,
+    store_sketch,
+)
+
+
+def _docs(spark, lo, hi, nparts=4):
+    return (
+        spark.range(lo, hi)
+        .repartition(nparts)
+        .select(
+            F.concat(F.lit("d"), F.col("id")).alias("doc_id"),
+            F.concat(F.lit("src"), F.pmod(F.col("id"), F.lit(3))).alias("source"),
+        )
+    )
+
+
+def test_incremental_append_matches_full_build(spark, tmp_path):
+    path = str(tmp_path / "store")
+    append_sketch_snapshot(
+        _docs(spark, 0, 3000), lambda: HllSketch(12), path, "day1", cols=["doc_id"]
+    )
+    append_sketch_snapshot(
+        _docs(spark, 3000, 5000), lambda: HllSketch(12), path, "day2", cols=["doc_id"]
+    )
+    store = read_sketch_store(spark, path)
+    assert store.select("snapshot").distinct().count() == 2
+    merged = store_sketch(store)
+    # merge associativity: blob-only merge == one sketch over all rows
+    from bloomjoin_spark import build_sketch
+
+    full = build_sketch(
+        _docs(spark, 0, 5000), lambda: HllSketch(12), cols=["doc_id"]
+    ).sketch
+    assert merged.estimate() == pytest.approx(full.estimate())
+    # and within the published bound of the exact count
+    assert abs(merged.estimate() - 5000) / 5000 <= 4 * 1.04 / 2**6
+
+
+def test_grouped_store_estimates(spark, tmp_path):
+    path = str(tmp_path / "gstore")
+    append_sketch_snapshot(
+        _docs(spark, 0, 3000),
+        lambda: HllSketch(12),
+        path,
+        "day1",
+        group_col="source",
+        cols=["doc_id"],
+    )
+    append_sketch_snapshot(
+        _docs(spark, 3000, 5000),
+        lambda: HllSketch(12),
+        path,
+        "day2",
+        group_col="source",
+        cols=["doc_id"],
+    )
+    est = store_estimates(read_sketch_store(spark, path), "source").collect()
+    got = {r["source"]: r for r in est}
+    assert set(got) == {"src0", "src1", "src2"}
+    rel = 4 * 1.04 / 2**6
+    for src, r in got.items():
+        exact = len([i for i in range(5000) if i % 3 == int(src[-1])])
+        assert r["n_rows"] == exact  # exact ingested totals ride along
+        assert abs(r["estimate"] - exact) / exact <= rel
+
+
+def test_snapshot_rewrite_is_idempotent(spark, tmp_path):
+    path = str(tmp_path / "istore")
+    day1 = _docs(spark, 0, 1000)
+    append_sketch_snapshot(day1, lambda: HllSketch(12), path, "day1", cols=["doc_id"])
+    # a retried/corrected ingest of the SAME snapshot replaces, not doubles
+    append_sketch_snapshot(day1, lambda: HllSketch(12), path, "day1", cols=["doc_id"])
+    store = read_sketch_store(spark, path)
+    assert store.agg(F.sum("n_rows")).first()[0] == 1000
+    # and only the rewritten snapshot is touched
+    append_sketch_snapshot(
+        _docs(spark, 1000, 1500), lambda: HllSketch(12), path, "day2", cols=["doc_id"]
+    )
+    append_sketch_snapshot(day1, lambda: HllSketch(12), path, "day1", cols=["doc_id"])
+    store = read_sketch_store(spark, path)
+    assert store.agg(F.sum("n_rows")).first()[0] == 1500
+
+
+def test_snapshot_filter(spark, tmp_path):
+    path = str(tmp_path / "fstore")
+    append_sketch_snapshot(
+        _docs(spark, 0, 1000), lambda: HllSketch(12), path, "day1", cols=["doc_id"]
+    )
+    append_sketch_snapshot(
+        _docs(spark, 1000, 2000), lambda: HllSketch(12), path, "day2", cols=["doc_id"]
+    )
+    one = read_sketch_store(spark, path, snapshots=["day2"])
+    assert one.agg(F.sum("n_rows")).first()[0] == 1000
+    est = store_sketch(one).estimate()
+    assert abs(est - 1000) / 1000 <= 4 * 1.04 / 2**6
+
+
+def test_mixed_hash_format_refused(spark, tmp_path):
+    path = str(tmp_path / "mstore")
+    append_sketch_snapshot(
+        _docs(spark, 0, 500), lambda: HllSketch(12), path, "day1", cols=["doc_id"]
+    )
+    # simulate a snapshot written by an older library version
+    rows = spark.read.parquet(path).collect()
+    old = (
+        spark.createDataFrame(rows)
+        .withColumn("hash_format", F.lit(1))
+        .withColumn("snapshot", F.lit("day0"))
+    )
+    old.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("snapshot").parquet(path)
+    with pytest.raises(ValueError, match="hash format"):
+        read_sketch_store(spark, path)
+    # excluding the foreign snapshot reads fine
+    ok = read_sketch_store(spark, path, snapshots=["day1"])
+    assert ok.count() > 0
