@@ -1685,6 +1685,51 @@ def _stateful_hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sketch_store_stream_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 5: streaming ingest into the DURABLE sketch store
+    (`store.sketch_store_sink`): each micro-batch lands its per-(source,
+    partition) HLL partials as its own snapshot partition, so a
+    replayed batch rewrites instead of double-counting (exactly-once
+    sketch state from an at-least-once foreachBatch).  Pins exact row
+    accounting per source against the static table plus the HLL bound."""
+    import hashlib
+    import shutil
+
+    from bloomjoin_spark import HllSketch, read_sketch_store, store_estimates
+    from bloomjoin_spark.store import sketch_store_sink
+    from bloomjoin_spark.streaming.sketch_stream import documents_stream
+
+    path = "/tmp/bj_store_stream_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    shutil.rmtree(path, ignore_errors=True)  # fixed path, fresh per run
+    q = sketch_store_sink(
+        documents_stream(spark, sf_dir), lambda: HllSketch(13),
+        path, group_col="source", cols=["doc_id"],
+    ).start()
+    q.processAllAvailable()
+    q.stop()
+    est = store_estimates(read_sketch_store(spark, path), "source")
+    docs = _t(spark, sf_dir, "documents")
+    exact = docs.groupBy("source").agg(
+        F.count_distinct("doc_id").alias("exact_distinct"),
+        F.count(F.lit(1)).alias("exact_rows"),
+    )
+    rel = 1.04 / (2 ** (13 / 2))
+    return (
+        est.join(exact, "source")
+        .select(
+            "source",
+            "exact_distinct",
+            F.col("exact_rows").alias("n_rows"),
+            (F.col("n_rows") == F.col("exact_rows")).alias("rows_accounted"),
+            (
+                F.abs(F.col("estimate") - F.col("exact_distinct"))
+                / F.greatest(F.col("exact_distinct"), F.lit(1))
+                <= 4 * rel
+            ).alias("within_bound"),
+        )
+    )
+
+
 def _layout_tag(sf_dir: str) -> str:
     import re
 
@@ -1956,6 +2001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_bloom_join": _streaming_bloom_join,
         "hll_distinct_by_source": _hll_distinct_by_source,
         "sketch_store_incremental": _sketch_store_incremental,
+        "sketch_store_stream_docs": _sketch_store_stream_docs,
         "theta_source_overlap": _theta_source_overlap,
         "source_overlap_matrix_docs": _source_overlap_matrix_docs,
         "stateful_hll_stream": _stateful_hll_stream,
@@ -2991,6 +3037,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, count(DISTINCT doc_id) AS exact_distinct,
                    count(*) AS n_rows, TRUE AS rows_accounted,
                    TRUE AS matches_oneshot, TRUE AS within_bound
+            FROM documents GROUP BY source
+        """,
+        "sketch_store_stream_docs": """
+            SELECT source, count(DISTINCT doc_id) AS exact_distinct,
+                   count(*) AS n_rows, TRUE AS rows_accounted,
+                   TRUE AS within_bound
             FROM documents GROUP BY source
         """,
         "stateful_hll_stream": """

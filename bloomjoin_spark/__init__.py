@@ -26,6 +26,7 @@ from .plans import BloomJoinReport
 from .store import (
     append_sketch_snapshot,
     read_sketch_store,
+    sketch_store_sink,
     store_estimates,
     store_sketch,
 )
@@ -71,6 +72,7 @@ __all__ = [
     "cms_params",
     "append_sketch_snapshot",
     "read_sketch_store",
+    "sketch_store_sink",
     "store_estimates",
     "store_sketch",
 ]

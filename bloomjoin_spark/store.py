@@ -145,6 +145,50 @@ def store_estimates(
     return store.select(*cols).groupBy(group_col).applyInPandas(merge_fn, out_schema)
 
 
+def sketch_store_sink(
+    stream: DataFrame,
+    factory: Callable[[], Sketch],
+    path: str,
+    group_col: str | None = None,
+    cols: list[str] | str | None = None,
+    token_col: str | None = None,
+    snapshot_prefix: str = "batch",
+):
+    """``writeStream`` (ready to ``.start()``) that ingests a stream
+    into a sketch store: every micro-batch appends its partials as
+    snapshot ``<prefix><batch_id>``.
+
+    ``foreachBatch`` is only at-least-once — after a restart from the
+    streaming checkpoint, Spark may REPLAY the last batch.  Because a
+    replayed batch carries the same ``batch_id`` and the store's write
+    replaces exactly its own snapshot partition, the replay rewrites
+    rather than double-counts: the store holds exactly-once sketch
+    state without any driver-side dedup bookkeeping (the usual
+    idempotent-sink recipe, expressed in partition layout).  Unlike
+    ``StreamingSketchCollector`` the state is durable and never lives
+    on the driver; read it any time with ``read_sketch_store`` +
+    ``store_estimates`` — including from a different process while the
+    stream runs."""
+    fn = _store_batch_fn(factory, path, group_col, cols, token_col, snapshot_prefix)
+    return stream.writeStream.foreachBatch(fn).outputMode("append")
+
+
+def _store_batch_fn(factory, path, group_col, cols, token_col, prefix):
+    # separate so tests can drive the batch function with static frames
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        append_sketch_snapshot(
+            batch_df,
+            factory,
+            path,
+            f"{prefix}{int(batch_id):012d}",
+            group_col=group_col,
+            cols=cols,
+            token_col=token_col,
+        )
+
+    return _process
+
+
 def store_sketch(store: DataFrame, fanin: int = 64) -> Sketch:
     """Merge an (ungrouped) store into one Sketch via the distributed
     tree merge — same fan-in-bounded reduction as ``build_sketch``, so

@@ -106,6 +106,48 @@ def test_snapshot_filter(spark, tmp_path):
     assert abs(est - 1000) / 1000 <= 4 * 1.04 / 2**6
 
 
+def test_sink_batch_replay_is_exactly_once(spark, tmp_path):
+    from bloomjoin_spark.store import _store_batch_fn
+
+    path = str(tmp_path / "sink")
+    fn = _store_batch_fn(
+        lambda: HllSketch(12), path, "source", ["doc_id"], None, "batch"
+    )
+    fn(_docs(spark, 0, 1000), 0)
+    fn(_docs(spark, 1000, 1800), 1)
+    # restart-from-checkpoint replays the last batch with the same id:
+    # the store must rewrite, not double-count
+    fn(_docs(spark, 1000, 1800), 1)
+    store = read_sketch_store(spark, path)
+    assert store.agg(F.sum("n_rows")).first()[0] == 1800
+    est = {r["source"]: r for r in store_estimates(store, "source").collect()}
+    rel = 4 * 1.04 / 2**6
+    for src, r in est.items():
+        exact = len([i for i in range(1800) if i % 3 == int(src[-1])])
+        assert r["n_rows"] == exact
+        assert abs(r["estimate"] - exact) / exact <= rel
+
+
+def test_sink_streams_documents(spark, tmp_path):
+    from bloomjoin_spark.store import sketch_store_sink
+
+    src_dir = str(tmp_path / "in")
+    _docs(spark, 0, 600, nparts=2).write.parquet(src_dir, mode="overwrite")
+    stream = (
+        spark.readStream.schema("doc_id string, source string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    path = str(tmp_path / "sstore")
+    q = sketch_store_sink(
+        stream, lambda: HllSketch(12), path, group_col="source", cols=["doc_id"]
+    ).start()
+    q.processAllAvailable()
+    q.stop()
+    store = read_sketch_store(spark, path)
+    assert store.agg(F.sum("n_rows")).first()[0] == 600
+
+
 def test_mixed_hash_format_refused(spark, tmp_path):
     path = str(tmp_path / "mstore")
     append_sketch_snapshot(
