@@ -29,15 +29,17 @@ per-row it survives partial appends from mixed library versions).
 
 from __future__ import annotations
 
-from typing import Callable
+from typing import Callable, Mapping
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .aggregate import (
+    MULTI_PARTIAL_SCHEMA,
     PARTIAL_SCHEMA,
     grouped_sketch_partials,
+    make_multi_partial_fn_arrow,
     sketch_partials,
     tree_merge,
 )
@@ -50,7 +52,7 @@ _META_COLS = ("snapshot", "hash_format")
 
 def append_sketch_snapshot(
     df: DataFrame,
-    factory: Callable[[], Sketch],
+    factory: Callable[[], Sketch] | Mapping[str, Callable[[], Sketch]],
     path: str,
     snapshot: str,
     group_col: str | None = None,
@@ -67,8 +69,24 @@ def append_sketch_snapshot(
     corrected ingest is safely re-written, without touching any other
     snapshot's rows.  Different snapshots may use different group
     columns ONLY if the caller keeps them consistent — the reader
-    validates the schema union."""
-    if group_col is None:
+    validates the schema union.
+
+    ``factory`` may be a ``{name: factory}`` dict over a ``token_col``
+    ingest (the one-scan-many-sketches shape of ``build_sketches``):
+    ONE pass over the new rows lands every monitoring sketch's partials
+    at once, tagged by ``name``; read per-sketch results with
+    ``store_estimates(store, "name")`` or
+    ``store_sketch(store.where(F.col("name") == ...))``."""
+    if isinstance(factory, Mapping):
+        if group_col is not None or token_col is None:
+            raise ValueError(
+                "append_sketch_snapshot: a factory dict is the one-scan "
+                "multi-sketch ingest over token_col — group_col is not "
+                "supported with it and token_col is required"
+            )
+        fn = make_multi_partial_fn_arrow(dict(factory), token_col)
+        partials = df.select(token_col).mapInArrow(fn, schema=MULTI_PARTIAL_SCHEMA)
+    elif group_col is None:
         partials = sketch_partials(df, factory, cols, token_col)
     else:
         partials = grouped_sketch_partials(df, factory, group_col, cols, token_col)

@@ -148,6 +148,54 @@ def test_sink_streams_documents(spark, tmp_path):
     assert store.agg(F.sum("n_rows")).first()[0] == 600
 
 
+def test_multi_sketch_store_one_scan(spark, tmp_path):
+    from bloomjoin_spark import CmsSketch
+
+    path = str(tmp_path / "multi")
+
+    def toks(lo, hi):
+        return (
+            spark.range(lo, hi)
+            .repartition(4)
+            .select(
+                F.array(
+                    F.pmod(F.col("id"), F.lit(100)).cast("int"),
+                    F.pmod(F.col("id") * 7, F.lit(100)).cast("int"),
+                ).alias("tokens")
+            )
+        )
+
+    facs = {
+        "hll": lambda: HllSketch(12),
+        "cms": lambda: CmsSketch(1e-3, 1e-3),
+    }
+    append_sketch_snapshot(toks(0, 1500), facs, path, "day1", token_col="tokens")
+    append_sketch_snapshot(toks(1500, 2000), facs, path, "day2", token_col="tokens")
+    store = read_sketch_store(spark, path)
+    # both sketches' partials from each scan, per-name accounting equal
+    per_name = {r["name"]: r for r in store_estimates(store, "name").collect()}
+    assert set(per_name) == {"hll", "cms"}
+    assert per_name["hll"]["n_rows"] == per_name["cms"]["n_rows"] == 2000
+    # distinct token ids across the whole store: exactly 100
+    hll = store_sketch(store.where(F.col("name") == "hll"))
+    assert abs(hll.estimate() - 100) / 100 <= 4 * 1.04 / 2**6
+    # per-token frequencies from the durable CMS: token 0 appears in
+    # ids {0,100,...} (first slot) plus multiples of 100/7 — just pin
+    # the never-undercount property on a known-hot token
+    cms = store_sketch(store.where(F.col("name") == "cms"))
+    import numpy as np
+
+    from bloomjoin_spark.hashing import hash_float64
+
+    h = hash_float64(np.array([0.0]))
+    assert cms.query_hashes(h)[0] >= 20  # id%100==0 → 20 first-slot hits
+
+    with pytest.raises(ValueError, match="multi-sketch"):
+        append_sketch_snapshot(
+            toks(0, 10), facs, path, "day3", group_col="name", token_col="tokens"
+        )
+
+
 def test_mixed_hash_format_refused(spark, tmp_path):
     path = str(tmp_path / "mstore")
     append_sketch_snapshot(
