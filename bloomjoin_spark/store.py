@@ -67,9 +67,11 @@ def append_sketch_snapshot(
     Idempotent per snapshot: dynamic partition overwrite replaces only
     ``snapshot=<snapshot>``, so a killed ingest is safely re-run and a
     corrected ingest is safely re-written, without touching any other
-    snapshot's rows.  Different snapshots may use different group
-    columns ONLY if the caller keeps them consistent — the reader
-    validates the schema union.
+    snapshot's rows.  Keep the group column consistent across a
+    store's snapshots: the reader merges schemas, so a divergent
+    snapshot shows up as nulls in the other snapshots' group column
+    rather than corrupting anything, but per-group estimates would
+    then silently place the divergent rows in a null group.
 
     ``factory`` may be a ``{name: factory}`` dict over a ``token_col``
     ingest (the one-scan-many-sketches shape of ``build_sketches``):
@@ -106,10 +108,22 @@ def read_sketch_store(
 ) -> DataFrame:
     """Load store partials, refusing mixed or foreign hash domains.
 
-    The distinct-format check aggregates to at most a handful of rows
-    (one per library version ever used), so the collect is bounded by
-    construction, not by data size."""
-    df = spark.read.parquet(path)
+    Reads with ``mergeSchema`` so a store whose snapshots were written
+    with different group columns surfaces every column (missing ones
+    null) instead of silently adopting one file's schema; the required
+    partial payload columns are checked.  The distinct-format check
+    aggregates to at most a handful of rows (one per library version
+    ever used), so the collect is bounded by construction, not by data
+    size."""
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    required = {"partition_id", "n_rows", "blob", "snapshot", "hash_format"}
+    missing = required - set(df.columns)
+    if missing:
+        raise ValueError(
+            f"sketch store {path!r} is missing required column(s) "
+            f"{sorted(missing)} — not a store written by "
+            "append_sketch_snapshot"
+        )
     if snapshots is not None:
         df = df.where(F.col("snapshot").isin(list(snapshots)))
     fmts = sorted(
