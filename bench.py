@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 import tempfile
 import time
@@ -826,6 +827,34 @@ def run_headline(spark) -> dict[str, float]:
         "cms": measured_shuffle_mb(spark, cms_fn),
     }
 
+    # --- round-5: persistent sketch store (store.py) — the monitoring
+    # cost profile. Ingest = ONE multi-sketch scan of the new rows
+    # (HLL+CMS partials land as the snapshot's blob rows); refresh =
+    # estimates from stored blobs ONLY. The refresh cell is the claim
+    # that matters at 100 TB: its input is KB-scale parquet whose size
+    # depends on (snapshots x partitions), NOT on how many rows the
+    # ingests covered — re-timing it against a 2M-row-backed store
+    # costs the same as against a 2-trillion-row-backed one.
+    from bloomjoin_spark import HllSketch as _Hll
+    from bloomjoin_spark.sketches import CmsSketch as _Cms
+    from bloomjoin_spark.store import (
+        append_sketch_snapshot, read_sketch_store, store_sketch,
+    )
+
+    store_path = os.path.join(tempfile.gettempdir(), "bj_bench_store")
+    shutil.rmtree(store_path, ignore_errors=True)
+    store_facs = {"hll": lambda: _Hll(14), "cms": lambda: _Cms(1e-4, 1e-3)}
+    qs["store_ingest"], _ = timed_min_q(
+        "store_ingest",
+        lambda: append_sketch_snapshot(
+            toks, store_facs, store_path, "day1", token_col="tokens"),
+        repeats=1)
+    qs["store_refresh"], _ = timed_min_q(
+        "store_refresh",
+        lambda: store_sketch(
+            read_sketch_store(spark, store_path)
+            .where(F.col("name") == "hll")).estimate())
+
     toks.unpersist()
     lk.unpersist()
     return qs
@@ -879,6 +908,8 @@ QUERY_SHORT_KEYS = {
     "asof_join_events": "aoj",
     "incr_dedup_full": "idf",
     "incr_dedup_reuse": "idr",
+    "store_ingest": "sti",
+    "store_refresh": "stf",
     "bucketed_write": "bkw",
     "unbucketed_join_read": "ubj",
     "bucketed_join_read": "bkj",
@@ -1259,8 +1290,17 @@ def main():
     }
     if scaling is not None:
         compact["scaling"] = {
-            k: v for k, v in scaling.items() if not k.startswith("runs")
+            k: v
+            for k, v in scaling.items()
+            if not k.startswith("runs") and k != "spread_guard"
         }
+        # terse guard summary (full detail in BENCH_FULL.json): which
+        # sides the within-side spread guard re-ran, if any
+        guard = scaling.get("spread_guard") or {}
+        compact["scaling"]["guard_reran"] = [
+            side for side, g in guard.items() if g.get("reran")
+        ]
+    compact.pop("phase_sec", None)  # full file keeps it
     # per-query timings, compact (VERDICT r4 #2): short keys (see
     # QUERY_SHORT_KEYS) and centisecond ints keep all ~30 entries in
     # the driver's 2000-byte tail window alongside the other blocks
