@@ -738,6 +738,12 @@ def topk_per_group(
         return df.limit(0)
     if salts < 1:
         raise ValueError(f"salts must be >= 1, got {salts}")
+    if "_win_id" in df.columns:
+        # the semi-join condition F.col(id_col) == F.col("_win_id")
+        # would resolve ambiguously against a caller column of that
+        # name — fail with the real cause (sibling contract:
+        # spans._check_columns)
+        raise ValueError("reserved column '_win_id' already exists on df")
     groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
     entry = F.struct(F.col(order_col).alias("o"), F.col(id_col).alias("i"))
 
@@ -781,6 +787,10 @@ def sample_exact_k_per_group(
 
     NULL keys are dropped; ``key_col`` must be row-unique (both as the
     rank domain and as the semi-join fan-back key)."""
+    if "_es_rank" in df.columns:
+        # withColumn would silently REPLACE the caller's column and the
+        # final drop would delete it from the result — refuse instead
+        raise ValueError("reserved column '_es_rank' already exists on df")
     rank = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
     tagged = df.withColumn("_es_rank", rank)
     out = topk_per_group(

@@ -297,6 +297,12 @@ def remove_duplicate_spans(
             f"tokens_col {tokens_col!r} must be a column of df for the rewrite; "
             "use duplicate_span_starts for expression inputs"
         )
+    if counts_col and (counts_col in df.columns or counts_col == out_col):
+        raise ValueError(
+            f"counts_col {counts_col!r} already exists (or clashes with "
+            "out_col) — pass a fresh name or counts_col=None (a second "
+            "pass over this operator's own output hits this)"
+        )
     out_col = out_col or tokens_col
     starts, report = duplicate_span_starts(
         df,

@@ -68,9 +68,15 @@ def sessionize(
     Plan: one hash exchange on ``key_col``, one sort, two window
     expressions over the SAME window spec (no extra exchange), all
     whole-stage codegen.
+
+    Rows with a NULL ``ts_col`` are EXCLUDED from the output: an
+    event with no position on the timeline belongs to no session
+    (left in, Spark's NULLS-FIRST window order would make each one a
+    phantom session opener, shifting every real session ordinal).
     """
     if gap_sec <= 0:
         raise ValueError(f"gap_sec must be positive, got {gap_sec}")
+    df = df.filter(F.col(ts_col).isNotNull())
     seq_name = f"{session_col}_seq"
     for c in (session_col, seq_name):
         if c in df.columns:
@@ -132,10 +138,13 @@ def asof_join(
     than ``tolerance_sec``).
 
     Matches DuckDB ``ASOF LEFT JOIN`` semantics (``>=`` — a right
-    row AT the left timestamp matches).  The right side must be
-    unique per ``(key, right_ts)``; when it is not, the latest row
-    wins deterministically only if ``right_cols`` values agree, so
-    callers with duplicate-timestamp state should pre-dedup.
+    row AT the left timestamp matches; a NULL timestamp on either
+    side never matches: NULL-``right_ts`` rows are dropped from the
+    state stream, and a NULL-``left_ts`` row gets NULL payload).
+    The right side must be unique per ``(key, right_ts)``; when it
+    is not, the latest row wins deterministically only if
+    ``right_cols`` values agree, so callers with
+    duplicate-timestamp state should pre-dedup.
 
     Plan shape: project both sides to (key, ts-in-micros, payload,
     side tag), union, ONE hash exchange on the key, one sort by
@@ -193,6 +202,10 @@ def asof_join(
         F.lit(1).alias("__asof_tag"),
         F.lit(None).cast(state_type).alias("__asof_state"),
     )
+    # NULL right_ts rows would sort NULLS-FIRST and be carried as the
+    # "most recent prior" state for every early left row — drop them
+    # (DuckDB ASOF, the value oracle, never matches a NULL timestamp).
+    right = right.filter(F.col(right_ts).isNotNull())
     r_tagged = right.select(
         *(
             F.col(c).cast(l_dtypes[c]).alias(c) if c in keys

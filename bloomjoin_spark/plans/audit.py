@@ -70,8 +70,35 @@ class PlanAudit:
 
 
 _JOIN_RE = re.compile(r"\b(\w*Join\w*)\b")
-_PUSHED_RE = re.compile(r"PushedFilters:\s*\[([^\]]*)\]")
+# greedy to the LAST ']' on the line: In(c, [a,b]) nests brackets
+_PUSHED_RE = re.compile(r"PushedFilters:\s*\[(.*)\]")
 _READSCHEMA_RE = re.compile(r"ReadSchema:\s*struct<([^>]*)>")
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split a PushedFilters payload on top-level commas only —
+    ``In(doc_id, [a,b])`` and ``Or(LessThan(x,1),GreaterThan(x,9))``
+    each stay ONE filter string (a naive regex stops at the first
+    ``]`` or can't match nested parens and emits fragment words)."""
+    parts: list[str] = []
+    depth = 0
+    cur: list[str] = []
+    for ch in s:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            part = "".join(cur).strip()
+            if part:
+                parts.append(part)
+            cur = []
+        else:
+            cur.append(ch)
+    tail = "".join(cur).strip()
+    if tail:
+        parts.append(tail)
+    return parts
 _PY_OPS = (
     "ArrowEvalPython",
     "MapInArrow",
@@ -150,9 +177,7 @@ def plan_audit(df: DataFrame) -> PlanAudit:
             cols = [c.split(":")[0] for c in schema.group(1).split(",") if c]
         filters = []
         if pushed:
-            # split on top-level boundaries, not the commas inside
-            # GreaterThan(l_quantity,10.0)
-            filters = re.findall(r"\w+\([^()]*\)|[A-Za-z]\w*", pushed.group(1))
+            filters = _split_top_level(pushed.group(1))
         out.scans.append(
             {
                 "format": scan.group(1),

@@ -217,9 +217,12 @@ def zorder_col(
             f"bits*len(cols) must be in [1, 62], got {bits}*{len(cols)}"
         )
     dtypes = dict(df.dtypes)
-    n_buckets = (1 << bits) - 1  # ranks 0..n_buckets fit in `bits` bits
-    rank_exprs = []
+    # 2**bits buckets need 2**bits - 1 cutoffs; ranks 0..2**bits-1
+    # fill the `bits` bit planes exactly (an off-by-one here would
+    # leave bits=1 with ZERO cutoffs and a constant rank)
+    n_buckets = 1 << bits
     probs = [i / n_buckets for i in range(1, n_buckets)]
+    num_exprs = []
     for c in cols:
         dt = dtypes.get(c)
         if dt is None:
@@ -239,13 +242,17 @@ def zorder_col(
             )
         else:
             num = F.col(c).cast("double")
-        tmp = f"__zq_{c}"
-        bounds = sorted(
-            set(
-                df.select(num.alias(tmp))
-                .approxQuantile(tmp, probs, relative_error)
-            )
-        )
+        num_exprs.append(num)
+    # ONE boundary pass for all columns (approxQuantile takes a column
+    # list) — the docstring's "one approxQuantile pass" promise; at
+    # corpus scale a per-column loop would be len(cols) full scans
+    tmps = [f"__zq_{i}" for i in range(len(cols))]
+    all_bounds = df.select(
+        *(num.alias(t) for num, t in zip(num_exprs, tmps))
+    ).approxQuantile(tmps, probs, relative_error)
+    rank_exprs = []
+    for num, raw_bounds in zip(num_exprs, all_bounds):
+        bounds = sorted(set(raw_bounds))
         rank = F.coalesce(
             F.array_size(
                 F.filter(

@@ -116,7 +116,14 @@ def read_sketch_store(
     ever used), so the collect is bounded by construction, not by data
     size."""
     df = spark.read.option("mergeSchema", "true").parquet(path)
-    required = {"partition_id", "n_rows", "blob", "snapshot", "hash_format"}
+    # the full PARTIAL_SCHEMA payload: store_sketch selects all of it
+    # and tree_merge consumes it — a dir missing n_partials/fingerprint
+    # must fail HERE with the curated error, not later with
+    # UNRESOLVED_COLUMN
+    required = {
+        "partition_id", "n_partials", "n_rows", "fingerprint",
+        "blob", "snapshot", "hash_format",
+    }
     missing = required - set(df.columns)
     if missing:
         raise ValueError(

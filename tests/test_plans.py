@@ -337,3 +337,22 @@ class TestPlanAudit:
                        on="user_id", right_cols=["value"])
         a = plan_audit(aj)
         assert a.n_shuffle_exchanges == 1 and a.joins == {}
+
+
+def test_audit_parses_in_and_compound_pushed_filters(spark):
+    """pushed_filters entries must be COMPLETE filter expressions:
+    In(c, [a,b]) nests a ']' and Or(...) nests parens — a naive token
+    regex used to emit fragment words ('In', 'doc_id', 'A'), making
+    any startswith-based CI assertion silently false."""
+    from bloomjoin_spark.plans import plan_audit
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    q = li.filter(
+        F.col("l_returnflag").isin("A", "N") & (F.col("l_quantity") > 10)
+    ).select("l_orderkey")
+    q.collect()
+    pushed = [f for s in plan_audit(q).scans for f in s["pushed_filters"]]
+    assert any(f.startswith("In(l_returnflag") and f.endswith("])") for f in pushed)
+    assert any(f.startswith("GreaterThan(l_quantity") for f in pushed)
+    # no bare fragment words survive the top-level split
+    assert all(("(" in f and f.endswith(")")) or f.startswith("IsNotNull") for f in pushed)

@@ -578,6 +578,23 @@ class TestTopkPerGroup:
         with pytest.raises(ValueError, match="salts"):
             topk_per_group(df, "g", "q", 1, "id", salts=0)
 
+    def test_reserved_column_guards(self, spark):
+        """A caller '_win_id' would make the semi-join condition
+        ambiguous; a caller '_es_rank' used to be silently overwritten
+        then DROPPED from the result — both must refuse up front."""
+        from bloomjoin_spark.operators import (
+            sample_exact_k_per_group,
+            topk_per_group,
+        )
+
+        df = spark.createDataFrame([("a", 1, 1)], "g string, id int, q int")
+        with pytest.raises(ValueError, match="_win_id"):
+            topk_per_group(df.withColumn("_win_id", F.lit(1)), "g", "q", 1, "id")
+        with pytest.raises(ValueError, match="_es_rank"):
+            sample_exact_k_per_group(
+                df.withColumn("_es_rank", F.lit(1)), "g", "id", 1
+            )
+
     def test_salt_count_does_not_change_answer(self, spark, sf_dir):
         from bloomjoin_spark.operators import topk_per_group
 

@@ -332,3 +332,21 @@ def test_zorder_col_null_and_skew_handling(spark):
     n_distinct = z.distinct().count()
     assert n_distinct > 32  # spread, not collapsed into one bucket
     assert z.filter(F.col("z").isNull()).count() == 0  # nulls rank 0
+
+
+def test_zorder_bits1_still_buckets(spark):
+    """bits=1 must yield 2 quantile buckets per column (an off-by-one
+    bucket count used to produce ZERO cutoffs and a constant z at
+    bits=1 — collapsing the layout into one file silently)."""
+    from pyspark.sql import functions as F
+
+    from bloomjoin_spark.sources import zorder_col
+
+    df = spark.range(0, 1000).select(
+        F.col("id").cast("double").alias("a"),
+        F.pmod(F.col("id") * 7919, F.lit(1000)).cast("double").alias("b"),
+    )
+    z = df.select(zorder_col(df, ["a", "b"], bits=1).alias("z"))
+    vals = sorted(r.z for r in z.distinct().collect())
+    # both columns contribute a real bit: all four interleavings appear
+    assert vals == [0, 1, 2, 3]

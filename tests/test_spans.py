@@ -145,6 +145,14 @@ class TestRemoveDuplicateSpans:
         clash = docs.withColumn("__sp_h", F.lit(1))
         with pytest.raises(ValueError, match="collide"):
             remove_duplicate_spans(clash, n=3)
+        # counts_col colliding with an existing column (e.g. a second
+        # pass over this operator's own output) must refuse, not emit
+        # a duplicate column name
+        second_pass = docs.withColumn("n_dup_tokens", F.lit(0).cast("bigint"))
+        with pytest.raises(ValueError, match="counts_col"):
+            remove_duplicate_spans(second_pass, n=3)
+        with pytest.raises(ValueError, match="counts_col"):
+            remove_duplicate_spans(docs, n=3, out_col="x", counts_col="x")
 
 
 class TestDuplicateSpanStarts:

@@ -216,3 +216,20 @@ def test_mixed_hash_format_refused(spark, tmp_path):
     # excluding the foreign snapshot reads fine
     ok = read_sketch_store(spark, path, snapshots=["day1"])
     assert ok.count() > 0
+
+
+def test_foreign_dir_missing_payload_columns_curated_error(spark, tmp_path):
+    """A parquet dir carrying only PART of the partial payload (no
+    n_partials/fingerprint) must fail read_sketch_store's required-
+    column check with the curated error, not UNRESOLVED_COLUMN later
+    inside store_sketch's tree merge."""
+    p = str(tmp_path / "not_a_store")
+    spark.range(3).select(
+        F.col("id").alias("partition_id"),
+        F.lit(1).cast("long").alias("n_rows"),
+        F.lit(b"x").alias("blob"),
+        F.lit("day1").alias("snapshot"),
+        F.lit(2).cast("long").alias("hash_format"),
+    ).write.partitionBy("snapshot").parquet(p)
+    with pytest.raises(ValueError, match="missing required column"):
+        read_sketch_store(spark, p)

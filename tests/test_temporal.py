@@ -181,3 +181,49 @@ def test_output_column_collision_guards(spark, events):
     with pytest.raises(ValueError, match="already exists"):
         sessionize(events.withColumn("session_id", F.lit("x")),
                    "user_id", "ts", gap_sec=60)
+
+
+def test_sessionize_null_ts_excluded(spark):
+    """NULL-timestamp events belong to no session: they are dropped,
+    and they must NOT shift real session ordinals (each NULL row used
+    to count as a phantom session opener via coalesce(NULL,1))."""
+    rows = [
+        (1, 1, _ts(0)), (2, 1, None), (3, 1, _ts(100)),
+        (4, 1, None), (5, 1, _ts(5000)),
+    ]
+    df = spark.createDataFrame(rows, "event_id bigint, user_id bigint, ts timestamp")
+    out = sessionize(df, "user_id", "ts", gap_sec=600).collect()
+    assert sorted(r.event_id for r in out) == [1, 3, 5]
+    seqs = {r.event_id: r.session_id_seq for r in out}
+    assert seqs == {1: 1, 3: 1, 5: 2}
+
+
+def test_asof_null_timestamps_never_match(spark):
+    """DuckDB ASOF semantics: a NULL timestamp on either side never
+    matches.  A NULL right_ts row used to sort NULLS-FIRST and be
+    carried as the 'most recent prior' state for early left rows."""
+    left = spark.createDataFrame(
+        [(7, _ts(100)), (7, _ts(1000))], "user_id bigint, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(7, None, 42.0), (7, _ts(500), 7.0)],
+        "user_id bigint, ts timestamp, value double",
+    )
+    got = {
+        r.ts: r.value_right
+        for r in asof_join(left, right, "user_id", right_cols=["value"]).collect()
+    }
+    assert got[_ts(100)] is None  # no real prior right row — not 42.0
+    assert got[_ts(1000)] == 7.0
+    # same contract with tolerance set (NULL arithmetic used to flip it)
+    got_tol = {
+        r.ts: r.value_right
+        for r in asof_join(
+            left, right, "user_id", right_cols=["value"], tolerance_sec=10_000
+        ).collect()
+    }
+    assert got_tol == got
+    # a NULL left_ts row gets NULL payload, and keeps its row
+    left_null = spark.createDataFrame([(7, None)], "user_id bigint, ts timestamp")
+    out = asof_join(left_null, right, "user_id", right_cols=["value"]).collect()
+    assert len(out) == 1 and out[0].value_right is None
