@@ -1079,6 +1079,45 @@ def _ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 5: product-quantization ANN (m-byte codes + per-query ADC
+    tables + exact re-rank; public method: Jégou et al., TPAMI 2011) vs
+    brute-force cosine: recall@10 ≥ 0.5 scanning ONLY the 8-byte codes
+    with a 4k shortlist, and EXACTLY cosine_topk when the shortlist
+    covers the corpus (the lossless-re-rank contract)."""
+    from bloomjoin_spark.operators import (
+        add_pq_codes,
+        ann_pq_topk,
+        cosine_topk,
+        train_pq_codebooks,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 200 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    books = train_pq_codebooks(emb, m=8, nbits=8, sample=5000, iters=6)
+    exact = cosine_topk(emb, queries_df, k=10).select("query_id", "vec_id")
+    codes = add_pq_codes(emb.select("vec_id", "embedding"), books).select(
+        "vec_id", "pq_code"
+    )
+    approx = ann_pq_topk(
+        emb, queries_df, books, k=10, codes=codes, shortlist=40
+    ).select("query_id", "vec_id")
+    hit = exact.join(approx, ["query_id", "vec_id"], "left_semi").count()
+    recall_ok = hit / max(exact.count(), 1) >= 0.5
+    full = ann_pq_topk(
+        emb, queries_df, books, k=10, codes=codes, shortlist=emb.count()
+    ).select("query_id", "vec_id")
+    full_exact = (
+        exact.exceptAll(full).count() == 0 and full.exceptAll(exact).count() == 0
+    )
+    return spark.createDataFrame(
+        [(bool(recall_ok), bool(full_exact))],
+        "recall_at_least_half boolean, full_shortlist_exact boolean",
+    )
+
+
 def _ann_ivf_partitioned_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 3: the cell-PARTITIONED IVF path (corpus written
     partitionBy(ivf_cell), probed cells pushed as a partition filter)
@@ -2013,6 +2052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_planted": _simhash_planted,
         "ann_lsh_recall": _ann_lsh_recall,
         "ann_ivf_recall": _ann_ivf_recall,
+        "ann_pq_recall": _ann_pq_recall,
         "ann_ivf_partitioned_recall": _ann_ivf_partitioned_recall,
         "hash_keys_cross_type": _hash_keys_cross_type,
         "simhash_capped_bucket": _simhash_capped_bucket,
@@ -3137,6 +3177,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_ivf_recall": """
             SELECT TRUE AS recall_at_least_half, TRUE AS full_probe_exact
+        """,
+        "ann_pq_recall": """
+            SELECT TRUE AS recall_at_least_half, TRUE AS full_shortlist_exact
         """,
         "ann_ivf_partitioned_recall": """
             SELECT TRUE AS recall_at_least_half, TRUE AS full_probe_exact

@@ -512,6 +512,21 @@ def run_headline(spark) -> dict[str, float]:
     )
     qs["ann_cosine_topk"], _ = timed_min_q("ann_cosine_topk", lambda: cosine_topk(emb, queries_df, k=10).count())
 
+    # PQ ANN: codes materialized once (the 100 TB shape — the per-query
+    # scan reads only (id, 8-byte code)); timing covers ADC scoring +
+    # shortlist fetch + exact re-rank, not the one-time training/encode
+    from bloomjoin_spark.operators import add_pq_codes, ann_pq_topk, train_pq_codebooks
+    pq_books = train_pq_codebooks(emb, m=8, nbits=8, sample=5000, iters=6)
+    pq_codes = add_pq_codes(emb.select("vec_id", "embedding"), pq_books).select(
+        "vec_id", "pq_code"
+    ).persist()
+    pq_codes.count()
+    qs["ann_pq_topk"], _ = timed_min_q("ann_pq_topk",
+        lambda: ann_pq_topk(emb, queries_df, pq_books, k=10,
+                            codes=pq_codes, shortlist=60).count()
+    )
+    pq_codes.unpersist()
+
     # --- round-4 decontam + text-quality operators.
     # decontam over the 2M-row token table is the scale-shaped cell:
     # ~TOKEN_ROWS×(n_tok−7) n-grams explode inside the scan stage and
@@ -885,6 +900,7 @@ QUERY_SHORT_KEYS = {
     "ngram_jaccard_docs": "ngj",
     "text_stats_docs": "tst",
     "ann_cosine_topk": "ann",
+    "ann_pq_topk": "apq",
     "decontam_tokens": "dct",
     "repetition_docs": "rep",
     "top_ngram_docs": "tng",

@@ -523,3 +523,301 @@ def embedding_dedup(
 
     pairs = embedding_near_dup_pairs(df, id_col, vec_col, **kw)
     return _keep_min_reps(df, pairs, id_col)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the embedding COMPRESSION path next to
+# LSH and IVF. Public method: Jégou, Douze, Schmid, "Product
+# Quantization for Nearest Neighbor Search" (TPAMI 2011). dim-d unit
+# vectors split into m subspaces, each quantized against its own
+# 2^nbits-codeword book, so a vector stores as m bytes instead of 4·d
+# (dim 64 float32 → 8 bytes at m=8: 32×). Search is asymmetric
+# distance computation (ADC): per query, one (m, 2^nbits) table of
+# subspace dot products, then scoring a vector = m table lookups —
+# the scan touches ONLY the m-byte codes, never the vectors; true
+# vectors are fetched for the shortlist alone. At 100 TB this is the
+# difference between scanning the corpus' raw embeddings per query
+# batch and scanning a table 32× smaller, with the exact re-rank cost
+# proportional to shortlist·|queries|, not the corpus.
+# ---------------------------------------------------------------------------
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    nbits: int = 8,
+    sample: int = 20_000,
+    iters: int = 8,
+) -> np.ndarray:
+    """Deterministic per-subspace k-means over a seeded sample:
+    returns ``(m, 2**nbits, dsub)`` float64 codebooks (fewer codewords
+    when the sample is smaller — remaining slots repeat the last
+    centroid so the code domain stays dense).
+
+    Vectors are L2-normalized BEFORE splitting, so the ADC inner
+    product approximates cosine similarity directly.  The sample is
+    the only driver-side data (≤ ``sample`` rows), the same bound as
+    ``train_ivf_centroids``; training is per-subspace numpy matmuls.
+    """
+    if m < 1:
+        raise ValueError(f"m must be >= 1, got {m}")
+    if not 1 <= nbits <= 8:
+        raise ValueError(f"nbits must be in [1, 8] (codes are bytes), got {nbits}")
+    n = corpus.count()
+    frac = min(1.0, (sample * 1.25) / max(n, 1))
+    pdf = (
+        corpus.select(vec_col).sample(fraction=frac, seed=42).limit(sample).toPandas()
+    )
+    V = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in pdf[vec_col] if v is not None and len(v)]
+    )
+    dim = V.shape[1]
+    if dim % m:
+        raise ValueError(f"vector dim {dim} is not divisible by m={m}")
+    dsub = dim // m
+    V = V / np.clip(np.linalg.norm(V, axis=1, keepdims=True), 1e-12, None)
+    from ..hashing import splitmix64
+
+    order = np.argsort(splitmix64(np.arange(len(V), dtype=np.uint64)))
+    k_full = 1 << nbits
+    k = min(k_full, len(V))
+    books = np.empty((m, k_full, dsub), dtype=np.float64)
+    for j in range(m):
+        S = V[:, j * dsub : (j + 1) * dsub]
+        C = S[order[:k]].copy()
+        for _ in range(iters):
+            # squared euclidean via the expansion; argmin over codewords
+            d2 = (
+                (S * S).sum(axis=1, keepdims=True)
+                - 2.0 * (S @ C.T)
+                + (C * C).sum(axis=1)
+            )
+            assign = np.argmin(d2, axis=1)
+            newC = np.zeros_like(C)
+            np.add.at(newC, assign, S)
+            counts = np.bincount(assign, minlength=k)
+            nz = counts > 0
+            newC[nz] /= counts[nz, None]
+            newC[~nz] = C[~nz]  # keep empty cells where they were
+            C = newC
+        books[j, :k] = C
+        books[j, k:] = C[k - 1]  # dense code domain when sample < 2^nbits
+    return books
+
+
+def _encode_pq_fn(codebooks: np.ndarray, vec_col: str, out_col: str):
+    """mapInArrow: per batch, reshape the flat vector buffer, one
+    argmin against each subspace book, emit m-byte binary codes
+    (NULL for null/empty/wrong-dim vectors)."""
+    m, _, dsub = codebooks.shape
+    dim = m * dsub
+
+    def fn(it):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        B = codebooks
+        bnorm = [(B[j] * B[j]).sum(axis=1) for j in range(m)]
+        for batch in it:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            col = batch.column(batch.schema.get_field_index(vec_col))
+            lens = (
+                pc.list_value_length(col).fill_null(0)
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            ok = lens == dim
+            codes = np.zeros((n, m), dtype=np.uint8)
+            if ok.any():
+                flat = col.flatten().to_numpy(zero_copy_only=False).astype(
+                    np.float64, copy=False
+                )
+                # row start offsets of the flat buffer, rows of any length
+                starts = np.zeros(n, dtype=np.int64)
+                np.cumsum(lens[:-1], out=starts[1:])
+                idx = starts[ok, None] + np.arange(dim, dtype=np.int64)
+                V = flat[idx]
+                V /= np.clip(np.linalg.norm(V, axis=1, keepdims=True), 1e-12, None)
+                for j in range(m):
+                    S = V[:, j * dsub : (j + 1) * dsub]
+                    d2 = -2.0 * (S @ B[j].T) + bnorm[j]
+                    codes[ok, j] = np.argmin(d2, axis=1).astype(np.uint8)
+            data = pa.py_buffer(codes.tobytes())
+            offsets = pa.array(
+                np.arange(0, (n + 1) * m, m, dtype=np.int32)
+            ).buffers()[1]
+            mask = None
+            if not ok.all():
+                mask = pa.array(ok).buffers()[1]
+            code_arr = pa.Array.from_buffers(
+                pa.binary(), n, [mask, offsets, data],
+                null_count=int((~ok).sum()),
+            )
+            arrays = [batch.column(i) for i in range(batch.num_columns)]
+            names = [f.name for f in batch.schema]
+            yield pa.RecordBatch.from_arrays(
+                arrays + [code_arr], names=names + [out_col]
+            )
+
+    return fn
+
+
+def add_pq_codes(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """``df`` plus an ``out_col`` binary column of m-byte PQ codes
+    (NULL where the vector is null, empty, or the wrong dimension)."""
+    if out_col in df.columns:
+        raise ValueError(f"output column {out_col!r} already exists")
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", {out_col} binary"
+    return df.mapInArrow(_encode_pq_fn(codebooks, vec_col, out_col), schema)
+
+
+def _adc_score_fn(
+    tables: np.ndarray,
+    qid_values,
+    id_col: str,
+    code_col: str,
+    query_id_col: str,
+    shortlist: int,
+):
+    """mapInArrow over (id, code) batches: decode the m-byte codes
+    via buffer reshape (no per-row Python), gather-sum the per-query
+    ADC tables, and emit each query's per-batch top-``shortlist``
+    candidate ids with their approximate scores."""
+    Q, m, _ = tables.shape
+
+    def fn(it):
+        import pyarrow as pa
+
+        T = tables
+        qid_arr = pa.array(qid_values)
+        for batch in it:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            col = batch.column(batch.schema.get_field_index(code_col))
+            # equal-length m-byte codes: reshape the data buffer
+            # (honor the array offset — a sliced batch shares buffers)
+            offs = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+                col.offset : col.offset + n + 1
+            ]
+            lens = offs[1:] - offs[:-1]
+            valid = lens == m
+            if col.null_count:
+                valid &= ~np.asarray(col.is_null())
+            if not valid.any():
+                continue
+            data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+            rows = np.nonzero(valid)[0]
+            codes = data[offs[rows, None] + np.arange(m, dtype=np.int64)]
+            nv = len(rows)
+            scores = np.zeros((Q, nv), dtype=np.float64)
+            for j in range(m):
+                scores += T[:, j, codes[:, j]]
+            s_eff = min(shortlist, nv)
+            if s_eff < nv:
+                top = np.argpartition(-scores, s_eff - 1, axis=1)[:, :s_eff]
+            else:
+                top = np.broadcast_to(np.arange(nv), (Q, nv))
+            # flatten (query, candidate) pairs; ids via Arrow take (any dtype)
+            row_idx = rows[top.ravel()]
+            q_idx = np.repeat(np.arange(Q), s_eff)
+            ids = batch.column(batch.schema.get_field_index(id_col)).take(
+                pa.array(row_idx)
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    qid_arr.take(pa.array(q_idx)),
+                    ids,
+                    pa.array(np.take_along_axis(scores, top, axis=1).ravel()),
+                ],
+                names=[query_id_col, id_col, "__approx"],
+            )
+
+    return fn
+
+
+def ann_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    codes: DataFrame | None = None,
+    code_col: str = "pq_code",
+    shortlist: int | None = None,
+) -> DataFrame:
+    """Approximate top-k via PQ asymmetric distance: ADC-score the
+    m-byte codes (tables built per query on the driver — queries are
+    SMALL by the same contract as ``cosine_topk``'s broadcast), keep
+    each query's top ``shortlist`` (default ``max(4k, 50)``), fetch
+    ONLY those vectors, exact-cosine re-rank.
+
+    Pass ``codes`` (a materialized ``add_pq_codes`` output holding
+    ``id_col`` + ``code_col``) to make the scoring scan read nothing
+    but the id and the m-byte code — the 100 TB shape; omitted, codes
+    are computed on the fly from ``corpus`` in the same pass.  With
+    ``shortlist >= |corpus|`` the result is EXACTLY ``cosine_topk``
+    (the re-rank sees every vector).
+    """
+    if shortlist is None:
+        shortlist = max(4 * k, 50)
+    if shortlist < k:
+        raise ValueError(f"shortlist {shortlist} must be >= k {k}")
+    m, _, dsub = codebooks.shape
+    if codes is None:
+        codes = add_pq_codes(
+            corpus.select(id_col, vec_col), codebooks, vec_col, code_col
+        ).select(id_col, code_col)
+
+    qrows = queries.select(query_id_col, vec_col).collect()
+    qids = [r[0] for r in qrows]
+    Qv = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    if Qv.shape[1] != m * dsub:
+        raise ValueError(
+            f"query dim {Qv.shape[1]} != codebook dim {m * dsub}"
+        )
+    Qv = Qv / np.clip(np.linalg.norm(Qv, axis=1, keepdims=True), 1e-12, None)
+    # ADC tables: T[q, j, c] = q's j-th subvector · codeword c
+    T = np.einsum("qjd,jcd->qjc", Qv.reshape(len(qids), m, dsub), codebooks)
+
+    qid_dtype = dict(queries.dtypes)[query_id_col]
+    id_dtype = dict(codes.dtypes)[id_col]
+    cand_schema = (
+        f"{query_id_col} {qid_dtype}, {id_col} {id_dtype}, __approx double"
+    )
+    per_batch = codes.mapInArrow(
+        _adc_score_fn(T, qids, id_col, code_col, query_id_col, shortlist),
+        cand_schema,
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("__approx"), F.asc(id_col)
+    )
+    cand_ids = (
+        per_batch.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= shortlist)
+        .select(query_id_col, id_col)
+    )
+    # shortlist·|queries| rows — AQE broadcasts this side of the fetch
+    cand = cand_ids.join(corpus.select(id_col, vec_col), id_col).join(
+        F.broadcast(
+            queries.select(
+                F.col(query_id_col).alias("__qid"),
+                F.col(vec_col).alias("__qvec"),
+            )
+        ),
+        F.col(query_id_col) == F.col("__qid"),
+    )
+    return _rerank_candidates(
+        cand.select("__qid", id_col, vec_col, "__qvec"),
+        k, id_col, vec_col, query_id_col,
+    )

@@ -123,3 +123,106 @@ def test_embedding_dedup_keeps_min_id(spark):
     ids = sorted(r.vec_id for r in kept.collect())
     assert all(i < 100 for i in ids)
     assert len(ids) == 20
+
+
+class TestProductQuantization:
+    def _books(self, spark, emb):
+        from bloomjoin_spark.operators import train_pq_codebooks
+
+        return train_pq_codebooks(emb, m=8, nbits=8, sample=2000, iters=6)
+
+    def test_train_shape_and_determinism(self, spark, emb):
+        from bloomjoin_spark.operators import train_pq_codebooks
+
+        b1 = self._books(spark, emb)
+        b2 = self._books(spark, emb)
+        assert b1.shape == (8, 256, 8)
+        np.testing.assert_array_equal(b1, b2)
+
+    def test_train_validation(self, spark, emb):
+        from bloomjoin_spark.operators import train_pq_codebooks
+
+        with pytest.raises(ValueError, match="divisible"):
+            train_pq_codebooks(emb, m=7)
+        with pytest.raises(ValueError, match="nbits"):
+            train_pq_codebooks(emb, nbits=9)
+        with pytest.raises(ValueError, match="m must"):
+            train_pq_codebooks(emb, m=0)
+
+    def test_codes_shape_and_null_handling(self, spark, emb):
+        from bloomjoin_spark.operators import add_pq_codes
+
+        books = self._books(spark, emb)
+        bad = spark.createDataFrame(
+            [(900001, None), (900002, []), (900003, [1.0, 2.0])],
+            "vec_id long, embedding array<float>",
+        )
+        out = add_pq_codes(
+            emb.select("vec_id", "embedding").unionByName(bad), books
+        ).collect()
+        by_id = {r.vec_id: r.pq_code for r in out}
+        # null / empty / wrong-dim vectors -> NULL code
+        assert by_id[900001] is None and by_id[900002] is None
+        assert by_id[900003] is None
+        real = [c for i, c in by_id.items() if i < 900000]
+        assert all(c is not None and len(c) == 8 for c in real)
+        with pytest.raises(ValueError, match="already exists"):
+            add_pq_codes(emb.withColumn("pq_code", F.lit(b"")), books)
+
+    def test_exactly_representable_vectors_score_exactly(self, spark):
+        """With hand-built codebooks and corpus vectors that ARE
+        codeword concatenations (unit norm, so the encode-side
+        normalization is a no-op), quantization is lossless: the ADC
+        score is the exact cosine, so even shortlist=1 finds the true
+        top-1 (self, sim 1.0) for every query."""
+        from bloomjoin_spark.operators import ann_pq_topk
+
+        # 2 subspaces × 4 codewords of norm 1/√2: every concatenation
+        # is a unit vector and exactly representable
+        angles = np.array([0.1, 0.7, 1.6, 2.9])
+        cw = np.stack([np.cos(angles), np.sin(angles)], axis=1) / np.sqrt(2)
+        books = np.stack([cw, cw[::-1]])  # (m=2, k=4, dsub=2)
+        vecs = [
+            np.concatenate([books[0, a], books[1, b]])
+            for a in range(4) for b in range(4)
+        ]
+        corpus = spark.createDataFrame(
+            [(i, v.tolist()) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<float>",
+        )
+        q = corpus.filter(F.col("vec_id") % 5 == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        got = ann_pq_topk(corpus, q, books, k=1, shortlist=1).collect()
+        assert len(got) == 4
+        assert all(r.vec_id == r.query_id and r.sim == 1.0 for r in got)
+
+    def test_full_shortlist_is_exact(self, spark, emb, queries):
+        """shortlist >= |corpus| makes the re-rank see every vector:
+        PQ output == brute-force cosine_topk exactly."""
+        from bloomjoin_spark.operators import ann_pq_topk
+
+        books = self._books(spark, emb)
+        n = emb.count()
+        exact = cosine_topk(emb, queries, k=5).select("query_id", "vec_id", "sim")
+        approx = ann_pq_topk(emb, queries, books, k=5, shortlist=n).select(
+            "query_id", "vec_id", "sim"
+        )
+        assert exact.exceptAll(approx).count() == 0
+        assert approx.exceptAll(exact).count() == 0
+
+    def test_recall_and_precomputed_codes_path(self, spark, emb, queries):
+        from bloomjoin_spark.operators import add_pq_codes, ann_pq_topk
+
+        books = self._books(spark, emb)
+        exact = cosine_topk(emb, queries, k=10).select("query_id", "vec_id")
+        codes = add_pq_codes(emb.select("vec_id", "embedding"), books).select(
+            "vec_id", "pq_code"
+        )
+        approx = ann_pq_topk(
+            emb, queries, books, k=10, codes=codes, shortlist=80
+        ).select("query_id", "vec_id")
+        hit = exact.join(approx, ["query_id", "vec_id"], "left_semi").count()
+        assert hit / max(exact.count(), 1) >= 0.5
+        with pytest.raises(ValueError, match="shortlist"):
+            ann_pq_topk(emb, queries, books, k=10, shortlist=5)
