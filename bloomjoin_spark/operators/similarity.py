@@ -212,6 +212,27 @@ def ann_lsh_topk(
 # candidate fetch partition-pruned instead of a shuffle.
 # ---------------------------------------------------------------------------
 
+def _sample_unit_vectors(
+    corpus: DataFrame, vec_col: str, sample: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Shared training-sample fetch for IVF and PQ: a seeded sample of
+    ≤ ``sample`` vectors (the only driver-side data), L2-normalized,
+    plus the deterministic splitmix-shuffled init order."""
+    n = corpus.count()
+    frac = min(1.0, (sample * 1.25) / max(n, 1))
+    pdf = (
+        corpus.select(vec_col).sample(fraction=frac, seed=42).limit(sample).toPandas()
+    )
+    V = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in pdf[vec_col] if v is not None and len(v)]
+    )
+    V = V / np.clip(np.linalg.norm(V, axis=1, keepdims=True), 1e-12, None)
+    from ..hashing import splitmix64
+
+    order = np.argsort(splitmix64(np.arange(len(V), dtype=np.uint64)))
+    return V, order
+
+
 def train_ivf_centroids(
     corpus: DataFrame,
     vec_col: str = "embedding",
@@ -222,19 +243,9 @@ def train_ivf_centroids(
     """Deterministic spherical k-means over a seeded sample: returns
     (nlist, dim) unit centroids.  The sample is the only driver-side
     data (≤ ``sample`` rows); training is a few numpy matmuls."""
-    n = corpus.count()
-    frac = min(1.0, (sample * 1.25) / max(n, 1))
-    pdf = (
-        corpus.select(vec_col).sample(fraction=frac, seed=42).limit(sample).toPandas()
-    )
-    V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col] if v is not None and len(v)])
-    norms = np.linalg.norm(V, axis=1, keepdims=True)
-    V = V / np.clip(norms, 1e-12, None)
+    V, order = _sample_unit_vectors(corpus, vec_col, sample)
     nlist = min(nlist, len(V))
     # deterministic init: splitmix-shuffled sample order, first nlist rows
-    from ..hashing import splitmix64
-
-    order = np.argsort(splitmix64(np.arange(len(V), dtype=np.uint64)))
     C = V[order[:nlist]].copy()
     for _ in range(iters):
         assign = np.argmax(V @ C.T, axis=1)
@@ -563,22 +574,11 @@ def train_pq_codebooks(
         raise ValueError(f"m must be >= 1, got {m}")
     if not 1 <= nbits <= 8:
         raise ValueError(f"nbits must be in [1, 8] (codes are bytes), got {nbits}")
-    n = corpus.count()
-    frac = min(1.0, (sample * 1.25) / max(n, 1))
-    pdf = (
-        corpus.select(vec_col).sample(fraction=frac, seed=42).limit(sample).toPandas()
-    )
-    V = np.stack(
-        [np.asarray(v, dtype=np.float64) for v in pdf[vec_col] if v is not None and len(v)]
-    )
+    V, order = _sample_unit_vectors(corpus, vec_col, sample)
     dim = V.shape[1]
     if dim % m:
         raise ValueError(f"vector dim {dim} is not divisible by m={m}")
     dsub = dim // m
-    V = V / np.clip(np.linalg.norm(V, axis=1, keepdims=True), 1e-12, None)
-    from ..hashing import splitmix64
-
-    order = np.argsort(splitmix64(np.arange(len(V), dtype=np.uint64)))
     k_full = 1 << nbits
     k = min(k_full, len(V))
     books = np.empty((m, k_full, dsub), dtype=np.float64)
@@ -682,6 +682,7 @@ def add_pq_codes(
 def _adc_score_fn(
     tables: np.ndarray,
     qid_values,
+    qid_arrow_type,
     id_col: str,
     code_col: str,
     query_id_col: str,
@@ -697,7 +698,9 @@ def _adc_score_fn(
         import pyarrow as pa
 
         T = tables
-        qid_arr = pa.array(qid_values)
+        # explicit type: pa.array's inference (int64 for Python ints)
+        # would mismatch the declared schema for e.g. an int query id
+        qid_arr = pa.array(qid_values, type=qid_arrow_type)
         for batch in it:
             n = batch.num_rows
             if n == 0:
@@ -767,7 +770,12 @@ def ann_pq_topk(
     but the id and the m-byte code — the 100 TB shape; omitted, codes
     are computed on the fly from ``corpus`` in the same pass.  With
     ``shortlist >= |corpus|`` the result is EXACTLY ``cosine_topk``
-    (the re-rank sees every vector).
+    over the validly-coded rows (the re-rank sees every vector whose
+    code is non-NULL; null/empty/wrong-dim corpus vectors never become
+    candidates, where ``cosine_topk`` scores them 0.0).  Queries with
+    a NULL/empty vector produce no output rows; duplicate ``id_col``
+    values in ``codes`` are candidate-deduped like the other ANN paths
+    (the fetch join still fans out if ``corpus`` itself repeats an id).
     """
     if shortlist is None:
         shortlist = max(4 * k, 50)
@@ -779,7 +787,19 @@ def ann_pq_topk(
             corpus.select(id_col, vec_col), codebooks, vec_col, code_col
         ).select(id_col, code_col)
 
-    qrows = queries.select(query_id_col, vec_col).collect()
+    qrows = [
+        r
+        for r in queries.select(query_id_col, vec_col).collect()
+        if r[1] is not None and len(r[1])
+    ]
+    qid_dtype = dict(queries.dtypes)[query_id_col]
+    id_dtype = dict(codes.dtypes)[id_col]
+    if not qrows:
+        return queries.sparkSession.createDataFrame(
+            [],
+            f"{query_id_col} {qid_dtype}, {id_col} {id_dtype}, "
+            "sim double, rank int",
+        )
     qids = [r[0] for r in qrows]
     Qv = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
     if Qv.shape[1] != m * dsub:
@@ -790,20 +810,29 @@ def ann_pq_topk(
     # ADC tables: T[q, j, c] = q's j-th subvector · codeword c
     T = np.einsum("qjd,jcd->qjc", Qv.reshape(len(qids), m, dsub), codebooks)
 
-    qid_dtype = dict(queries.dtypes)[query_id_col]
-    id_dtype = dict(codes.dtypes)[id_col]
     cand_schema = (
         f"{query_id_col} {qid_dtype}, {id_col} {id_dtype}, __approx double"
     )
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    qid_arrow_type = to_arrow_type(
+        queries.schema[query_id_col].dataType
+    )
     per_batch = codes.mapInArrow(
-        _adc_score_fn(T, qids, id_col, code_col, query_id_col, shortlist),
+        _adc_score_fn(
+            T, qids, qid_arrow_type, id_col, code_col, query_id_col, shortlist
+        ),
         cand_schema,
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("__approx"), F.asc(id_col)
     )
     cand_ids = (
-        per_batch.withColumn("__r", F.row_number().over(w))
+        # dedup BEFORE the shortlist window: duplicate ids in a user
+        # codes table carry identical scores and would otherwise eat
+        # shortlist slots (same candidate at ranks 1 and 2)
+        per_batch.dropDuplicates([query_id_col, id_col])
+        .withColumn("__r", F.row_number().over(w))
         .filter(F.col("__r") <= shortlist)
         .select(query_id_col, id_col)
     )

@@ -226,3 +226,48 @@ class TestProductQuantization:
         assert hit / max(exact.count(), 1) >= 0.5
         with pytest.raises(ValueError, match="shortlist"):
             ann_pq_topk(emb, queries, books, k=10, shortlist=5)
+
+    def test_edge_inputs_and_nonlong_qid(self, spark):
+        """Review fixes: int (non-long) query ids must not break the
+        Arrow schema; empty / null-vector queries degrade gracefully;
+        duplicate ids in a user codes table don't duplicate top-k rows."""
+        from bloomjoin_spark.operators import add_pq_codes, ann_pq_topk
+
+        angles = np.array([0.3, 1.1, 2.0, 2.8])
+        cw = np.stack([np.cos(angles), np.sin(angles)], axis=1) / np.sqrt(2)
+        books = np.stack([cw, cw])
+        vecs = [
+            np.concatenate([books[0, a], books[1, b]]).tolist()
+            for a in range(4) for b in range(4)
+        ]
+        corpus = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<float>",
+        )
+        # int (32-bit) query id
+        q_int = spark.createDataFrame(
+            [(3, vecs[3])], "query_id int, embedding array<float>"
+        )
+        got = ann_pq_topk(corpus, q_int, books, k=1, shortlist=1).collect()
+        assert got[0].vec_id == 3 and got[0].sim == 1.0
+        # empty queries -> empty result with the output schema
+        q_empty = q_int.limit(0)
+        out = ann_pq_topk(corpus, q_empty, books, k=1)
+        assert out.count() == 0
+        assert set(out.columns) == {"query_id", "vec_id", "sim", "rank"}
+        # a NULL-vector query yields no rows for that query
+        q_null = spark.createDataFrame(
+            [(9, None), (3, vecs[3])], "query_id int, embedding array<float>"
+        )
+        got2 = ann_pq_topk(corpus, q_null, books, k=1, shortlist=1).collect()
+        assert {r.query_id for r in got2} == {3}
+        # duplicated codes rows don't duplicate candidates
+        codes = add_pq_codes(corpus, books)
+        dup_codes = codes.select("vec_id", "pq_code").unionAll(
+            codes.select("vec_id", "pq_code")
+        )
+        got3 = ann_pq_topk(
+            corpus, q_int, books, k=3, codes=dup_codes, shortlist=3
+        ).collect()
+        ids = [r.vec_id for r in got3]
+        assert len(ids) == len(set(ids)) == 3
