@@ -374,6 +374,27 @@ def _token_budget_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _temperature_mixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 5: temperature-flattened training mix (public
+    multilingual-LM sampling rule, p ∝ t^alpha) at alpha=0.5,
+    downsample-only normalization — the favored (smallest-mass) source
+    is kept whole, every other source downsampled to the target ratio.
+    The oracle recomputes the per-source totals, pow-based rates, hex
+    thresholds, and the IDENTICAL kept rows."""
+    from bloomjoin_spark.operators import temperature_mixture
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = temperature_mixture(docs, "doc_id", alpha=0.5, count_col="n_chars")
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_chars").alias("kept_chars"),
+        )
+        .orderBy("source")
+    )
+
+
 def _profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 4: one-call table profile — exact counters (rows, nulls,
     lexicographic min/max as strings) pinned by the oracle verbatim;
@@ -1996,6 +2017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_docs": _pipeline_docs,
         "chunk_docs": _chunk_docs,
         "token_budget_docs": _token_budget_docs,
+        "temperature_mixture_docs": _temperature_mixture_docs,
         "profile_docs": _profile_docs,
         "bigram_score_docs": _bigram_score_docs,
         "trigram_score_docs": _trigram_score_docs,
@@ -2503,6 +2525,30 @@ def oracle_sql() -> dict[str, str]:
                                               WHEN 'src1' THEN 2000.0 END / t)
                          AS rate
                 FROM totals WHERE source IN ('src0', 'src1')
+              )
+            )
+            SELECT d.source, COUNT(*)::BIGINT AS n_rows,
+                   SUM(d.n_chars)::BIGINT AS kept_chars
+            FROM documents d JOIN th USING (source)
+            WHERE substr(md5(d.doc_id::VARCHAR || '|'), 1, 4) < th.lim
+            GROUP BY d.source ORDER BY d.source
+        """,
+        "temperature_mixture_docs": """
+            WITH totals AS (
+              SELECT source, SUM(n_chars)::DOUBLE AS t
+              FROM documents WHERE source IS NOT NULL
+              GROUP BY source HAVING SUM(n_chars) IS NOT NULL
+            ),
+            top AS (SELECT max(pow(t, -0.5)) AS mx FROM totals),
+            th AS (
+              SELECT source,
+                     CASE WHEN CAST(round(rate * 65536) AS INT) >= 65536 THEN 'g'
+                          ELSE printf('%04x', CAST(round(rate * 65536) AS INT))
+                     END AS lim
+              FROM (
+                SELECT source,
+                       LEAST(1.0, pow(t, -0.5) / (SELECT mx FROM top)) AS rate
+                FROM totals
               )
             )
             SELECT d.source, COUNT(*)::BIGINT AS n_rows,

@@ -477,6 +477,65 @@ def token_budget_mixture(
     return kept
 
 
+def temperature_mixture(
+    df: DataFrame,
+    key_col: str,
+    alpha: float,
+    total_budget: int | None = None,
+    count_col: str = "n_tok",
+    stratum_col: str = "source",
+    salt: str = "",
+    return_rates: bool = False,
+):
+    """Temperature-flattened training mix (the public multilingual-LM
+    sampling rule — mBERT / XLM-R style): target each stratum's share
+    of the kept mass at ``p_s ∝ t_s^alpha`` where ``t_s`` is the
+    stratum's ``count_col`` total.  ``alpha=1`` keeps natural
+    proportions, ``alpha→0`` flattens toward uniform-per-stratum,
+    between values boost low-resource strata relative to their size.
+
+    Downsample-only realization (document-level Bernoulli cannot
+    replicate rows): with ``total_budget`` B the rate is
+    ``min(1, B·p_s / t_s)``; without it, rates are max-normalized
+    ``t_s^(alpha-1) / max_u t_u^(alpha-1)`` — the stratum the
+    temperature favors most is kept whole and every other stratum is
+    downsampled to sit at the target RATIO to it (the largest kept
+    corpus with exact ``p_s`` proportions).  One per-stratum aggregate
+    (a handful of driver-side rows at any corpus size, same bound as
+    ``token_budget_mixture``), then the deterministic md5-bucket
+    ``weighted_mixture`` — engine-portable, growth-stable, no shuffle.
+    NULL-stratum and NULL-key rows are dropped (SQL WHERE semantics).
+    ``return_rates=True`` also returns ``{stratum: (total, rate)}``."""
+    if alpha < 0.0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    if total_budget is not None and total_budget < 0:
+        raise ValueError(f"total_budget must be >= 0, got {total_budget}")
+    totals = {
+        r[stratum_col]: float(r["__tm_t"])
+        for r in df.groupBy(stratum_col)
+        .agg(F.sum(count_col).alias("__tm_t"))
+        .collect()
+        if r[stratum_col] is not None and r["__tm_t"]
+    }
+    if not totals:
+        rates: dict[str, float] = {}
+    elif total_budget is None:
+        top = max(t ** (alpha - 1.0) for t in totals.values())
+        rates = {s: min(1.0, (t ** (alpha - 1.0)) / top) for s, t in totals.items()}
+    else:
+        z = sum(t ** alpha for t in totals.values())
+        rates = {
+            s: min(1.0, total_budget * (t ** alpha / z) / t)
+            for s, t in totals.items()
+        }
+    kept = weighted_mixture(
+        df, key_col, rates, stratum_col=stratum_col, default_rate=0.0, salt=salt
+    )
+    if return_rates:
+        return kept, {s: (totals[s], rates[s]) for s in totals}
+    return kept
+
+
 def assign_contiguous_ids(
     df: DataFrame,
     order_by: str | list[str],

@@ -739,3 +739,63 @@ class TestQuantileBuckets:
         out = quantile_buckets(df, "v", cutoffs=[25.0, 50.0, 75.0])
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+class TestTemperatureMixture:
+    def _df(self, spark):
+        # stratum a: 90 docs × 100 tokens; b: 10 docs × 100 tokens
+        rows = [(f"a{i}", "a", 100) for i in range(90)] + [
+            (f"b{i}", "b", 100) for i in range(10)
+        ]
+        return spark.createDataFrame(rows, "doc_id string, source string, n_tok int")
+
+    def test_downsample_only_rates_hit_target_proportions(self, spark):
+        from bloomjoin_spark.operators import temperature_mixture
+
+        df = self._df(spark)
+        kept, rates = temperature_mixture(
+            df, "doc_id", alpha=0.5, return_rates=True
+        )
+        # t_a=9000, t_b=1000; favored stratum (b) kept whole, a at
+        # (t_b/t_a)^0.5 — the p ∝ t^0.5 ratio: 3:1 kept mass
+        assert rates["b"] == (1000.0, 1.0)
+        t, r = rates["a"]
+        assert t == 9000.0 and abs(r - (1000.0 / 9000.0) ** 0.5) < 1e-12
+        assert kept.count() <= 90 + 10
+
+    def test_alpha_one_is_natural_and_budget_caps(self, spark):
+        from bloomjoin_spark.operators import temperature_mixture
+
+        df = self._df(spark)
+        _, rates = temperature_mixture(df, "doc_id", alpha=1.0, return_rates=True)
+        assert all(r == 1.0 for _, r in rates.values())
+        # budget: 1000 tokens at alpha=1 → uniform 10% rate everywhere
+        _, rates = temperature_mixture(
+            df, "doc_id", alpha=1.0, total_budget=1000, return_rates=True
+        )
+        assert abs(rates["a"][1] - 0.1) < 1e-12
+        assert abs(rates["b"][1] - 0.1) < 1e-12
+        # a huge budget caps every rate at 1
+        _, rates = temperature_mixture(
+            df, "doc_id", alpha=0.3, total_budget=10**9, return_rates=True
+        )
+        assert all(r == 1.0 for _, r in rates.values())
+
+    def test_validation_and_null_strata(self, spark):
+        import pytest as _pytest
+
+        from bloomjoin_spark.operators import temperature_mixture
+
+        df = self._df(spark)
+        with _pytest.raises(ValueError, match="alpha"):
+            temperature_mixture(df, "doc_id", alpha=-0.1)
+        with _pytest.raises(ValueError, match="total_budget"):
+            temperature_mixture(df, "doc_id", alpha=0.5, total_budget=-1)
+        # NULL-stratum rows are dropped
+        withnull = df.unionByName(
+            spark.createDataFrame(
+                [("z1", None, 50)], "doc_id string, source string, n_tok int"
+            )
+        )
+        kept = temperature_mixture(withnull, "doc_id", alpha=1.0)
+        assert kept.filter(F.col("source").isNull()).count() == 0
