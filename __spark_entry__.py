@@ -395,6 +395,19 @@ def _temperature_mixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _repeat_mixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 5: UPSAMPLING mix — src0 at rate 2.5 (2 full copies + a
+    50% md5-coin third), src1 at 0.5 (Bernoulli keep), everything else
+    passed through once; every copy carries its 0-based epoch.  Full
+    value parity: the oracle recomputes the copy counts and epoch
+    fan-out row-for-row (unnest(range(n)))."""
+    from bloomjoin_spark.operators import repeat_mixture
+
+    docs = _t(spark, sf_dir, "documents")
+    out = repeat_mixture(docs, "doc_id", {"src0": 2.5, "src1": 0.5})
+    return out.select("doc_id", "source", "epoch")
+
+
 def _profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 4: one-call table profile — exact counters (rows, nulls,
     lexicographic min/max as strings) pinned by the oracle verbatim;
@@ -2018,6 +2031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs": _chunk_docs,
         "token_budget_docs": _token_budget_docs,
         "temperature_mixture_docs": _temperature_mixture_docs,
+        "repeat_mixture_docs": _repeat_mixture_docs,
         "profile_docs": _profile_docs,
         "bigram_score_docs": _bigram_score_docs,
         "trigram_score_docs": _trigram_score_docs,
@@ -2556,6 +2570,22 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN th USING (source)
             WHERE substr(md5(d.doc_id::VARCHAR || '|'), 1, 4) < th.lim
             GROUP BY d.source ORDER BY d.source
+        """,
+        "repeat_mixture_docs": """
+            WITH base AS (
+              SELECT doc_id, source,
+                     CASE WHEN source = 'src0' THEN 2
+                          WHEN source = 'src1' THEN 0
+                          ELSE 1 END
+                   + CASE WHEN substr(md5(doc_id::VARCHAR || '|'), 1, 4) <
+                               CASE WHEN source = 'src0' THEN '8000'
+                                    WHEN source = 'src1' THEN '8000'
+                                    ELSE '0000' END
+                          THEN 1 ELSE 0 END AS n
+              FROM documents
+            )
+            SELECT doc_id, source, unnest(range(0, n))::INT AS epoch
+            FROM base
         """,
         "incr_dedup_stream_docs": """
             -- survivor fingerprints = distinct batch fingerprints not in

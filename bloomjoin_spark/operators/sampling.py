@@ -477,6 +477,60 @@ def token_budget_mixture(
     return kept
 
 
+def repeat_mixture(
+    df: DataFrame,
+    key_col: str,
+    rates: dict[str, float],
+    stratum_col: str = "source",
+    default_rate: float = 1.0,
+    salt: str = "",
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Training-mix composition with UPSAMPLING: each stratum's rate
+    may exceed 1 and is realized as repeat counts — ``floor(rate)``
+    full copies per document plus one extra copy for the keys whose
+    md5 bucket falls under ``frac(rate)``, so the stratum's kept mass
+    is ``rate`` in expectation and every copy carries a 0-based
+    ``epoch_col`` index (salt ``deterministic_shuffle`` by it for a
+    distinct training order per epoch).  ``rate=0.5`` degrades to
+    exactly ``weighted_mixture``'s Bernoulli keep; ``default_rate=1``
+    passes unlisted strata through as single copies.
+
+    Same deterministic, engine-portable md5-bucket rule as the whole
+    ``hash_split`` family — reproducible across engines and stable as
+    sources grow.  One codegen expression + an explode; no shuffle.
+    NULL-key rows get ``floor(rate)`` copies (the fractional coin is
+    undecidable without a key — SQL comparison semantics drop them,
+    matching the oracle); NULL strata use ``default_rate``."""
+    for s, r in rates.items():
+        if r < 0:
+            raise ValueError(f"rate for {s!r} must be >= 0, got {r}")
+    if default_rate < 0:
+        raise ValueError(f"default_rate must be >= 0, got {default_rate}")
+    if epoch_col in df.columns:
+        raise ValueError(f"output column {epoch_col!r} already exists")
+    bucket = _bucket_col(F.col(key_col), salt)
+
+    def _parts(r: float) -> tuple[int, str]:
+        full = int(r)
+        return full, _threshold_str(r - full)
+
+    n_expr, t_expr = None, None
+    for stratum, rate in rates.items():
+        cond = F.col(stratum_col) == F.lit(stratum)
+        full, thr = _parts(rate)
+        n_expr = (F.when(cond, full) if n_expr is None else n_expr.when(cond, full))
+        t_expr = (F.when(cond, thr) if t_expr is None else t_expr.when(cond, thr))
+    d_full, d_thr = _parts(default_rate)
+    n_full = F.lit(d_full) if n_expr is None else n_expr.otherwise(F.lit(d_full))
+    thr = F.lit(d_thr) if t_expr is None else t_expr.otherwise(F.lit(d_thr))
+    copies = n_full + (bucket < thr).cast("int")
+    seq = F.when(
+        copies > 0, F.sequence(F.lit(0), copies - F.lit(1))
+    ).otherwise(F.array().cast("array<int>"))
+    return df.select("*", F.explode(seq).alias(epoch_col))
+
+
 def temperature_mixture(
     df: DataFrame,
     key_col: str,
@@ -486,6 +540,8 @@ def temperature_mixture(
     stratum_col: str = "source",
     salt: str = "",
     return_rates: bool = False,
+    allow_upsampling: bool = False,
+    epoch_col: str = "epoch",
 ):
     """Temperature-flattened training mix (the public multilingual-LM
     sampling rule — mBERT / XLM-R style): target each stratum's share
@@ -494,18 +550,28 @@ def temperature_mixture(
     proportions, ``alpha→0`` flattens toward uniform-per-stratum,
     between values boost low-resource strata relative to their size.
 
-    Downsample-only realization (document-level Bernoulli cannot
-    replicate rows): with ``total_budget`` B the rate is
+    Default realization is DOWNSAMPLE-ONLY (document-level Bernoulli
+    cannot replicate rows): with ``total_budget`` B the rate is
     ``min(1, B·p_s / t_s)``; without it, rates are max-normalized
     ``t_s^(alpha-1) / max_u t_u^(alpha-1)`` — the stratum the
     temperature favors most is kept whole and every other stratum is
     downsampled to sit at the target RATIO to it (the largest kept
-    corpus with exact ``p_s`` proportions).  One per-stratum aggregate
-    (a handful of driver-side rows at any corpus size, same bound as
-    ``token_budget_mixture``), then the deterministic md5-bucket
-    ``weighted_mixture`` — engine-portable, growth-stable, no shuffle.
-    NULL-stratum and NULL-key rows are dropped (SQL WHERE semantics).
-    ``return_rates=True`` also returns ``{stratum: (total, rate)}``."""
+    corpus with exact ``p_s`` proportions).
+
+    ``allow_upsampling=True`` realizes rates ABOVE 1 as repeat counts
+    via :func:`repeat_mixture` (the result gains ``epoch_col``): with
+    a budget the rate is the uncapped ``B·p_s / t_s``; without one the
+    kept TOTAL mass stays at the corpus total (``B = Σt`` — the
+    constant-size temperature resample of the multilingual-LM
+    papers).
+
+    One per-stratum aggregate (a handful of driver-side rows at any
+    corpus size, same bound as ``token_budget_mixture``), then the
+    deterministic md5-bucket keep/repeat rule — engine-portable,
+    growth-stable, no shuffle.  NULL-stratum and NULL-key rows are
+    dropped in downsample mode (SQL WHERE semantics; see
+    ``repeat_mixture`` for its NULL rules).  ``return_rates=True``
+    also returns ``{stratum: (total, rate)}``."""
     if alpha < 0.0:
         raise ValueError(f"alpha must be >= 0, got {alpha}")
     if total_budget is not None and total_budget < 0:
@@ -517,20 +583,30 @@ def temperature_mixture(
         .collect()
         if r[stratum_col] is not None and r["__tm_t"]
     }
+    cap = (lambda r: r) if allow_upsampling else (lambda r: min(1.0, r))
     if not totals:
         rates: dict[str, float] = {}
-    elif total_budget is None:
+    elif total_budget is None and not allow_upsampling:
         top = max(t ** (alpha - 1.0) for t in totals.values())
-        rates = {s: min(1.0, (t ** (alpha - 1.0)) / top) for s, t in totals.items()}
+        rates = {s: cap((t ** (alpha - 1.0)) / top) for s, t in totals.items()}
     else:
+        budget = float(total_budget) if total_budget is not None else sum(
+            totals.values()
+        )
         z = sum(t ** alpha for t in totals.values())
         rates = {
-            s: min(1.0, total_budget * (t ** alpha / z) / t)
-            for s, t in totals.items()
+            s: cap(budget * (t ** alpha / z) / t) for s, t in totals.items()
         }
-    kept = weighted_mixture(
-        df, key_col, rates, stratum_col=stratum_col, default_rate=0.0, salt=salt
-    )
+    if allow_upsampling:
+        kept = repeat_mixture(
+            df, key_col, rates, stratum_col=stratum_col,
+            default_rate=0.0, salt=salt, epoch_col=epoch_col,
+        )
+    else:
+        kept = weighted_mixture(
+            df, key_col, rates, stratum_col=stratum_col,
+            default_rate=0.0, salt=salt,
+        )
     if return_rates:
         return kept, {s: (totals[s], rates[s]) for s in totals}
     return kept

@@ -799,3 +799,80 @@ class TestTemperatureMixture:
         )
         kept = temperature_mixture(withnull, "doc_id", alpha=1.0)
         assert kept.filter(F.col("source").isNull()).count() == 0
+
+
+class TestRepeatMixture:
+    def _df(self, spark):
+        rows = [(f"a{i}", "a") for i in range(2000)] + [
+            (f"b{i}", "b") for i in range(500)
+        ]
+        return spark.createDataFrame(rows, "doc_id string, source string")
+
+    def test_repeat_counts_and_epochs(self, spark):
+        from bloomjoin_spark.operators import repeat_mixture
+
+        df = self._df(spark)
+        out = repeat_mixture(df, "doc_id", {"a": 2.5, "b": 0.5})
+        per = {r["source"]: r["n"] for r in
+               out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+        # stratum a: 2 full copies + ~50% extras; b: Bernoulli half
+        assert abs(per["a"] / 2000 - 2.5) < 0.1
+        assert abs(per["b"] / 500 - 0.5) < 0.1
+        # epochs are dense 0..copies-1 per doc
+        bad = (
+            out.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n"), F.max("epoch").alias("mx"),
+                 F.min("epoch").alias("mn"))
+            .filter((F.col("mx") != F.col("n") - 1) | (F.col("mn") != 0))
+            .count()
+        )
+        assert bad == 0
+        # rate 0.5 == weighted_mixture's Bernoulli keep, same keys
+        from bloomjoin_spark.operators import weighted_mixture
+
+        b = df.filter(F.col("source") == "b")
+        keep_rm = {r.doc_id for r in repeat_mixture(
+            b, "doc_id", {"b": 0.5}).collect()}
+        keep_wm = {r.doc_id for r in weighted_mixture(
+            b, "doc_id", {"b": 0.5}).collect()}
+        assert keep_rm == keep_wm
+
+    def test_defaults_nulls_and_validation(self, spark):
+        from bloomjoin_spark.operators import repeat_mixture
+
+        df = self._df(spark)
+        # default_rate=1: unlisted strata pass through as one copy
+        out = repeat_mixture(df, "doc_id", {"a": 2.0})
+        assert out.filter(F.col("source") == "b").count() == 500
+        # integer rates take no fractional coin: exact copy counts
+        assert out.filter(F.col("source") == "a").count() == 4000
+        # NULL key: floor(rate) copies, no fractional coin
+        nk = spark.createDataFrame(
+            [(None, "a"), (None, "b")], "doc_id string, source string"
+        )
+        got = repeat_mixture(nk, "doc_id", {"a": 2.9, "b": 0.9}).collect()
+        assert [r.source for r in got] == ["a", "a"]
+        with pytest.raises(ValueError, match="rate for"):
+            repeat_mixture(df, "doc_id", {"a": -1.0})
+        with pytest.raises(ValueError, match="already exists"):
+            repeat_mixture(df.withColumn("epoch", F.lit(0)), "doc_id", {"a": 1.0})
+
+    def test_temperature_upsampling_constant_mass(self, spark):
+        """allow_upsampling without a budget: kept token mass stays at
+        the corpus total while proportions move to p ∝ t^alpha."""
+        from bloomjoin_spark.operators import temperature_mixture
+
+        rows = [(f"a{i}", "a", 100) for i in range(900)] + [
+            (f"b{i}", "b", 100) for i in range(100)
+        ]
+        df = spark.createDataFrame(rows, "doc_id string, source string, n_tok int")
+        kept, rates = temperature_mixture(
+            df, "doc_id", alpha=0.5, allow_upsampling=True, return_rates=True
+        )
+        # t_a=90000, t_b=10000; p=(0.75, 0.25); B=100000 →
+        # rate_a=100000*.75/90000=.8333, rate_b=100000*.25/10000=2.5
+        assert abs(rates["a"][1] - 0.75 / 0.9) < 1e-12
+        assert abs(rates["b"][1] - 2.5) < 1e-12
+        assert "epoch" in kept.columns
+        mass = kept.agg(F.sum("n_tok")).first()[0]
+        assert abs(mass / 100_000 - 1.0) < 0.05  # constant total mass
