@@ -2549,19 +2549,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         "temperature_mixture_docs": """
             WITH totals AS (
-              SELECT source, SUM(n_chars)::DOUBLE AS t
+              SELECT source, COALESCE(SUM(n_chars), 0)::DOUBLE AS t
               FROM documents WHERE source IS NOT NULL
-              GROUP BY source HAVING SUM(n_chars) IS NOT NULL
+              GROUP BY source
             ),
-            top AS (SELECT max(pow(t, -0.5)) AS mx FROM totals),
+            top AS (SELECT max(pow(t, -0.5)) AS mx FROM totals WHERE t > 0),
             th AS (
               SELECT source,
                      CASE WHEN CAST(round(rate * 65536) AS INT) >= 65536 THEN 'g'
                           ELSE printf('%04x', CAST(round(rate * 65536) AS INT))
                      END AS lim
               FROM (
+                -- zero-mass strata are free (rate 1), matching the
+                -- operator's token_budget-style rule
                 SELECT source,
-                       LEAST(1.0, pow(t, -0.5) / (SELECT mx FROM top)) AS rate
+                       CASE WHEN t > 0
+                            THEN LEAST(1.0, pow(t, -0.5) / (SELECT mx FROM top))
+                            ELSE 1.0 END AS rate
                 FROM totals
               )
             )

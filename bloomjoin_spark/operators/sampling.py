@@ -503,10 +503,12 @@ def repeat_mixture(
     undecidable without a key — SQL comparison semantics drop them,
     matching the oracle); NULL strata use ``default_rate``."""
     for s, r in rates.items():
-        if r < 0:
-            raise ValueError(f"rate for {s!r} must be >= 0, got {r}")
-    if default_rate < 0:
-        raise ValueError(f"default_rate must be >= 0, got {default_rate}")
+        if not (0 <= r < float("inf")):  # rejects negatives, NaN, inf
+            raise ValueError(f"rate for {s!r} must be finite >= 0, got {r}")
+    if not (0 <= default_rate < float("inf")):
+        raise ValueError(
+            f"default_rate must be finite >= 0, got {default_rate}"
+        )
     if epoch_col in df.columns:
         raise ValueError(f"output column {epoch_col!r} already exists")
     bucket = _bucket_col(F.col(key_col), salt)
@@ -572,31 +574,43 @@ def temperature_mixture(
     dropped in downsample mode (SQL WHERE semantics; see
     ``repeat_mixture`` for its NULL rules).  ``return_rates=True``
     also returns ``{stratum: (total, rate)}``."""
-    if alpha < 0.0:
+    if not (alpha >= 0.0):  # rejects negatives AND NaN
         raise ValueError(f"alpha must be >= 0, got {alpha}")
-    if total_budget is not None and total_budget < 0:
+    if total_budget is not None and not (total_budget >= 0):
         raise ValueError(f"total_budget must be >= 0, got {total_budget}")
     totals = {
-        r[stratum_col]: float(r["__tm_t"])
+        r[stratum_col]: float(r["__tm_t"]) if r["__tm_t"] is not None else 0.0
         for r in df.groupBy(stratum_col)
         .agg(F.sum(count_col).alias("__tm_t"))
         .collect()
-        if r[stratum_col] is not None and r["__tm_t"]
+        if r[stratum_col] is not None
     }
+    # zero-mass strata are FREE (kept whole): they carry no tokens, so
+    # they cannot distort the temperature proportions — the same rule
+    # as token_budget_mixture, and what the SQL oracle computes (its
+    # CASE t > 0 falls through to rate 1)
+    pos = {s: t for s, t in totals.items() if t > 0}
     cap = (lambda r: r) if allow_upsampling else (lambda r: min(1.0, r))
-    if not totals:
-        rates: dict[str, float] = {}
-    elif total_budget is None and not allow_upsampling:
-        top = max(t ** (alpha - 1.0) for t in totals.values())
-        rates = {s: cap((t ** (alpha - 1.0)) / top) for s, t in totals.items()}
-    else:
-        budget = float(total_budget) if total_budget is not None else sum(
-            totals.values()
-        )
-        z = sum(t ** alpha for t in totals.values())
-        rates = {
-            s: cap(budget * (t ** alpha / z) / t) for s, t in totals.items()
-        }
+    try:
+        if not pos:
+            rates: dict[str, float] = {}
+        elif total_budget is None and not allow_upsampling:
+            top = max(t ** (alpha - 1.0) for t in pos.values())
+            rates = {s: cap((t ** (alpha - 1.0)) / top) for s, t in pos.items()}
+        else:
+            budget = float(total_budget) if total_budget is not None else sum(
+                pos.values()
+            )
+            z = sum(t ** alpha for t in pos.values())
+            rates = {
+                s: cap(budget * (t ** alpha / z) / t) for s, t in pos.items()
+            }
+    except OverflowError as ex:
+        raise ValueError(
+            f"alpha={alpha} overflows the rate computation for these "
+            "stratum totals"
+        ) from ex
+    rates.update({s: 1.0 for s, t in totals.items() if t <= 0})
     if allow_upsampling:
         kept = repeat_mixture(
             df, key_col, rates, stratum_col=stratum_col,

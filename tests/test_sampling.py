@@ -876,3 +876,45 @@ class TestRepeatMixture:
         assert "epoch" in kept.columns
         mass = kept.agg(F.sum("n_tok")).first()[0]
         assert abs(mass / 100_000 - 1.0) < 0.05  # constant total mass
+
+
+def test_temperature_zero_mass_and_overflow_guards(spark):
+    """Review fixes: a zero-mass stratum is FREE (kept whole, like
+    token_budget_mixture) instead of silently dropped — and the SQL
+    oracle's pow() math never sees t=0; huge alpha raises a clean
+    ValueError instead of OverflowError; NaN/inf rates are rejected."""
+    import pytest as _pytest
+
+    from bloomjoin_spark.operators import repeat_mixture, temperature_mixture
+
+    rows = [("a1", "a", 100), ("a2", "a", 100), ("z1", "z", 0), ("z2", "z", None)]
+    df = spark.createDataFrame(rows, "doc_id string, source string, n_tok int")
+    kept, rates = temperature_mixture(df, "doc_id", alpha=0.5, return_rates=True)
+    assert rates["a"] == (200.0, 1.0)
+    assert rates["z"] == (0.0, 1.0)  # free, not dropped
+    assert kept.count() == 4
+    with _pytest.raises(ValueError, match="alpha.*overflow"):
+        temperature_mixture(df, "doc_id", alpha=400.0, total_budget=10)
+    with _pytest.raises(ValueError, match="alpha"):
+        temperature_mixture(df, "doc_id", alpha=float("nan"))
+    with _pytest.raises(ValueError, match="finite"):
+        repeat_mixture(df, "doc_id", {"a": float("inf")})
+    with _pytest.raises(ValueError, match="finite"):
+        repeat_mixture(df, "doc_id", {"a": float("nan")})
+
+
+def test_repeat_mixture_plan_no_exchange(spark):
+    """Plan contract: repeat_mixture is one codegen expression + an
+    explode — no shuffle, no Python stage."""
+    from bloomjoin_spark.operators import repeat_mixture
+    from bloomjoin_spark.plans import plan_audit
+    from bloomjoin_spark.sources.layout import plan_exchange_count
+
+    df = spark.range(0, 1000).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.concat(F.lit("s"), F.pmod("id", F.lit(3))).alias("source"),
+    )
+    out = repeat_mixture(df, "doc_id", {"s0": 2.5, "s1": 0.5})
+    assert plan_exchange_count(out) == 0
+    a = plan_audit(out)
+    assert a.n_row_python_udfs == 0 and not a.python_operators
