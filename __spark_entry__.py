@@ -1152,6 +1152,54 @@ def _ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 5: IVF-PQ — the standard big-corpus ANN configuration
+    (nprobe cells × ADC over m-byte codes × exact shortlist re-rank;
+    both components public methods): recall@10 ≥ 0.5 at nprobe=nlist/4
+    over a materialized (id, cell, code) table, and EXACTLY
+    cosine_topk when probing every cell with a corpus-wide
+    shortlist."""
+    from bloomjoin_spark.operators import (
+        add_ivf_cluster,
+        add_pq_codes,
+        ann_ivf_pq_topk,
+        cosine_topk,
+        train_ivf_centroids,
+        train_pq_codebooks,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 200 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = train_ivf_centroids(emb, nlist=8, sample=5000)
+    books = train_pq_codebooks(emb, m=8, nbits=8, sample=5000, iters=6)
+    codes = add_pq_codes(
+        add_ivf_cluster(
+            emb.select("vec_id", "embedding"), cents, out_col="ivf_cell"
+        ),
+        books,
+    ).select("vec_id", "ivf_cell", "pq_code")
+    exact = cosine_topk(emb, queries_df, k=10).select("query_id", "vec_id")
+    approx = ann_ivf_pq_topk(
+        emb, queries_df, cents, books, k=10, nprobe=2, codes=codes,
+        shortlist=40,
+    ).select("query_id", "vec_id")
+    hit = exact.join(approx, ["query_id", "vec_id"], "left_semi").count()
+    recall_ok = hit / max(exact.count(), 1) >= 0.5
+    full = ann_ivf_pq_topk(
+        emb, queries_df, cents, books, k=10, nprobe=8, codes=codes,
+        shortlist=emb.count(),
+    ).select("query_id", "vec_id")
+    full_exact = (
+        exact.exceptAll(full).count() == 0 and full.exceptAll(exact).count() == 0
+    )
+    return spark.createDataFrame(
+        [(bool(recall_ok), bool(full_exact))],
+        "recall_at_least_half boolean, full_probe_exact boolean",
+    )
+
+
 def _ann_ivf_partitioned_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 3: the cell-PARTITIONED IVF path (corpus written
     partitionBy(ivf_cell), probed cells pushed as a partition filter)
@@ -2089,6 +2137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_recall": _ann_lsh_recall,
         "ann_ivf_recall": _ann_ivf_recall,
         "ann_pq_recall": _ann_pq_recall,
+        "ann_ivf_pq_recall": _ann_ivf_pq_recall,
         "ann_ivf_partitioned_recall": _ann_ivf_partitioned_recall,
         "hash_keys_cross_type": _hash_keys_cross_type,
         "simhash_capped_bucket": _simhash_capped_bucket,
@@ -3260,6 +3309,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_pq_recall": """
             SELECT TRUE AS recall_at_least_half, TRUE AS full_shortlist_exact
+        """,
+        "ann_ivf_pq_recall": """
+            SELECT TRUE AS recall_at_least_half, TRUE AS full_probe_exact
         """,
         "ann_ivf_partitioned_recall": """
             SELECT TRUE AS recall_at_least_half, TRUE AS full_probe_exact

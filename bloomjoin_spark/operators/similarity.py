@@ -687,11 +687,15 @@ def _adc_score_fn(
     code_col: str,
     query_id_col: str,
     shortlist: int,
+    cell_col: str | None = None,
+    cells_per_query: np.ndarray | None = None,
 ):
     """mapInArrow over (id, code) batches: decode the m-byte codes
     via buffer reshape (no per-row Python), gather-sum the per-query
     ADC tables, and emit each query's per-batch top-``shortlist``
-    candidate ids with their approximate scores."""
+    candidate ids with their approximate scores.  With ``cell_col`` +
+    ``cells_per_query`` (the IVF-PQ path) each query scores ONLY the
+    rows in its probed cells."""
     Q, m, _ = tables.shape
 
     def fn(it):
@@ -724,14 +728,27 @@ def _adc_score_fn(
             scores = np.zeros((Q, nv), dtype=np.float64)
             for j in range(m):
                 scores += T[:, j, codes[:, j]]
+            if cell_col is not None:
+                cells = (
+                    batch.column(batch.schema.get_field_index(cell_col))
+                    .to_numpy(zero_copy_only=False)[rows]
+                )
+                for q in range(Q):
+                    scores[q, ~np.isin(cells, cells_per_query[q])] = -np.inf
             s_eff = min(shortlist, nv)
             if s_eff < nv:
                 top = np.argpartition(-scores, s_eff - 1, axis=1)[:, :s_eff]
             else:
                 top = np.broadcast_to(np.arange(nv), (Q, nv))
             # flatten (query, candidate) pairs; ids via Arrow take (any dtype)
+            sel = np.take_along_axis(scores, top, axis=1).ravel()
             row_idx = rows[top.ravel()]
-            q_idx = np.repeat(np.arange(Q), s_eff)
+            q_idx = np.repeat(np.arange(Q), top.shape[1])
+            if cell_col is not None:
+                keep = np.isfinite(sel)  # out-of-cell slots never emit
+                if not keep.any():
+                    continue
+                sel, row_idx, q_idx = sel[keep], row_idx[keep], q_idx[keep]
             ids = batch.column(batch.schema.get_field_index(id_col)).take(
                 pa.array(row_idx)
             )
@@ -739,7 +756,7 @@ def _adc_score_fn(
                 [
                     qid_arr.take(pa.array(q_idx)),
                     ids,
-                    pa.array(np.take_along_axis(scores, top, axis=1).ravel()),
+                    pa.array(sel),
                 ],
                 names=[query_id_col, id_col, "__approx"],
             )
@@ -837,6 +854,118 @@ def ann_pq_topk(
         .select(query_id_col, id_col)
     )
     # shortlist·|queries| rows — AQE broadcasts this side of the fetch
+    cand = cand_ids.join(corpus.select(id_col, vec_col), id_col).join(
+        F.broadcast(
+            queries.select(
+                F.col(query_id_col).alias("__qid"),
+                F.col(vec_col).alias("__qvec"),
+            )
+        ),
+        F.col(query_id_col) == F.col("__qid"),
+    )
+    return _rerank_candidates(
+        cand.select("__qid", id_col, vec_col, "__qvec"),
+        k, id_col, vec_col, query_id_col,
+    )
+
+
+def ann_ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    k: int = 10,
+    nprobe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    codes: DataFrame | None = None,
+    cell_col: str = "ivf_cell",
+    code_col: str = "pq_code",
+    shortlist: int | None = None,
+) -> DataFrame:
+    """IVF-PQ — the standard big-corpus ANN configuration (FAISS-style,
+    both components public methods): each query probes its ``nprobe``
+    nearest IVF cells and ADC-scores ONLY the m-byte codes inside
+    them, so the scoring scan touches ``≈ nprobe/nlist`` of a table
+    that is itself ~32× smaller than the embeddings; true vectors are
+    fetched for the shortlist alone and exact-cosine re-ranked.
+
+    Pass ``codes`` (a materialized frame holding ``id_col`` +
+    ``cell_col`` + ``code_col``, e.g. ``add_pq_codes(add_ivf_cluster(
+    ...))`` written ``partitionBy(cell_col)``) for the 100 TB shape:
+    the probed-cell ``isin`` filter is a plan literal, so a
+    cell-partitioned layout prunes unprobed directories exactly like
+    ``ann_ivf_topk_partitioned``.  With ``nprobe >= nlist`` AND
+    ``shortlist >= |corpus|`` the result is EXACTLY ``cosine_topk``
+    over the validly-coded rows (same contract as ``ann_pq_topk``).
+    """
+    if shortlist is None:
+        shortlist = max(4 * k, 50)
+    if shortlist < k:
+        raise ValueError(f"shortlist {shortlist} must be >= k {k}")
+    nlist = centroids.shape[0]
+    if not 1 <= nprobe:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+    nprobe = min(nprobe, nlist)
+    m, _, dsub = codebooks.shape
+    if codes is None:
+        codes = add_pq_codes(
+            add_ivf_cluster(corpus.select(id_col, vec_col), centroids,
+                            vec_col, cell_col),
+            codebooks, vec_col, code_col,
+        ).select(id_col, cell_col, code_col)
+
+    qrows = [
+        r
+        for r in queries.select(query_id_col, vec_col).collect()
+        if r[1] is not None and len(r[1])
+    ]
+    qid_dtype = dict(queries.dtypes)[query_id_col]
+    id_dtype = dict(codes.dtypes)[id_col]
+    if not qrows:
+        return queries.sparkSession.createDataFrame(
+            [],
+            f"{query_id_col} {qid_dtype}, {id_col} {id_dtype}, "
+            "sim double, rank int",
+        )
+    qids = [r[0] for r in qrows]
+    Qv = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    if Qv.shape[1] != m * dsub:
+        raise ValueError(f"query dim {Qv.shape[1]} != codebook dim {m * dsub}")
+    Qv = Qv / np.clip(np.linalg.norm(Qv, axis=1, keepdims=True), 1e-12, None)
+    # probed cells per query: driver-side argmax over the (small)
+    # centroid matrix — the same math add_ivf_cluster runs per row
+    sims = Qv @ centroids.T
+    probe = np.argpartition(-sims, nprobe - 1, axis=1)[:, :nprobe].astype(np.int32)
+    T = np.einsum("qjd,jcd->qjc", Qv.reshape(len(qids), m, dsub), codebooks)
+
+    # pre-filter the scan to the UNION of probed cells — a plan
+    # literal, partition-prunable on a cell-partitioned codes layout
+    probed_union = sorted({int(c) for c in probe.ravel()})
+    scan = codes.filter(F.col(cell_col).isin(probed_union))
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    qid_arrow_type = to_arrow_type(queries.schema[query_id_col].dataType)
+    cand_schema = (
+        f"{query_id_col} {qid_dtype}, {id_col} {id_dtype}, __approx double"
+    )
+    per_batch = scan.mapInArrow(
+        _adc_score_fn(
+            T, qids, qid_arrow_type, id_col, code_col, query_id_col,
+            shortlist, cell_col=cell_col, cells_per_query=probe,
+        ),
+        cand_schema,
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("__approx"), F.asc(id_col)
+    )
+    cand_ids = (
+        per_batch.dropDuplicates([query_id_col, id_col])
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= shortlist)
+        .select(query_id_col, id_col)
+    )
     cand = cand_ids.join(corpus.select(id_col, vec_col), id_col).join(
         F.broadcast(
             queries.select(

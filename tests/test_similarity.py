@@ -271,3 +271,65 @@ class TestProductQuantization:
         ).collect()
         ids = [r.vec_id for r in got3]
         assert len(ids) == len(set(ids)) == 3
+
+
+class TestIvfPq:
+    def test_recall_full_probe_exactness_and_pruned_scan(self, spark, emb, queries):
+        from bloomjoin_spark.operators import (
+            add_ivf_cluster,
+            add_pq_codes,
+            ann_ivf_pq_topk,
+            train_ivf_centroids,
+            train_pq_codebooks,
+        )
+
+        cents = train_ivf_centroids(emb, nlist=8, sample=2000)
+        books = train_pq_codebooks(emb, m=8, nbits=8, sample=2000, iters=6)
+        codes = add_pq_codes(
+            add_ivf_cluster(
+                emb.select("vec_id", "embedding"), cents, out_col="ivf_cell"
+            ),
+            books,
+        ).select("vec_id", "ivf_cell", "pq_code")
+        exact = cosine_topk(emb, queries, k=10).select("query_id", "vec_id")
+        approx = ann_ivf_pq_topk(
+            emb, queries, cents, books, k=10, nprobe=3, codes=codes,
+            shortlist=80,
+        ).select("query_id", "vec_id")
+        hit = exact.join(approx, ["query_id", "vec_id"], "left_semi").count()
+        assert hit / max(exact.count(), 1) >= 0.5
+        # full probe + full shortlist == brute force exactly
+        n = emb.count()
+        full = ann_ivf_pq_topk(
+            emb, queries, cents, books, k=10, nprobe=8, codes=codes,
+            shortlist=n,
+        ).select("query_id", "vec_id", "sim")
+        exact_s = cosine_topk(emb, queries, k=10).select(
+            "query_id", "vec_id", "sim"
+        )
+        assert exact_s.exceptAll(full).count() == 0
+        assert full.exceptAll(exact_s).count() == 0
+        # a query never surfaces a candidate outside its probed cells:
+        # nprobe=1 means every candidate shares the query's own cell
+        one = ann_ivf_pq_topk(
+            emb, queries, cents, books, k=5, nprobe=1, codes=codes,
+        )
+        cells = {r.vec_id: r.ivf_cell for r in codes.collect()}
+        for r in one.collect():
+            assert cells[r.vec_id] == cells[r.query_id]
+
+    def test_edge_validation(self, spark, emb, queries):
+        from bloomjoin_spark.operators import (
+            ann_ivf_pq_topk,
+            train_ivf_centroids,
+            train_pq_codebooks,
+        )
+
+        cents = train_ivf_centroids(emb, nlist=4, sample=500)
+        books = train_pq_codebooks(emb, m=8, nbits=4, sample=500, iters=3)
+        with pytest.raises(ValueError, match="nprobe"):
+            ann_ivf_pq_topk(emb, queries, cents, books, nprobe=0)
+        with pytest.raises(ValueError, match="shortlist"):
+            ann_ivf_pq_topk(emb, queries, cents, books, k=10, shortlist=2)
+        out = ann_ivf_pq_topk(emb, queries.limit(0), cents, books, k=3)
+        assert out.count() == 0
