@@ -688,14 +688,15 @@ def _adc_score_fn(
     query_id_col: str,
     shortlist: int,
     cell_col: str | None = None,
-    cells_per_query: np.ndarray | None = None,
+    cells_allowed: np.ndarray | None = None,
 ):
     """mapInArrow over (id, code) batches: decode the m-byte codes
     via buffer reshape (no per-row Python), gather-sum the per-query
     ADC tables, and emit each query's per-batch top-``shortlist``
     candidate ids with their approximate scores.  With ``cell_col`` +
-    ``cells_per_query`` (the IVF-PQ path) each query scores ONLY the
-    rows in its probed cells."""
+    ``cells_allowed`` (a (Q, nlist) boolean membership table — the
+    IVF-PQ path) each query scores ONLY the rows in its probed cells,
+    masked by ONE fancy-index per batch (not a per-query isin loop)."""
     Q, m, _ = tables.shape
 
     def fn(it):
@@ -732,9 +733,12 @@ def _adc_score_fn(
                 cells = (
                     batch.column(batch.schema.get_field_index(cell_col))
                     .to_numpy(zero_copy_only=False)[rows]
+                    .astype(np.int64, copy=False)
                 )
-                for q in range(Q):
-                    scores[q, ~np.isin(cells, cells_per_query[q])] = -np.inf
+                # cells are bounded by the probed-union scan filter,
+                # so this single (Q, nv) fancy-index replaces Q isin
+                # scans — per-query cost stays per-batch O(nv)
+                scores[~cells_allowed[:, cells]] = -np.inf
             s_eff = min(shortlist, nv)
             if s_eff < nv:
                 top = np.argpartition(-scores, s_eff - 1, axis=1)[:, :s_eff]
@@ -762,6 +766,107 @@ def _adc_score_fn(
             )
 
     return fn
+
+
+def _adc_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    codes: DataFrame,
+    code_col: str,
+    shortlist: int,
+    cell_col: str | None = None,
+    centroids: np.ndarray | None = None,
+    nprobe: int | None = None,
+) -> DataFrame:
+    """Shared PQ / IVF-PQ search tail: collect the (small) query set,
+    build the per-query ADC tables, score the codes scan (cell-masked
+    when ``cell_col``/``centroids``/``nprobe`` are given), keep the
+    global per-query shortlist, fetch only those vectors, and
+    exact-cosine re-rank."""
+    m, _, dsub = codebooks.shape
+    qrows = [
+        r
+        for r in queries.select(query_id_col, vec_col).collect()
+        if r[1] is not None and len(r[1])
+    ]
+    qid_dtype = dict(queries.dtypes)[query_id_col]
+    id_dtype = dict(codes.dtypes)[id_col]
+    if not qrows:
+        return queries.sparkSession.createDataFrame(
+            [],
+            f"{query_id_col} {qid_dtype}, {id_col} {id_dtype}, "
+            "sim double, rank int",
+        )
+    qids = [r[0] for r in qrows]
+    Qv = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    if Qv.shape[1] != m * dsub:
+        raise ValueError(
+            f"query dim {Qv.shape[1]} != codebook dim {m * dsub}"
+        )
+    Qv = Qv / np.clip(np.linalg.norm(Qv, axis=1, keepdims=True), 1e-12, None)
+    # ADC tables: T[q, j, c] = q's j-th subvector · codeword c
+    T = np.einsum("qjd,jcd->qjc", Qv.reshape(len(qids), m, dsub), codebooks)
+
+    scan = codes
+    cells_allowed = None
+    if cell_col is not None:
+        # probed cells per query: driver-side math over the (small)
+        # centroid matrix — STABLE argsort so exact-tie behavior
+        # matches add_ivf_cluster's argmax (first index wins)
+        sims = Qv @ centroids.T
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+        nlist = centroids.shape[0]
+        cells_allowed = np.zeros((len(qids), nlist), dtype=bool)
+        cells_allowed[np.arange(len(qids))[:, None], order] = True
+        # pre-filter the scan to the UNION of probed cells — a plan
+        # literal, partition-prunable on a cell-partitioned layout
+        probed_union = sorted({int(c) for c in order.ravel()})
+        scan = codes.filter(F.col(cell_col).isin(probed_union))
+
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    qid_arrow_type = to_arrow_type(queries.schema[query_id_col].dataType)
+    cand_schema = (
+        f"{query_id_col} {qid_dtype}, {id_col} {id_dtype}, __approx double"
+    )
+    per_batch = scan.mapInArrow(
+        _adc_score_fn(
+            T, qids, qid_arrow_type, id_col, code_col, query_id_col,
+            shortlist, cell_col=cell_col, cells_allowed=cells_allowed,
+        ),
+        cand_schema,
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("__approx"), F.asc(id_col)
+    )
+    cand_ids = (
+        # dedup BEFORE the shortlist window: duplicate ids in a user
+        # codes table carry identical scores and would otherwise eat
+        # shortlist slots (same candidate at ranks 1 and 2)
+        per_batch.dropDuplicates([query_id_col, id_col])
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= shortlist)
+        .select(query_id_col, id_col)
+    )
+    # shortlist·|queries| rows — AQE broadcasts this side of the fetch
+    cand = cand_ids.join(corpus.select(id_col, vec_col), id_col).join(
+        F.broadcast(
+            queries.select(
+                F.col(query_id_col).alias("__qid"),
+                F.col(vec_col).alias("__qvec"),
+            )
+        ),
+        F.col(query_id_col) == F.col("__qid"),
+    )
+    return _rerank_candidates(
+        cand.select("__qid", id_col, vec_col, "__qvec"),
+        k, id_col, vec_col, query_id_col,
+    )
 
 
 def ann_pq_topk(
@@ -798,74 +903,13 @@ def ann_pq_topk(
         shortlist = max(4 * k, 50)
     if shortlist < k:
         raise ValueError(f"shortlist {shortlist} must be >= k {k}")
-    m, _, dsub = codebooks.shape
     if codes is None:
         codes = add_pq_codes(
             corpus.select(id_col, vec_col), codebooks, vec_col, code_col
         ).select(id_col, code_col)
-
-    qrows = [
-        r
-        for r in queries.select(query_id_col, vec_col).collect()
-        if r[1] is not None and len(r[1])
-    ]
-    qid_dtype = dict(queries.dtypes)[query_id_col]
-    id_dtype = dict(codes.dtypes)[id_col]
-    if not qrows:
-        return queries.sparkSession.createDataFrame(
-            [],
-            f"{query_id_col} {qid_dtype}, {id_col} {id_dtype}, "
-            "sim double, rank int",
-        )
-    qids = [r[0] for r in qrows]
-    Qv = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
-    if Qv.shape[1] != m * dsub:
-        raise ValueError(
-            f"query dim {Qv.shape[1]} != codebook dim {m * dsub}"
-        )
-    Qv = Qv / np.clip(np.linalg.norm(Qv, axis=1, keepdims=True), 1e-12, None)
-    # ADC tables: T[q, j, c] = q's j-th subvector · codeword c
-    T = np.einsum("qjd,jcd->qjc", Qv.reshape(len(qids), m, dsub), codebooks)
-
-    cand_schema = (
-        f"{query_id_col} {qid_dtype}, {id_col} {id_dtype}, __approx double"
-    )
-    from pyspark.sql.pandas.types import to_arrow_type
-
-    qid_arrow_type = to_arrow_type(
-        queries.schema[query_id_col].dataType
-    )
-    per_batch = codes.mapInArrow(
-        _adc_score_fn(
-            T, qids, qid_arrow_type, id_col, code_col, query_id_col, shortlist
-        ),
-        cand_schema,
-    )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.desc("__approx"), F.asc(id_col)
-    )
-    cand_ids = (
-        # dedup BEFORE the shortlist window: duplicate ids in a user
-        # codes table carry identical scores and would otherwise eat
-        # shortlist slots (same candidate at ranks 1 and 2)
-        per_batch.dropDuplicates([query_id_col, id_col])
-        .withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") <= shortlist)
-        .select(query_id_col, id_col)
-    )
-    # shortlist·|queries| rows — AQE broadcasts this side of the fetch
-    cand = cand_ids.join(corpus.select(id_col, vec_col), id_col).join(
-        F.broadcast(
-            queries.select(
-                F.col(query_id_col).alias("__qid"),
-                F.col(vec_col).alias("__qvec"),
-            )
-        ),
-        F.col(query_id_col) == F.col("__qid"),
-    )
-    return _rerank_candidates(
-        cand.select("__qid", id_col, vec_col, "__qvec"),
-        k, id_col, vec_col, query_id_col,
+    return _adc_search(
+        corpus, queries, codebooks, k, id_col, vec_col, query_id_col,
+        codes, code_col, shortlist,
     )
 
 
@@ -904,78 +948,17 @@ def ann_ivf_pq_topk(
         shortlist = max(4 * k, 50)
     if shortlist < k:
         raise ValueError(f"shortlist {shortlist} must be >= k {k}")
-    nlist = centroids.shape[0]
     if not 1 <= nprobe:
         raise ValueError(f"nprobe must be >= 1, got {nprobe}")
-    nprobe = min(nprobe, nlist)
-    m, _, dsub = codebooks.shape
+    nprobe = min(nprobe, centroids.shape[0])
     if codes is None:
         codes = add_pq_codes(
             add_ivf_cluster(corpus.select(id_col, vec_col), centroids,
                             vec_col, cell_col),
             codebooks, vec_col, code_col,
         ).select(id_col, cell_col, code_col)
-
-    qrows = [
-        r
-        for r in queries.select(query_id_col, vec_col).collect()
-        if r[1] is not None and len(r[1])
-    ]
-    qid_dtype = dict(queries.dtypes)[query_id_col]
-    id_dtype = dict(codes.dtypes)[id_col]
-    if not qrows:
-        return queries.sparkSession.createDataFrame(
-            [],
-            f"{query_id_col} {qid_dtype}, {id_col} {id_dtype}, "
-            "sim double, rank int",
-        )
-    qids = [r[0] for r in qrows]
-    Qv = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
-    if Qv.shape[1] != m * dsub:
-        raise ValueError(f"query dim {Qv.shape[1]} != codebook dim {m * dsub}")
-    Qv = Qv / np.clip(np.linalg.norm(Qv, axis=1, keepdims=True), 1e-12, None)
-    # probed cells per query: driver-side argmax over the (small)
-    # centroid matrix — the same math add_ivf_cluster runs per row
-    sims = Qv @ centroids.T
-    probe = np.argpartition(-sims, nprobe - 1, axis=1)[:, :nprobe].astype(np.int32)
-    T = np.einsum("qjd,jcd->qjc", Qv.reshape(len(qids), m, dsub), codebooks)
-
-    # pre-filter the scan to the UNION of probed cells — a plan
-    # literal, partition-prunable on a cell-partitioned codes layout
-    probed_union = sorted({int(c) for c in probe.ravel()})
-    scan = codes.filter(F.col(cell_col).isin(probed_union))
-    from pyspark.sql.pandas.types import to_arrow_type
-
-    qid_arrow_type = to_arrow_type(queries.schema[query_id_col].dataType)
-    cand_schema = (
-        f"{query_id_col} {qid_dtype}, {id_col} {id_dtype}, __approx double"
-    )
-    per_batch = scan.mapInArrow(
-        _adc_score_fn(
-            T, qids, qid_arrow_type, id_col, code_col, query_id_col,
-            shortlist, cell_col=cell_col, cells_per_query=probe,
-        ),
-        cand_schema,
-    )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.desc("__approx"), F.asc(id_col)
-    )
-    cand_ids = (
-        per_batch.dropDuplicates([query_id_col, id_col])
-        .withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") <= shortlist)
-        .select(query_id_col, id_col)
-    )
-    cand = cand_ids.join(corpus.select(id_col, vec_col), id_col).join(
-        F.broadcast(
-            queries.select(
-                F.col(query_id_col).alias("__qid"),
-                F.col(vec_col).alias("__qvec"),
-            )
-        ),
-        F.col(query_id_col) == F.col("__qid"),
-    )
-    return _rerank_candidates(
-        cand.select("__qid", id_col, vec_col, "__qvec"),
-        k, id_col, vec_col, query_id_col,
+    return _adc_search(
+        corpus, queries, codebooks, k, id_col, vec_col, query_id_col,
+        codes, code_col, shortlist,
+        cell_col=cell_col, centroids=centroids, nprobe=nprobe,
     )
