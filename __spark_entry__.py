@@ -1130,7 +1130,7 @@ def _ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.filter(F.col("vec_id") % 200 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    books = train_pq_codebooks(emb, m=8, nbits=8, sample=5000, iters=6)
+    books = train_pq_codebooks(emb, m=8, nbits=8, sample=2000, iters=4)
     exact = cosine_topk(emb, queries_df, k=10).select("query_id", "vec_id")
     codes = add_pq_codes(emb.select("vec_id", "embedding"), books).select(
         "vec_id", "pq_code"
@@ -1172,8 +1172,8 @@ def _ann_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.filter(F.col("vec_id") % 200 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    cents = train_ivf_centroids(emb, nlist=8, sample=5000)
-    books = train_pq_codebooks(emb, m=8, nbits=8, sample=5000, iters=6)
+    cents = train_ivf_centroids(emb, nlist=8, sample=2000, iters=5)
+    books = train_pq_codebooks(emb, m=8, nbits=8, sample=2000, iters=4)
     codes = add_pq_codes(
         add_ivf_cluster(
             emb.select("vec_id", "embedding"), cents, out_col="ivf_cell"
