@@ -1022,6 +1022,41 @@ def _ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy("id_a", "id_b")
 
 
+def _containment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 5: EXACT one-sided containment join (one-sided prefix
+    filter, dedup.py:containment_pairs) over planted excerpt docs —
+    8-word slices of real pages, which have containment 1.0 toward
+    their source page but Jaccard far below any usable threshold (the
+    asymmetric-duplication class the symmetric dedup tiers miss).  The
+    DuckDB oracle recomputes ALL-ORDERED-PAIRS exact containment over
+    the identical corpus, so the prefix filter's recall is
+    value-checked end to end."""
+    from bloomjoin_spark.operators import containment_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    w = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    base = (
+        docs.where(F.col("doc_id") % 4 == 0)
+        .where(F.size(w) >= 12)
+        .select("doc_id", "text")
+    )
+    off = docs.agg(F.max("doc_id")).first()[0] + 1
+    excerpts = (
+        base.where(F.col("doc_id") % 20 == 0)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(off))
+        .withColumn(
+            "text",
+            F.array_join(
+                F.slice(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), 3, 8),
+                " ",
+            ),
+        )
+    )
+    union = base.unionByName(excerpts)
+    pairs = containment_pairs(union, threshold=0.9, max_shingle_df=None)
+    return pairs.orderBy("id_a", "id_b")
+
+
 def _simhash_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup detection: identical texts have hamming 0, so
     every planted dup pair must surface at max_hamming=3."""
@@ -2133,6 +2168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incr_dedup_stream_docs": _incr_dedup_stream_docs,
         "minhash_full_dedup": _minhash_full_dedup,
         "ngram_jaccard_docs": _ngram_jaccard_docs,
+        "containment_docs": _containment_docs,
         "simhash_planted": _simhash_planted,
         "ann_lsh_recall": _ann_lsh_recall,
         "ann_ivf_recall": _ann_ivf_recall,
@@ -3293,6 +3329,55 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id_a, id_b, jaccard FROM j
             WHERE jaccard >= 0.6 ORDER BY id_a, id_b
+        """,
+        "containment_docs": r"""
+            WITH w0 AS (
+              SELECT doc_id, text,
+                     string_split_regex(lower(trim(text)), '\s+') AS w
+              FROM documents
+            ),
+            base AS (
+              SELECT doc_id, text FROM w0
+              WHERE doc_id % 4 = 0 AND len(w) >= 12
+            ),
+            mx AS (SELECT max(doc_id) + 1 AS o FROM documents),
+            u AS (
+              SELECT doc_id, text FROM base
+              UNION ALL
+              SELECT doc_id + (SELECT o FROM mx),
+                     array_to_string(
+                       (string_split_regex(lower(trim(text)), '\s+'))[3:10],
+                       ' ')
+              FROM base WHERE doc_id % 20 = 0
+            ),
+            w AS (
+              SELECT doc_id, lower(trim(text)) AS lt,
+                     string_split_regex(lower(trim(text)), '\s+') AS w
+              FROM u
+            ),
+            -- same 3-gram domain construction as ngram_jaccard_docs
+            g AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) >= 3
+                          THEN list_distinct(list_transform(
+                                 generate_series(1, len(w) - 2),
+                                 i -> array_to_string(w[i:i+2], chr(31))))
+                          ELSE [lt] END AS gs
+              FROM w
+            ),
+            p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.gs AS ga, b.gs AS gb
+              FROM g a JOIN g b ON a.doc_id != b.doc_id
+            ),
+            c AS (
+              SELECT id_a, id_b,
+                     round(len(list_intersect(ga, gb))::DOUBLE / len(ga), 6)
+                       AS containment,
+                     len(ga) AS len_a, len(gb) AS len_b
+              FROM p
+            )
+            SELECT id_a, id_b, containment, len_a, len_b FROM c
+            WHERE containment >= 0.9 ORDER BY id_a, id_b
         """,
         "minhash_full_dedup": """
             SELECT doc_id, source FROM documents

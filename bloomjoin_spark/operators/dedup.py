@@ -724,6 +724,167 @@ def ngram_jaccard_dedup(
     return _keep_min_reps(df, pairs, id_col)
 
 
+# ---------------------------------------------------------------------------
+# exact n-gram CONTAINMENT similarity join (one-sided prefix filtering)
+# ---------------------------------------------------------------------------
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.9,
+    max_shingle_df: int | None = 2000,
+    dropped_report: dict | None = None,
+) -> DataFrame:
+    """EXACT one-sided n-gram containment join: every ORDERED pair
+    (id_a ≠ id_b) with C(a→b) = |S_a ∩ S_b| / |S_a| ≥ threshold,
+    where S is the distinct word-n-gram set.  Returns
+    (id_a, id_b, containment, len_a, len_b) — id_a is the CONTAINED
+    document, len_* are distinct-shingle counts.
+
+    Why a separate operator: symmetric Jaccard misses excerpt/quote
+    duplication — a 200-word excerpt fully embedded in a 20k-word page
+    has containment 1.0 but Jaccard ~0.01, so neither
+    ``minhash_dedup_pairs`` (banding on symmetric signatures) nor
+    ``ngram_jaccard_pairs`` surfaces it at any usable threshold.  This
+    is the asymmetric-duplication pass an LLM-corpus pipeline runs to
+    drop syndicated excerpts, quoted reposts, and doc-in-doc wrappers.
+
+    How it scales (one-sided prefix filter): order each document's
+    shingles by global rarity (document frequency, ties by value).  If
+    C(a→b) ≥ t then a and b must share a shingle within a's first
+    ``L_a − ceil(t·L_a) + 1`` rarest shingles — otherwise
+    |S_a ∩ S_b| ≤ L_a − prefix_len < t·L_a.  So only a's prefix is
+    exploded into the probe side; the index side must carry ALL
+    shingles (a container doc can match an excerpt via ANY of its
+    shingles), pruned to df ≥ 2 (a globally-unique shingle cannot
+    match) — the index is the same (hash, id) volume the global-df
+    aggregate already shuffles.  A length filter (L_b ≥ t·L_a, since
+    |S_a ∩ S_b| ≤ L_b) prunes before the exact verify join.
+
+    Shuffle inventory at 100 TB: one explode+groupBy for global df
+    (8-byte keys), one window shuffle by id for prefix ranks, the
+    probe-prefix × full-index equi-join on shingle hash, one verify
+    join.  Document text never shuffles.  ``max_shingle_df`` caps the
+    index-side bucket fan-out exactly as in ``ngram_jaccard_pairs``
+    (dropping a shingle that common trades exactness for bounded cost;
+    ``None`` restores the 100%-recall guarantee), recorded in
+    ``last_dropped_stats('containment_pairs')``."""
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(
+            f"containment_pairs: threshold must be in (0, 1], got {threshold}"
+        )
+    from pyspark.sql import Window
+
+    sh = with_shingle_hashes(df, text_col, n).select(id_col, "shingles").persist()
+    try:
+        ex = sh.select(
+            F.col(id_col),
+            F.size("shingles").alias("__L"),
+            F.explode("shingles").alias("__g"),
+        )
+        freq = ex.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
+        # one materialization point: the df-annotated explode feeds both
+        # the probe-prefix window and the full index (else the explode +
+        # df-join recompute per branch)
+        ann = ex.join(freq, "__g").localCheckpoint(eager=False)
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("__df").asc(), F.col("__g").asc()
+        )
+        # −ε as in ngram_jaccard_pairs: when t·L is exactly an integer a
+        # one-ULP-high double product would shorten the prefix below the
+        # theorem's requirement; the ε only ever LENGTHENS it
+        prefix_len = (
+            F.col("__L")
+            - F.ceil(F.lit(threshold) * F.col("__L") - F.lit(_T_EPS))
+            + 1
+        )
+        # df >= 2 AFTER ranking (same argument as ngram_jaccard_pairs):
+        # a singleton still occupies its prefix slot but can never match
+        probe = (
+            ann.withColumn("__r", F.row_number().over(w))
+            .filter((F.col("__r") <= prefix_len) & (F.col("__df") >= 2))
+            .select(id_col, "__g", "__L")
+        )
+        index = ann.filter(F.col("__df") >= 2).select(id_col, "__g", "__L")
+        index = _drop_oversized_buckets(
+            index, ["__g"], max_shingle_df, dropped_report,
+            "containment_pairs",
+        )
+        a, b = probe.alias("a"), index.alias("b")
+        cand = (
+            a.join(
+                b,
+                on=[
+                    F.col("a.__g") == F.col("b.__g"),
+                    F.col(f"a.{id_col}") != F.col(f"b.{id_col}"),
+                    # |S_a ∩ S_b| ≤ L_b, so C ≥ t forces L_b ≥ t·L_a;
+                    # −ε keeps exact-threshold pairs (recall-safe)
+                    F.col("b.__L").cast("double")
+                    >= F.lit(threshold) * F.col("a.__L") - F.lit(_T_EPS),
+                ],
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .distinct()
+        )
+        sa = sh.select(F.col(id_col).alias("id_a"),
+                       F.col("shingles").alias("sh_a"))
+        sb = sh.select(F.col(id_col).alias("id_b"),
+                       F.col("shingles").alias("sh_b"))
+        inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+        verified = (
+            cand.join(sa, "id_a")
+            .join(sb, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                F.round(
+                    inter.cast("double") / F.size("sh_a").cast("double"), 6
+                ).alias("containment"),
+                F.size("sh_a").alias("len_a"),
+                F.size("sh_b").alias("len_b"),
+            )
+            .filter(F.col("containment") >= threshold)
+        )
+        # eager localCheckpoint cuts lineage off the shingle cache so
+        # the finally-unpersist is safe (same contract as _verify_pairs)
+        return verified.localCheckpoint()
+    finally:
+        sh.unpersist()
+
+
+def containment_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **kw,
+) -> DataFrame:
+    """Drop every document that is threshold-contained in a LARGER
+    document (more distinct shingles; ties broken toward the smaller
+    id, which mirrors the min-id keep rule of the symmetric dedup
+    tiers).  The deterministic rule: doc a is removed iff some pair
+    (a→b) passes with (len_b > len_a) OR (len_b == len_a AND
+    id_b < id_a).  Containers are never removed on account of their
+    excerpts, so the kept set is independent of evaluation order —
+    unlike chained greedy removal, two excerpts of one page both drop
+    even though the page also "contains" neither of them."""
+    pairs = containment_pairs(df, text_col, id_col, **kw)
+    dominated = (
+        pairs.filter(
+            (F.col("len_b") > F.col("len_a"))
+            | ((F.col("len_b") == F.col("len_a"))
+               & (F.col("id_b") < F.col("id_a")))
+        )
+        .select(F.col("id_a").alias(id_col))
+        .distinct()
+    )
+    return df.join(dominated, id_col, "left_anti")
+
+
 def simhash_dedup(
     df: DataFrame,
     text_col: str = "text",

@@ -426,3 +426,128 @@ def test_incremental_dedup_empty_history(docs):
     history = docs.limit(0)
     out = incremental_dedup(docs, history)
     assert out.count() == docs.count()
+
+
+# ---------------------------------------------------------------------------
+# containment (asymmetric, doc-in-doc) similarity join
+# ---------------------------------------------------------------------------
+
+def _brute_force_containment(spark, df, n, threshold):
+    """Ground truth: all ORDERED pairs' exact one-sided containment."""
+    from bloomjoin_spark.operators import with_shingle_hashes
+
+    sh = with_shingle_hashes(df, "text", n).select("doc_id", "shingles")
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    return (
+        a.join(b, F.col("id_a") != F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.round(inter.cast("double") / F.size("sh_a").cast("double"), 6)
+            .alias("containment"),
+            F.size("sh_a").alias("len_a"),
+            F.size("sh_b").alias("len_b"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
+@pytest.mark.parametrize("threshold", [0.6, 0.9, 1.0])
+def test_containment_equals_brute_force(spark, threshold):
+    """The one-sided prefix filter must lose NOTHING: output ==
+    all-ordered-pairs exact containment, including the t=1.0 edge
+    (prefix of 1) and both directions of asymmetric pairs."""
+    from bloomjoin_spark.operators import containment_pairs
+
+    # long "pages" with per-doc-unique vocab + a shared-word backdrop
+    base = [
+        (i, " ".join(f"p{i}w{j}" if j % 3 else f"shared{j % 7}"
+                     for j in range(30)))
+        for i in range(25)
+    ]
+    rows = list(base)
+    # planted excerpts: words 5..16 of every 3rd page — containment ≈ 1
+    # toward the page, Jaccard far below any useful threshold
+    rows += [
+        (100 + i, " ".join(t.split()[5:17])) for i, t in base if i % 3 == 0
+    ]
+    # exact dup pair (containment 1.0 both directions)
+    rows += [(200, base[1][1]), ]
+    # short-doc (<n words) identical pair — whole-text fallback domain
+    rows += [(300, "tiny pair"), (301, "tiny pair")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = containment_pairs(df, threshold=threshold, max_shingle_df=None)
+    exp = _brute_force_containment(spark, df, 3, threshold)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
+    pairs = {(r["id_a"], r["id_b"]) for r in got.collect()}
+    # the planted excerpt surfaces toward its page at every threshold...
+    assert (100, 0) in pairs
+    # ...but never the reverse direction (a page is not inside its excerpt)
+    assert (0, 100) not in pairs
+    if threshold == 1.0:
+        assert (200, 1) in pairs and (1, 200) in pairs
+        assert (300, 301) in pairs and (301, 300) in pairs
+
+
+def test_containment_threshold_validation(spark):
+    from bloomjoin_spark.operators import containment_pairs
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="threshold"):
+        containment_pairs(df, threshold=0.0)
+    with pytest.raises(ValueError, match="threshold"):
+        containment_pairs(df, threshold=1.5)
+
+
+def test_containment_bucket_cap_guard(spark):
+    from bloomjoin_spark.operators import containment_pairs, last_dropped_stats
+
+    rows = [(i, "same boilerplate line everywhere again") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with pytest.warns(UserWarning, match="dropped"):
+        got = containment_pairs(df, threshold=0.9, max_shingle_df=10)
+    assert got.count() == 0
+    stats = last_dropped_stats("containment_pairs")
+    assert stats["dropped_buckets"] >= 1 and stats["max_bucket_size"] == 10
+
+
+def test_containment_dedup_drops_excerpts_keeps_pages(spark):
+    """Deterministic keep rule: every excerpt drops (contained in a
+    strictly larger page); pages survive even though each 'contains'
+    nothing; equal-size exact dups keep the min id."""
+    from bloomjoin_spark.operators import containment_dedup
+
+    base = [
+        (i, " ".join(f"q{i}w{j}" for j in range(20))) for i in range(20)
+    ]
+    rows = list(base)
+    rows += [(100 + i, " ".join(t.split()[4:14])) for i, t in base if i % 4 == 0]
+    rows += [(200, base[2][1])]  # exact dup of doc 2 (equal size)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = sorted(r.doc_id for r in
+                  containment_dedup(df, threshold=0.9).collect())
+    assert kept == sorted(i for i, _ in base)  # excerpts + dup 200 gone
+
+
+def test_containment_plan_shape(spark, sf_dir, monkeypatch):
+    """JVM-only plan, parquet scan pruned to (doc_id, text)."""
+    import re
+
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from bloomjoin_spark.operators import containment_pairs
+
+    monkeypatch.setattr(DataFrame, "localCheckpoint",
+                        lambda self, eager=True: self)
+    monkeypatch.setattr(DataFrame, "persist", lambda self, *a, **k: self)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = containment_pairs(docs, "text", "doc_id", threshold=0.9)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert scans, f"no parquet scan found — vacuous plan: {plan[:400]}"
+    for s in scans:
+        cols = {c.split(":")[0] for c in s.split(",") if c}
+        assert cols <= {"doc_id", "text"}, f"unpruned scan: {cols}"
