@@ -1022,6 +1022,22 @@ def _ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy("id_a", "id_b")
 
 
+def _lsh_plan_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 5: the LSH banding planner's full S-curve error table
+    (dedup.py:lsh_plan_table) at t=0.8 / 128 permutations — for every
+    banding the implementation can run (b, r = 128 // b), the
+    integrated below-threshold collision mass (fp_area) and above-
+    threshold miss mass (fn_area).  Driver-side closed-form math (the
+    bloom_params_report precedent); the DuckDB oracle recomputes the
+    identical midpoint-grid integration in SQL."""
+    from bloomjoin_spark.operators import lsh_plan_table
+
+    rows = lsh_plan_table(0.8, num_perm=128, grid=1000)
+    return spark.createDataFrame(
+        rows, "bands int, rows int, fp_area double, fn_area double"
+    ).orderBy("bands")
+
+
 def _containment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 5: EXACT one-sided containment join (one-sided prefix
     filter, dedup.py:containment_pairs) over planted excerpt docs —
@@ -2169,6 +2185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_full_dedup": _minhash_full_dedup,
         "ngram_jaccard_docs": _ngram_jaccard_docs,
         "containment_docs": _containment_docs,
+        "lsh_plan_report": _lsh_plan_report,
         "simhash_planted": _simhash_planted,
         "ann_lsh_recall": _ann_lsh_recall,
         "ann_ivf_recall": _ann_ivf_recall,
@@ -3329,6 +3346,26 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id_a, id_b, jaccard FROM j
             WHERE jaccard >= 0.6 ORDER BY id_a, id_b
+        """,
+        "lsh_plan_report": r"""
+            WITH b AS (
+              SELECT i::INT AS bands, (128 // i)::INT AS rows
+              FROM generate_series(1, 128) t(i)
+            ),
+            s AS (
+              SELECT (j + 0.5) / 1000.0 AS s FROM generate_series(0, 999) t(j)
+            ),
+            p AS (
+              SELECT b.bands, b.rows, s.s,
+                     1.0 - pow(1.0 - pow(s.s, b.rows), b.bands) AS p
+              FROM b, s
+            )
+            SELECT bands, rows,
+                   round(sum(CASE WHEN s < 0.8 THEN p ELSE 0 END) / 1000.0, 4)
+                     AS fp_area,
+                   round(sum(CASE WHEN s >= 0.8 THEN 1.0 - p ELSE 0 END)
+                         / 1000.0, 4) AS fn_area
+            FROM p GROUP BY bands, rows ORDER BY bands
         """,
         "containment_docs": r"""
             WITH w0 AS (

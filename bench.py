@@ -504,7 +504,14 @@ def run_headline(spark) -> dict[str, float]:
         lambda: ngram_jaccard_pairs(docs, "text", "doc_id",
                                     threshold=0.8).count()
     )
-    qs["text_stats_docs"], _ = timed_min_q("text_stats_docs", 
+    # asymmetric tier: exact one-sided containment over the same corpus
+    # (one-sided prefix probe × df>=2 full index; the doc-in-doc pass)
+    from bloomjoin_spark.operators import containment_pairs
+    qs["containment_docs"], _ = timed_min_q("containment_docs",
+        lambda: containment_pairs(docs, "text", "doc_id",
+                                  threshold=0.9).count()
+    )
+    qs["text_stats_docs"], _ = timed_min_q("text_stats_docs",
         lambda: add_text_stats(docs).agg(F.sum("n_tokens")).first()
     )
     queries_df = emb.filter(F.col("vec_id") % 500 == 0).select(
@@ -898,6 +905,7 @@ QUERY_SHORT_KEYS = {
     "exact_dedup_docs": "edd",
     "minhash_pairs_docs": "mhp",
     "ngram_jaccard_docs": "ngj",
+    "containment_docs": "ctn",
     "text_stats_docs": "tst",
     "ann_cosine_topk": "ann",
     "ann_pq_topk": "apq",

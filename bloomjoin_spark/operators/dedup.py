@@ -294,6 +294,95 @@ def _drop_oversized_buckets(
     )
 
 
+class LshPlan:
+    """Chosen LSH banding + its S-curve error areas (see lsh_plan)."""
+
+    __slots__ = ("bands", "rows", "num_perm", "threshold",
+                 "fp_area", "fn_area", "cost", "midpoint")
+
+    def __init__(self, bands, rows, num_perm, threshold,
+                 fp_area, fn_area, cost, midpoint):
+        self.bands = bands
+        self.rows = rows
+        self.num_perm = num_perm
+        self.threshold = threshold
+        self.fp_area = fp_area
+        self.fn_area = fn_area
+        self.cost = cost
+        self.midpoint = midpoint
+
+    def __repr__(self):
+        return (
+            f"LshPlan(bands={self.bands}, rows={self.rows}, "
+            f"num_perm={self.num_perm}, threshold={self.threshold}, "
+            f"fp_area={self.fp_area:.4f}, fn_area={self.fn_area:.4f}, "
+            f"midpoint={self.midpoint:.4f})"
+        )
+
+
+def lsh_plan_table(
+    threshold: float, num_perm: int = 128, grid: int = 1000
+) -> list[tuple[int, int, float, float]]:
+    """S-curve error table for every banding ``lsh_candidate_pairs``
+    can actually run: for b in 1..num_perm the implementation uses
+    r = num_perm // b rows per band (the first b·r signature slots),
+    and two documents at Jaccard s collide with
+    p(s) = 1 − (1 − s^r)^b.  For each candidate this integrates, on a
+    midpoint grid over s ∈ (0, 1),
+
+    - ``fp_area`` = ∫₀ᵗ p(s) ds — expected candidate mass from BELOW-
+      threshold pairs (wasted verification work), and
+    - ``fn_area`` = ∫ₜ¹ (1 − p(s)) ds — expected TRUE pairs the banding
+      never surfaces (recall loss; the exact verify join cannot recover
+      them).
+
+    Returns [(bands, rows, fp_area, fn_area)] rounded to 4 decimals
+    (areas are engine-portable at that precision — pow/sum ULP drift
+    across numeric engines stays far below it), ordered by bands.
+    Driver-side closed-form math over ~num_perm·grid doubles — no data
+    is touched (same contract as ``bloom_params``)."""
+    if not (0.0 < threshold < 1.0):
+        raise ValueError(
+            f"lsh_plan_table: threshold must be in (0, 1), got {threshold}"
+        )
+    if num_perm < 1 or grid < 10:
+        raise ValueError("lsh_plan_table: num_perm >= 1 and grid >= 10 required")
+    s = (np.arange(grid, dtype=np.float64) + 0.5) / grid
+    below = s < threshold
+    out = []
+    for b in range(1, num_perm + 1):
+        r = num_perm // b
+        p = 1.0 - np.power(1.0 - np.power(s, float(r)), float(b))
+        fp = round(float(p[below].sum()) / grid, 4)
+        fn = round(float((1.0 - p[~below]).sum()) / grid, 4)
+        out.append((b, r, fp, fn))
+    return out
+
+
+def lsh_plan(
+    threshold: float,
+    num_perm: int = 128,
+    grid: int = 1000,
+    fn_weight: float = 1.0,
+) -> LshPlan:
+    """Pick (bands, rows) for ``lsh_candidate_pairs`` from a target
+    Jaccard threshold by minimizing fp_area + fn_weight·fn_area over
+    the lsh_plan_table candidates (fn_weight > 1 biases toward recall
+    — a missed true duplicate is usually costlier than a wasted verify
+    row).  Ties break toward FEWER bands: bands is the banded-table
+    fan-out (one shuffle row per band per doc), so the cheaper plan
+    wins when the curves are equal.  ``midpoint`` is the classic
+    (1/b)^(1/r) s-curve inflection estimate for the chosen plan."""
+    table = lsh_plan_table(threshold, num_perm, grid)
+    best = min(table, key=lambda t: (t[2] + fn_weight * t[3], t[0]))
+    b, r, fp, fn = best
+    return LshPlan(
+        bands=b, rows=r, num_perm=num_perm, threshold=threshold,
+        fp_area=fp, fn_area=fn, cost=fp + fn_weight * fn,
+        midpoint=(1.0 / b) ** (1.0 / r),
+    )
+
+
 def lsh_candidate_pairs(
     sig_df: DataFrame,
     id_col: str = "doc_id",
@@ -376,7 +465,7 @@ def minhash_dedup_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     num_perm: int = 128,
-    bands: int = 16,
+    bands: int | str = 16,
     threshold: float = 0.7,
     max_bucket_size: int | None = 2000,
     dropped_report: dict | None = None,
@@ -384,11 +473,22 @@ def minhash_dedup_pairs(
     """Near-dup pairs with exact-Jaccard verification:
     (id_a, id_b, jaccard) where jaccard ≥ threshold.
 
+    ``bands="auto"`` derives the banding from the threshold via
+    :func:`lsh_plan` (minimum S-curve error area) instead of the fixed
+    default — the fixed 16 bands target t≈0.7; at t=0.9 they
+    over-generate candidates and at t=0.5 they silently lose recall.
+
     The shingle table feeds three consumers (signatures + both sides of
     the verification join) — persist it so shingling runs once; the
     verified result is localCheckpoint-materialized so the shingle cache
     can be RELEASED before returning (no storage accumulation across
     repeated calls in a long-lived session)."""
+    if bands == "auto":
+        bands = lsh_plan(threshold, num_perm).bands
+    elif not isinstance(bands, int):
+        raise ValueError(
+            f'minhash_dedup_pairs: bands must be an int or "auto", got {bands!r}'
+        )
     sh = with_shingle_hashes(df, text_col, n).select(id_col, "shingles").persist()
     try:
         sigs = add_minhash_signature(sh.select(id_col, "shingles"), "shingles", num_perm)

@@ -551,3 +551,70 @@ def test_containment_plan_shape(spark, sf_dir, monkeypatch):
     for s in scans:
         cols = {c.split(":")[0] for c in s.split(",") if c}
         assert cols <= {"doc_id", "text"}, f"unpruned scan: {cols}"
+
+
+# ---------------------------------------------------------------------------
+# LSH banding planner (S-curve error minimization)
+# ---------------------------------------------------------------------------
+
+def test_lsh_plan_tracks_threshold():
+    """Higher thresholds need steeper curves: fewer bands / more rows,
+    and the chosen curve's inflection should sit near the threshold."""
+    from bloomjoin_spark.operators import lsh_plan
+
+    plans = [lsh_plan(t) for t in (0.5, 0.7, 0.9)]
+    assert plans[0].bands > plans[1].bands > plans[2].bands
+    assert plans[0].rows < plans[1].rows < plans[2].rows
+    for t, p in zip((0.5, 0.7, 0.9), plans):
+        assert abs(p.midpoint - t) < 0.1
+        assert p.bands * p.rows <= p.num_perm
+        assert p.rows == p.num_perm // p.bands
+
+
+def test_lsh_plan_fn_weight_buys_recall():
+    """Weighting false negatives harder must not increase fn_area."""
+    from bloomjoin_spark.operators import lsh_plan
+
+    neutral = lsh_plan(0.8, fn_weight=1.0)
+    recall = lsh_plan(0.8, fn_weight=10.0)
+    assert recall.fn_area <= neutral.fn_area
+
+
+def test_lsh_plan_beats_default_at_off_design_threshold():
+    """The planner's whole point: at t=0.9 the chosen banding has
+    strictly less total S-curve error than the fixed 16-band default."""
+    from bloomjoin_spark.operators import lsh_plan, lsh_plan_table
+
+    table = {b: (fp, fn) for b, r, fp, fn in lsh_plan_table(0.9)}
+    chosen = lsh_plan(0.9)
+    fp16, fn16 = table[16]
+    assert chosen.fp_area + chosen.fn_area < fp16 + fn16
+
+
+def test_lsh_plan_validation():
+    from bloomjoin_spark.operators import lsh_plan_table
+
+    with pytest.raises(ValueError, match="threshold"):
+        lsh_plan_table(1.0)
+    with pytest.raises(ValueError, match="threshold"):
+        lsh_plan_table(0.0)
+    with pytest.raises(ValueError, match="num_perm"):
+        lsh_plan_table(0.5, num_perm=0)
+
+
+def test_minhash_auto_bands_finds_planted_dups(spark, docs, docs_with_dups):
+    """bands='auto' end to end: exact dups (identical signatures) must
+    all surface regardless of which banding the planner picked."""
+    pairs = minhash_dedup_pairs(
+        docs_with_dups, "text", "doc_id",
+        num_perm=64, bands="auto", threshold=0.9,
+    )
+    planted = docs.filter(F.col("doc_id") % 5 == 0).count()
+    found = pairs.filter(F.col("id_b") - F.col("id_a") == 1_000_000).count()
+    assert found == planted
+
+
+def test_minhash_bands_type_validation(spark):
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="bands"):
+        minhash_dedup_pairs(df, bands="al gusto")
