@@ -8,7 +8,8 @@ RefinedWeb, Dolma) converged on:
 
     incremental_dedup (vs a prior corpus snapshot) → exact_dedup →
     minhash_dedup → simhash_dedup →
-    ngram_jaccard_dedup → embedding_dedup → decontaminate →
+    ngram_jaccard_dedup → containment_dedup → embedding_dedup →
+    decontaminate →
     remove_boilerplate_lines → quality_filter → scrub_patterns →
     weighted_mixture → hash_split → pack_sequences
 
@@ -60,6 +61,7 @@ from pyspark.sql import functions as F
 from .boilerplate import remove_boilerplate_lines
 from .decontam import decontaminate, words_col
 from .dedup import (
+    containment_dedup,
     exact_dedup,
     incremental_dedup,
     minhash_dedup,
@@ -84,6 +86,7 @@ STAGE_ORDER = (
     "minhash_dedup",
     "simhash_dedup",
     "ngram_jaccard_dedup",
+    "containment_dedup",
     "embedding_dedup",
     "decontaminate",
     "dedup_lines_within",
@@ -168,6 +171,7 @@ def prepare_corpus(
     minhash: Mapping | bool | None = None,
     simhash: Mapping | bool | None = None,
     jaccard: Mapping | bool | None = None,
+    containment: Mapping | bool | None = None,
     embedding: Mapping | None = None,
     bench: DataFrame | None = None,
     decontam: Mapping | None = None,
@@ -209,6 +213,12 @@ def prepare_corpus(
       (minhash first removes the bulk cheaply).  The 100%-recall
       guarantee holds with ``max_shingle_df=None``; the default cap
       bounds degenerate-bucket cost instead, warning when it drops.
+    - ``containment``: True or kwargs for ``containment_dedup`` — the
+      ASYMMETRIC near-dup tier: drops documents threshold-contained in
+      a larger document (excerpts/quotes whose symmetric Jaccard is
+      near zero).  Runs after the symmetric tiers — they cheaply
+      remove whole-document twins first, shrinking this tier's full
+      shingle index.
     - ``embedding``: kwargs for ``embedding_dedup`` — the SEMANTIC
       near-dup tier over a vector column carried on the frame
       (``vec_col`` defaults to ``"embedding"``); requires
@@ -262,7 +272,7 @@ def prepare_corpus(
       pass ``use_split=None`` to pack every surviving doc.
 
     Returns a :class:`PreparedCorpus`.  The stateless stages are fully
-    lazy; the near-dup tiers (``minhash``, ``jaccard``) are NOT — their
+    lazy; the near-dup tiers (``minhash``, ``jaccard``, ``containment``) are NOT — their
     bucket-guard aggregates and eager pair materialization run Spark
     jobs at construction time (bounded by the pair set, never the
     corpus), so build the pipeline when the cluster is ready to work.
@@ -318,6 +328,12 @@ def prepare_corpus(
         _capped_tier(
             "ngram_jaccard_dedup", _as_kwargs(jaccard, "jaccard"),
             lambda kw: ngram_jaccard_dedup(out, text_col, id_col, **kw),
+        )
+
+    if containment is not None and containment is not False:
+        _capped_tier(
+            "containment_dedup", _as_kwargs(containment, "containment"),
+            lambda kw: containment_dedup(out, text_col, id_col, **kw),
         )
 
     if embedding is not None:

@@ -475,3 +475,31 @@ def test_encode_config_validation(spark):
             docs,
             encode={"vocab": build_vocab(docs), "min_count": 2},
         )
+
+
+def test_containment_stage_in_pipeline(spark):
+    """Round 5: the asymmetric containment tier slots after the exact
+    Jaccard tier; planted excerpts (contained in a larger page, near-
+    zero symmetric Jaccard) drop while every page survives."""
+    rows = [
+        (i, "web", " ".join(f"c{i}tok{j}" for j in range(30)))
+        for i in range(15)
+    ]
+    # excerpts: 10-word slices of every 3rd page — Jaccard vs the page
+    # ≈ 8/28 < 0.3, containment = 1.0
+    rows += [
+        (100 + i, "web", " ".join(t.split()[5:15]))
+        for i, (_, _, t) in zip(range(15), rows) if i % 3 == 0
+    ]
+    df = _docs(spark, rows)
+    res = prepare_corpus(
+        df,
+        jaccard={"threshold": 0.8, "max_shingle_df": None},
+        containment={"threshold": 0.9, "max_shingle_df": None},
+    )
+    assert res.stages == (
+        "exact_dedup", "ngram_jaccard_dedup", "containment_dedup"
+    )
+    assert "containment_dedup" in res.reports
+    ids = sorted(r.doc_id for r in res.docs.collect())
+    assert all(i < 100 for i in ids) and len(ids) == 15
