@@ -340,10 +340,15 @@ def lsh_plan_table(
     (areas are engine-portable at that precision — pow/sum ULP drift
     across numeric engines stays far below it), ordered by bands.
     Driver-side closed-form math over ~num_perm·grid doubles — no data
-    is touched (same contract as ``bloom_params``)."""
-    if not (0.0 < threshold < 1.0):
+    is touched (same contract as ``bloom_params``).
+
+    threshold=1.0 (exact-duplicate dedup) is legal, matching the
+    sibling join operators' (0, 1] domain: fn_area is identically 0
+    there (no above-threshold mass below s=1), so the argmin reduces
+    to pure fp minimization and picks the 1-band full-signature plan."""
+    if not (0.0 < threshold <= 1.0):
         raise ValueError(
-            f"lsh_plan_table: threshold must be in (0, 1), got {threshold}"
+            f"lsh_plan_table: threshold must be in (0, 1], got {threshold}"
         )
     if num_perm < 1 or grid < 10:
         raise ValueError("lsh_plan_table: num_perm >= 1 and grid >= 10 required")
@@ -485,7 +490,10 @@ def minhash_dedup_pairs(
     repeated calls in a long-lived session)."""
     if bands == "auto":
         bands = lsh_plan(threshold, num_perm).bands
-    elif not isinstance(bands, int):
+    elif isinstance(bands, bool) or not isinstance(bands, int):
+        # bool is an int subclass: bands=True would silently run a
+        # 1-band full-signature LSH that misses every non-identical
+        # near-dup — exactly the failure this validation exists for
         raise ValueError(
             f'minhash_dedup_pairs: bands must be an int or "auto", got {bands!r}'
         )
@@ -689,6 +697,43 @@ def simhash_near_dup_pairs(
 # exact n-gram Jaccard similarity join (prefix filtering)
 # ---------------------------------------------------------------------------
 
+def _rarity_prefix(ann: DataFrame, id_col: str, threshold: float) -> DataFrame:
+    """THE prefix-filter theorem, shared by both exact similarity joins
+    (``ngram_jaccard_pairs``'s symmetric form and
+    ``containment_pairs``'s one-sided form — the per-probe-doc bound is
+    identical): rank each doc's shingles by GLOBAL rarity (df asc,
+    value asc — one total order shared by all docs) and keep the first
+    ``L − ceil(t·L) + 1``.  Two theorem-critical details live here ONCE:
+
+    - −ε inside the ceil: when t·L is exactly an integer the double
+      product can land one ULP HIGH and ceil one too far, shortening
+      the prefix below the theorem's requirement (recall loss); the ε
+      only ever LENGTHENS the prefix.
+    - ``__df >= 2`` AFTER ranking: a singleton shingle still OCCUPIES
+      its prefix position (dropping it before the window would promote
+      commoner shingles into the prefix and change the guarantee), but
+      it can never MATCH another doc in the equi-join — pruning it
+      costs zero recall and, on a mostly-unique corpus, removes most
+      of the candidate index.
+
+    ``ann`` must carry (id_col, __L, __g, __df)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__df").asc(), F.col("__g").asc()
+    )
+    prefix_len = (
+        F.col("__L")
+        - F.ceil(F.lit(threshold) * F.col("__L") - F.lit(_T_EPS))
+        + 1
+    )
+    return (
+        ann.withColumn("__r", F.row_number().over(w))
+        .filter((F.col("__r") <= prefix_len) & (F.col("__df") >= 2))
+        .select(id_col, "__g", "__L")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -737,8 +782,6 @@ def ngram_jaccard_pairs(
         raise ValueError(
             f"ngram_jaccard_pairs: threshold must be in (0, 1], got {threshold}"
         )
-    from pyspark.sql import Window
-
     sh = with_shingle_hashes(df, text_col, n).select(id_col, "shingles").persist()
     try:
         ex = sh.select(
@@ -747,30 +790,7 @@ def ngram_jaccard_pairs(
             F.explode("shingles").alias("__g"),
         )
         freq = ex.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
-        w = Window.partitionBy(id_col).orderBy(
-            F.col("__df").asc(), F.col("__g").asc()
-        )
-        # ceil(t·L − ε), not ceil(t·L): when t·L is exactly an integer
-        # the double product can land one ULP HIGH and ceil one too
-        # far, shortening the prefix below the theorem's requirement
-        # (recall loss); the ε only ever LENGTHENS the prefix
-        prefix_len = (
-            F.col("__L")
-            - F.ceil(F.lit(threshold) * F.col("__L") - F.lit(_T_EPS))
-            + 1
-        )
-        prefix = (
-            ex.join(freq, "__g")
-            .withColumn("__r", F.row_number().over(w))
-            # __df >= 2 AFTER ranking: a singleton shingle still OCCUPIES
-            # its prefix position (dropping it before the window would
-            # promote commoner shingles into the prefix and change the
-            # theorem's guarantee), but it can never MATCH another doc in
-            # the equi-join — pruning it costs zero recall and, on a
-            # mostly-unique corpus, removes most of the candidate index
-            .filter((F.col("__r") <= prefix_len) & (F.col("__df") >= 2))
-            .select(id_col, "__g", "__L")
-        )
+        prefix = _rarity_prefix(ex.join(freq, "__g"), id_col, threshold)
         # one materialization point: the prefix table feeds the guard's
         # size aggregate and both sides of the self-join (else the
         # df-join + window recompute per branch)
@@ -875,8 +895,6 @@ def containment_pairs(
         raise ValueError(
             f"containment_pairs: threshold must be in (0, 1], got {threshold}"
         )
-    from pyspark.sql import Window
-
     sh = with_shingle_hashes(df, text_col, n).select(id_col, "shingles").persist()
     try:
         ex = sh.select(
@@ -889,24 +907,7 @@ def containment_pairs(
         # the probe-prefix window and the full index (else the explode +
         # df-join recompute per branch)
         ann = ex.join(freq, "__g").localCheckpoint(eager=False)
-        w = Window.partitionBy(id_col).orderBy(
-            F.col("__df").asc(), F.col("__g").asc()
-        )
-        # −ε as in ngram_jaccard_pairs: when t·L is exactly an integer a
-        # one-ULP-high double product would shorten the prefix below the
-        # theorem's requirement; the ε only ever LENGTHENS it
-        prefix_len = (
-            F.col("__L")
-            - F.ceil(F.lit(threshold) * F.col("__L") - F.lit(_T_EPS))
-            + 1
-        )
-        # df >= 2 AFTER ranking (same argument as ngram_jaccard_pairs):
-        # a singleton still occupies its prefix slot but can never match
-        probe = (
-            ann.withColumn("__r", F.row_number().over(w))
-            .filter((F.col("__r") <= prefix_len) & (F.col("__df") >= 2))
-            .select(id_col, "__g", "__L")
-        )
+        probe = _rarity_prefix(ann, id_col, threshold)
         index = ann.filter(F.col("__df") >= 2).select(id_col, "__g", "__L")
         index = _drop_oversized_buckets(
             index, ["__g"], max_shingle_df, dropped_report,

@@ -595,11 +595,22 @@ def test_lsh_plan_validation():
     from bloomjoin_spark.operators import lsh_plan_table
 
     with pytest.raises(ValueError, match="threshold"):
-        lsh_plan_table(1.0)
+        lsh_plan_table(1.5)
     with pytest.raises(ValueError, match="threshold"):
         lsh_plan_table(0.0)
     with pytest.raises(ValueError, match="num_perm"):
         lsh_plan_table(0.5, num_perm=0)
+
+
+def test_lsh_plan_exact_threshold_picks_one_band():
+    """t=1.0 is legal (the sibling joins' (0, 1] domain): fn_area is 0
+    for every candidate, so the argmin is pure fp minimization — the
+    1-band full-signature plan (only identical signatures collide)."""
+    from bloomjoin_spark.operators import lsh_plan
+
+    p = lsh_plan(1.0)
+    assert p.bands == 1 and p.rows == p.num_perm
+    assert p.fn_area == 0.0
 
 
 def test_minhash_auto_bands_finds_planted_dups(spark, docs, docs_with_dups):
@@ -618,3 +629,7 @@ def test_minhash_bands_type_validation(spark):
     df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
     with pytest.raises(ValueError, match="bands"):
         minhash_dedup_pairs(df, bands="al gusto")
+    # bool is an int subclass: bands=True would silently run a 1-band
+    # full-signature LSH that misses every non-identical near-dup
+    with pytest.raises(ValueError, match="bands"):
+        minhash_dedup_pairs(df, bands=True)
