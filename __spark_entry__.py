@@ -148,6 +148,27 @@ def _decontam_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("doc_id")
 
 
+def _decontam_many_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 5: MULTI-SUITE decontamination
+    (decontam.py:contaminated_docs_many) — per-suite attribution from
+    ONE corpus scan (one Bloom over the union of both suites' word
+    6-grams, one ladder-hash pass, per-suite exact verify).  The DuckDB
+    oracle recomputes per-(doc, suite) distinct-gram counts with true
+    list-equality joins, so the union-filter optimization is value-
+    checked to be invisible in the output."""
+    from bloomjoin_spark.operators import contaminated_docs_many, words_col
+
+    docs = _t(spark, sf_dir, "documents")
+    benches = {
+        "eval_a": docs.where(F.col("doc_id") % 29 == 3),
+        "eval_b": docs.where(F.col("doc_id") % 31 == 4),
+    }
+    out = contaminated_docs_many(
+        docs, benches, n=6, corpus_tokens=words_col(F.col("text"))
+    )
+    return out.orderBy("doc_id", "suite")
+
+
 def _decontam_tokens_f0(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination on the north-rule TOKEN table: benchmark = 8-token
     windows cut from every 97th doc; the Bloom-prefiltered result must
@@ -2121,6 +2142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_buckets_docs": _length_buckets_docs,
         "bloom_inner_join_auto_floor": _bloom_inner_auto_floor,
         "decontam_docs": _decontam_docs,
+        "decontam_many_docs": _decontam_many_docs,
         "repetition_docs": _repetition_docs,
         "quality_docs": _quality_docs,
         "boilerplate_docs": _boilerplate_docs,
@@ -2398,6 +2420,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, coalesce(r.clean, '') AS text
             FROM documents d LEFT JOIN rebuilt r USING (doc_id)
             ORDER BY d.doc_id
+        """,
+        "decontam_many_docs": r"""
+            WITH words AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+              FROM documents
+            ),
+            grams AS (
+              SELECT d.doc_id, d.w[i:i+5] AS ng
+              FROM words d, UNNEST(generate_series(1, len(d.w) - 5)) t(i)
+            ),
+            bench AS (
+              SELECT 'eval_a' AS suite, ng
+              FROM (SELECT DISTINCT g.ng FROM grams g
+                    WHERE g.doc_id % 29 = 3) s
+              UNION ALL
+              SELECT 'eval_b' AS suite, ng
+              FROM (SELECT DISTINCT g.ng FROM grams g
+                    WHERE g.doc_id % 31 = 4) s
+            )
+            SELECT g.doc_id, b.suite, COUNT(DISTINCT g.ng)::BIGINT AS n_hits
+            FROM grams g JOIN bench b ON g.ng = b.ng
+            GROUP BY g.doc_id, b.suite
+            ORDER BY g.doc_id, b.suite
         """,
         "decontam_stream_docs": r"""
             WITH words AS (

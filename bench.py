@@ -552,6 +552,18 @@ def run_headline(spark) -> dict[str, float]:
     qs["decontam_tokens"], _ = timed_min_q("decontam_tokens",
         lambda: contaminated_docs(toks, bench_side, n=8).count()
     )
+    # multi-suite decontam: TWO eval suites attributed from ONE corpus
+    # scan — the cell's wall time vs 2×dct is the amortization claim
+    # (per-scan cost dominates; the union filter adds only filter size)
+    from bloomjoin_spark.operators import contaminated_docs_many
+    bench_b = toks.where(
+        (F.xxhash64("doc_id") % 997 == 1) & (F.col("n_tok") >= 14)
+    ).select(F.slice("tokens", 5, 8).alias("tokens"))
+    qs["decontam_many_tokens"], _ = timed_min_q("decontam_many_tokens",
+        lambda: contaminated_docs_many(
+            toks, {"a": bench_side, "b": bench_b}, n=8
+        ).count()
+    )
     qs["repetition_docs"], _ = timed_min_q("repetition_docs",
         lambda: add_repetition_stats(docs).agg(F.sum("dup_word_frac")).first()
     )
@@ -910,6 +922,7 @@ QUERY_SHORT_KEYS = {
     "ann_cosine_topk": "ann",
     "ann_pq_topk": "apq",
     "decontam_tokens": "dct",
+    "decontam_many_tokens": "dcm",
     "repetition_docs": "rep",
     "top_ngram_docs": "tng",
     "quality_filter_docs": "qf",

@@ -189,6 +189,80 @@ def _any_in_bloom_udf(bc):
     return probe.asNondeterministic()
 
 
+def _gram_candidate_pred(
+    spark, keyed: DataFrame, n_bench: int, fpp: float, engine: str,
+    report: "DecontamReport", doc_hashes: Column, base: DataFrame,
+) -> Column:
+    """Engine-dispatched per-document ANY-gram membership predicate,
+    shared by the single-suite and multi-suite decontam operators.
+    ``keyed`` must carry the prehashed int64 gram column ``_H``;
+    ``base`` is the probe frame used only to force analysis NOW so
+    probe-side private-API drift falls back instead of failing at
+    action time.  Sets ``report.engine`` / ``filter_bits`` /
+    ``engine_fallback_reason`` (the observable-degradation contract of
+    ``bloom_join`` engine dispatch, VERDICT r4 #3)."""
+    cand_pred: Column | None = None
+    if engine in ("auto", "native"):
+        try:
+            blob = _native_build_filter(
+                keyed.select(F.col(_H).alias("__bj_key64")), n_bench, fpp
+            )
+            if len(blob) > _NATIVE_FILTER_CAP_BYTES:
+                # same plan-literal cap as bloom_join: the blob is
+                # re-serialized into every task binary; a huge eval
+                # suite belongs on the sketch engine (broadcast once)
+                raise RuntimeError(
+                    f"serialized native filter is {len(blob) >> 20} MiB, above "
+                    f"the {_NATIVE_FILTER_CAP_BYTES >> 20} MiB plan-literal cap"
+                )
+            cand_pred = F.exists(
+                doc_hashes, lambda h: _native_might_contain(spark, blob, h)
+            )
+            # force analysis NOW so probe-side private-API drift also
+            # falls back instead of failing at action time
+            base.where(cand_pred).schema
+            report.engine = "native"
+            report.filter_bits = len(blob) * 8
+        except Exception as ex:  # private-API drift / size gate → sketch engine
+            cand_pred = None
+            report.engine_fallback_reason = repr(ex)
+            if engine == "native":
+                warnings.warn(
+                    f"native bloom engine unavailable ({ex!r}); falling back "
+                    "to the sketch engine",
+                    stacklevel=2,
+                )
+            else:
+                # importlib, not `from . import bloom_join`: the package
+                # __init__ re-exports the bloom_join FUNCTION, shadowing
+                # the submodule attribute
+                import importlib
+
+                _bj = importlib.import_module(
+                    "bloomjoin_spark.operators.bloom_join"
+                )
+                if not _bj._native_fallback_warned:
+                    _bj._native_fallback_warned = True
+                    warnings.warn(
+                        f"native bloom engine unavailable ({ex!r}); falling "
+                        "back to the sketch engine (warning once per session; "
+                        "every affected DecontamReport/BloomJoinReport "
+                        "carries engine_fallback_reason)",
+                        stacklevel=2,
+                    )
+            engine = "bloom"
+    if cand_pred is None:
+        res = build_sketch(
+            keyed.select(_H), lambda: BloomSketch(n=n_bench, fpp=fpp), cols=[_H],
+            prehashed=True,
+        )
+        bc = spark.sparkContext.broadcast(res.sketch)
+        cand_pred = _any_in_bloom_udf(bc)(doc_hashes)
+        report.engine = "bloom"
+        report.filter_bits = res.sketch.m
+    return cand_pred
+
+
 def contaminated_docs(
     corpus: DataFrame,
     bench: DataFrame,
@@ -257,69 +331,9 @@ def contaminated_docs(
     base = corpus.select(F.col(id_col), ccol.alias("__bj_toks"))
     doc_hashes = ngram_hashes_col(F.col("__bj_toks"), n)
 
-    cand_pred: Column | None = None
-    if engine in ("auto", "native"):
-        try:
-            blob = _native_build_filter(
-                keyed.select(F.col(_H).alias("__bj_key64")), n_bench, fpp
-            )
-            if len(blob) > _NATIVE_FILTER_CAP_BYTES:
-                # same plan-literal cap as bloom_join: the blob is
-                # re-serialized into every task binary; a huge eval
-                # suite belongs on the sketch engine (broadcast once)
-                raise RuntimeError(
-                    f"serialized native filter is {len(blob) >> 20} MiB, above "
-                    f"the {_NATIVE_FILTER_CAP_BYTES >> 20} MiB plan-literal cap"
-                )
-            cand_pred = F.exists(
-                doc_hashes, lambda h: _native_might_contain(spark, blob, h)
-            )
-            # force analysis NOW so probe-side private-API drift also
-            # falls back instead of failing at action time
-            base.where(cand_pred).schema
-            report.engine = "native"
-            report.filter_bits = len(blob) * 8
-        except Exception as ex:  # private-API drift / size gate → sketch engine
-            # observable degradation, same contract as bloom_join
-            # (VERDICT r4 #3): the reason is ALWAYS recorded on the
-            # report, and auto mode warns once per session instead of
-            # silently losing the native path across a Spark upgrade
-            cand_pred = None
-            report.engine_fallback_reason = repr(ex)
-            if engine == "native":
-                warnings.warn(
-                    f"native bloom engine unavailable ({ex!r}); falling back "
-                    "to the sketch engine",
-                    stacklevel=2,
-                )
-            else:
-                # importlib, not `from . import bloom_join`: the package
-                # __init__ re-exports the bloom_join FUNCTION, shadowing
-                # the submodule attribute
-                import importlib
-
-                _bj = importlib.import_module(
-                    "bloomjoin_spark.operators.bloom_join"
-                )
-                if not _bj._native_fallback_warned:
-                    _bj._native_fallback_warned = True
-                    warnings.warn(
-                        f"native bloom engine unavailable ({ex!r}); falling "
-                        "back to the sketch engine (warning once per session; "
-                        "every affected DecontamReport/BloomJoinReport "
-                        "carries engine_fallback_reason)",
-                        stacklevel=2,
-                    )
-            engine = "bloom"
-    if cand_pred is None:
-        res = build_sketch(
-            keyed.select(_H), lambda: BloomSketch(n=n_bench, fpp=fpp), cols=[_H],
-            prehashed=True,
-        )
-        bc = spark.sparkContext.broadcast(res.sketch)
-        cand_pred = _any_in_bloom_udf(bc)(doc_hashes)
-        report.engine = "bloom"
-        report.filter_bits = res.sketch.m
+    cand_pred = _gram_candidate_pred(
+        spark, keyed, n_bench, fpp, engine, report, doc_hashes, base
+    )
 
     # candidate docs ≈ contaminated + per-DOC false positives (each doc
     # probes ~L grams, so doc-level fp ≈ L·fpp — hence the low default
@@ -331,6 +345,113 @@ def contaminated_docs(
         F.col(id_col), F.explode(ngrams_col(F.col("__bj_toks"), n)).alias(_NG)
     ).join(bench_ngs, on=_NG, how="inner")
     out = hits.groupBy(id_col).agg(F.count_distinct(_NG).alias("n_hits"))
+    return (out, report) if return_report else out
+
+
+def contaminated_docs_many(
+    corpus: DataFrame,
+    benches: "dict[str, DataFrame]",
+    *,
+    n: int = 8,
+    corpus_tokens: Column | str = "tokens",
+    bench_tokens: Column | str | None = None,
+    id_col: str = "doc_id",
+    suite_col: str = "suite",
+    fpp: float = 1e-4,
+    engine: str = "auto",
+    return_report: bool = False,
+):
+    """Per-suite contamination attribution from ONE corpus scan:
+    ``(id_col, suite_col, n_hits)`` for every (document, eval suite)
+    pair sharing ≥1 token ``n``-gram — EXACT output per suite,
+    identical to running :func:`contaminated_docs` once per suite.
+
+    Why it exists: production pipelines decontaminate against DOZENS of
+    eval suites, and at 100 TB the corpus scan dominates — N separate
+    ``contaminated_docs`` calls pay N full scans + N ladder-hash
+    evaluations.  Here ONE Bloom filter is built over the UNION of all
+    suites' distinct n-grams, the corpus is scanned and ladder-hashed
+    ONCE (row count through the probe stage stays |corpus|, no
+    explode), and only the candidate docs — true contamination plus
+    doc-level false positives ≈ L·fpp — materialize their gram arrays
+    for the verify join against the (suite, gram) table, which assigns
+    per-suite attribution exactly.  The union filter makes each suite's
+    candidate set a SUPERSET of its single-suite candidates; the verify
+    join removes every false positive, so per-suite output is
+    unchanged.  All suites share one ``n`` (one hash ladder per doc is
+    the whole point); run suites with different ``n`` separately.
+
+    ``benches`` maps suite label → DataFrame; labels land in
+    ``suite_col``.  Per-suite distinct-gram counts are recorded on
+    ``report.notes``."""
+    if engine not in ("auto", "native", "bloom"):
+        raise ValueError(f"unknown engine {engine!r}")
+    if not benches:
+        raise ValueError("contaminated_docs_many: benches is empty")
+    if suite_col == id_col or suite_col in ("n_hits", _NG):
+        raise ValueError(
+            f"contaminated_docs_many: suite_col {suite_col!r} collides "
+            "with an output column"
+        )
+    ccol = _resolve_col(corpus, corpus_tokens)
+    spark = corpus.sparkSession
+    report = DecontamReport(n=n)
+
+    tagged = None
+    for name, bench in benches.items():
+        bcol = _resolve_col(
+            bench, bench_tokens if bench_tokens is not None else corpus_tokens
+        )
+        t = (
+            bench.select(F.explode(ngrams_col(bcol, n)).alias(_NG))
+            .distinct()
+            .withColumn(suite_col, F.lit(str(name)))
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    # one materialization point: the (suite, gram) table feeds the
+    # per-suite counts, the union-distinct filter build, and the verify
+    # join — without it every branch re-explodes every suite
+    tagged = tagged.localCheckpoint(eager=False)
+    suite_sizes = {
+        r[suite_col]: r["cnt"]
+        for r in tagged.groupBy(suite_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()  # bounded: one row per suite
+    }
+    for name in benches:
+        report.notes.append(
+            f"suite {name!r}: {suite_sizes.get(str(name), 0)} distinct n-grams"
+        )
+    union_ngs = tagged.select(_NG).distinct().localCheckpoint(eager=False)
+    n_union = union_ngs.count()
+    report.n_bench_ngrams = n_union
+
+    out_schema_src = corpus.select(
+        F.col(id_col),
+        F.lit("").alias(suite_col),
+        F.lit(0).cast("bigint").alias("n_hits"),
+    )
+    if n_union == 0:
+        report.engine = "none"
+        report.notes.append("no suite has any n-grams; nothing to flag")
+        empty = out_schema_src.where(F.lit(False))
+        return (empty, report) if return_report else empty
+
+    keyed = union_ngs.withColumn(
+        _H, F.element_at(ngram_hashes_col(F.col(_NG), n), 1)
+    )
+    base = corpus.select(F.col(id_col), ccol.alias("__bj_toks"))
+    doc_hashes = ngram_hashes_col(F.col("__bj_toks"), n)
+    cand_pred = _gram_candidate_pred(
+        spark, keyed, n_union, fpp, engine, report, doc_hashes, base
+    )
+    cand = base.where(cand_pred)
+    hits = cand.select(
+        F.col(id_col), F.explode(ngrams_col(F.col("__bj_toks"), n)).alias(_NG)
+    ).join(tagged, on=_NG, how="inner")
+    out = hits.groupBy(id_col, suite_col).agg(
+        F.count_distinct(_NG).alias("n_hits")
+    )
     return (out, report) if return_report else out
 
 

@@ -267,3 +267,99 @@ def test_auto_mode_decontam_fallback_is_observable(spark, monkeypatch):
             corpus, bench, n=3, engine="auto", return_report=True
         )
     assert "ExpressionUtils moved" in rep2.engine_fallback_reason
+
+
+# ---------------------------------------------------------------------------
+# multi-suite decontamination: one corpus scan, per-suite attribution
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("engine", ["native", "bloom"])
+def test_many_equals_per_suite_runs(spark, engine):
+    """The defining contract: contaminated_docs_many over {A, B} gives,
+    per suite, EXACTLY what contaminated_docs gives for that suite —
+    the union filter only widens candidates; verify removes the rest."""
+    from bloomjoin_spark.operators import contaminated_docs_many
+
+    corpus = _docs(
+        spark,
+        [
+            (10, [1, 5, 6, 7, 2]),        # hits A only
+            (11, [9, 9, 9, 9, 9]),        # clean
+            (12, [5, 6, 7, 0, 8, 8, 8]),  # hits A and B
+            (13, [8, 8, 8, 3]),           # hits B only
+        ],
+    )
+    benches = {
+        "suite_a": _docs(spark, [(100, [5, 6, 7])]),
+        "suite_b": _docs(spark, [(200, [8, 8, 8, 8])]),
+    }
+    got = contaminated_docs_many(corpus, benches, n=3, engine=engine)
+    rows = {(r["doc_id"], r["suite"]): r["n_hits"] for r in got.collect()}
+    expected = {}
+    for name, bench in benches.items():
+        for r in contaminated_docs(corpus, bench, n=3, engine=engine).collect():
+            expected[(r["doc_id"], name)] = r["n_hits"]
+    assert rows == expected
+    assert (12, "suite_a") in rows and (12, "suite_b") in rows
+    assert (13, "suite_a") not in rows
+
+
+def test_many_shared_grams_attributed_to_both_suites(spark):
+    """A gram present in TWO suites attributes the same doc to both."""
+    from bloomjoin_spark.operators import contaminated_docs_many
+
+    corpus = _docs(spark, [(1, [5, 6, 7, 9])])
+    benches = {
+        "a": _docs(spark, [(100, [5, 6, 7])]),
+        "b": _docs(spark, [(200, [5, 6, 7, 8])]),
+    }
+    got = contaminated_docs_many(corpus, benches, n=3)
+    rows = {(r["doc_id"], r["suite"]): r["n_hits"] for r in got.collect()}
+    assert rows == {(1, "a"): 1, (1, "b"): 1}
+
+
+def test_many_empty_suite_and_report(spark):
+    """An empty suite contributes nothing but is recorded on the
+    report; the filter is built over the union."""
+    from bloomjoin_spark.operators import contaminated_docs_many
+
+    corpus = _docs(spark, [(1, [5, 6, 7])])
+    benches = {
+        "real": _docs(spark, [(100, [5, 6, 7])]),
+        "empty": _docs(spark, [(200, [1, 2])]),  # too short for n=3
+    }
+    got, rep = contaminated_docs_many(
+        corpus, benches, n=3, return_report=True
+    )
+    rows = {(r["doc_id"], r["suite"]) for r in got.collect()}
+    assert rows == {(1, "real")}
+    assert rep.n_bench_ngrams == 1
+    assert any("'real': 1 distinct" in s for s in rep.notes)
+    assert any("'empty': 0 distinct" in s for s in rep.notes)
+
+
+def test_many_validation(spark):
+    from bloomjoin_spark.operators import contaminated_docs_many
+
+    corpus = _docs(spark, [(1, [5, 6, 7])])
+    with pytest.raises(ValueError, match="empty"):
+        contaminated_docs_many(corpus, {}, n=3)
+    with pytest.raises(ValueError, match="suite_col"):
+        contaminated_docs_many(
+            corpus, {"a": corpus}, n=3, suite_col="doc_id"
+        )
+    with pytest.raises(ValueError, match="engine"):
+        contaminated_docs_many(corpus, {"a": corpus}, engine="warp")
+
+
+def test_many_all_suites_empty(spark):
+    from bloomjoin_spark.operators import contaminated_docs_many
+
+    corpus = _docs(spark, [(1, [5, 6, 7])])
+    benches = {"e1": _docs(spark, [(1, [1])]), "e2": _docs(spark, [(2, [2])])}
+    got, rep = contaminated_docs_many(
+        corpus, benches, n=3, return_report=True
+    )
+    assert got.count() == 0
+    assert rep.engine == "none"
+    assert [f.name for f in got.schema.fields] == ["doc_id", "suite", "n_hits"]
