@@ -55,7 +55,9 @@ __all__ = [
     "ngrams_col",
     "words_col",
     "contaminated_docs",
+    "contaminated_docs_many",
     "decontaminate",
+    "decontaminate_many",
     "DecontamReport",
 ]
 
@@ -485,4 +487,42 @@ def decontaminate(
         return_report=True,
     )
     out = corpus.join(flagged.select(id_col), on=id_col, how="left_anti")
+    return (out, report) if return_report else out
+
+
+def decontaminate_many(
+    corpus: DataFrame,
+    benches: "dict[str, DataFrame]",
+    *,
+    n: int = 8,
+    corpus_tokens: Column | str = "tokens",
+    bench_tokens: Column | str | None = None,
+    id_col: str = "doc_id",
+    suite_col: str = "suite",
+    fpp: float = 1e-4,
+    engine: str = "auto",
+    return_report: bool = False,
+):
+    """``corpus`` with every document contaminated by ANY suite removed
+    — the multi-suite analog of :func:`decontaminate`, sharing its
+    anti-join shape (the flagged id set is proportional to true
+    contamination, so Spark broadcasts it in the common case) and
+    :func:`contaminated_docs_many`'s one-scan plan.  With
+    ``return_report`` returns ``(df, DecontamReport)`` carrying the
+    union filter stats and per-suite n-gram counts on ``notes``."""
+    flagged, report = contaminated_docs_many(
+        corpus,
+        benches,
+        n=n,
+        corpus_tokens=corpus_tokens,
+        bench_tokens=bench_tokens,
+        id_col=id_col,
+        suite_col=suite_col,
+        fpp=fpp,
+        engine=engine,
+        return_report=True,
+    )
+    out = corpus.join(
+        flagged.select(id_col).distinct(), on=id_col, how="left_anti"
+    )
     return (out, report) if return_report else out

@@ -59,7 +59,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .boilerplate import remove_boilerplate_lines
-from .decontam import decontaminate, words_col
+from .decontam import decontaminate, decontaminate_many, words_col
 from .dedup import (
     containment_dedup,
     exact_dedup,
@@ -173,7 +173,7 @@ def prepare_corpus(
     jaccard: Mapping | bool | None = None,
     containment: Mapping | bool | None = None,
     embedding: Mapping | None = None,
-    bench: DataFrame | None = None,
+    bench: DataFrame | Mapping | None = None,
     decontam: Mapping | None = None,
     line_dedup: Mapping | bool | None = None,
     boilerplate_min_docs: int | None = None,
@@ -228,7 +228,10 @@ def prepare_corpus(
       ``engine``, ``corpus_tokens``, ``bench_tokens``): benchmark
       decontamination — giving ``bench`` enables the stage; token
       columns default to canonical word tokenization of ``text_col``
-      on both sides (override for token-id corpora).
+      on both sides (override for token-id corpora).  A MAPPING of
+      suite label → DataFrame runs the one-scan multi-suite operator
+      (``decontaminate_many``) with drop-if-hit-ANY semantics and
+      per-suite n-gram counts on the stage report.
     - ``line_dedup``: True or kwargs for ``dedup_lines_within`` —
       within-document repeated-line removal (keep first occurrence);
       runs BEFORE the cross-document boilerplate stage so a page's
@@ -363,7 +366,17 @@ def prepare_corpus(
                 "only one"
             )
         kw.setdefault("id_col", id_col)
-        out, dc_report = decontaminate(out, bench, return_report=True, **kw)
+        if isinstance(bench, Mapping):
+            # dict of eval suites → one-scan multi-suite decontam;
+            # drop-if-hit-ANY semantics, per-suite n-gram counts on
+            # the report's notes
+            out, dc_report = decontaminate_many(
+                out, dict(bench), return_report=True, **kw
+            )
+        else:
+            out, dc_report = decontaminate(
+                out, bench, return_report=True, **kw
+            )
         stages.append("decontaminate")
         reports["decontaminate"] = dc_report
 

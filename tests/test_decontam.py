@@ -363,3 +363,19 @@ def test_many_all_suites_empty(spark):
     assert got.count() == 0
     assert rep.engine == "none"
     assert [f.name for f in got.schema.fields] == ["doc_id", "suite", "n_hits"]
+
+
+def test_decontaminate_many_drops_any_suite_hit(spark):
+    from bloomjoin_spark.operators import decontaminate_many
+
+    corpus = _docs(
+        spark,
+        [(1, [5, 6, 7, 9]), (2, [8, 8, 8, 1]), (3, [2, 3, 4, 5])],
+    )
+    benches = {
+        "a": _docs(spark, [(100, [5, 6, 7])]),
+        "b": _docs(spark, [(200, [8, 8, 8]), (201, [7, 9, 2])]),
+    }
+    kept, rep = decontaminate_many(corpus, benches, n=3, return_report=True)
+    assert sorted(r.doc_id for r in kept.collect()) == [3]
+    assert rep.n_bench_ngrams == 3  # union of distinct grams

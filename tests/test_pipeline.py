@@ -503,3 +503,24 @@ def test_containment_stage_in_pipeline(spark):
     assert "containment_dedup" in res.reports
     ids = sorted(r.doc_id for r in res.docs.collect())
     assert all(i < 100 for i in ids) and len(ids) == 15
+
+
+def test_bench_mapping_runs_multi_suite_decontam(spark):
+    """Round 5: bench= accepts a dict of eval suites — one corpus scan,
+    drop-if-hit-ANY, per-suite counts on the stage report."""
+    rows = [
+        (1, "web", "alpha beta gamma delta epsilon zeta"),
+        (2, "web", "one two three four five six"),
+        (3, "web", "clean words only here nothing shared"),
+    ]
+    df = _docs(spark, rows)
+    benches = {
+        "suite_a": df.where(F.col("doc_id") == 1).select("text"),
+        "suite_b": df.where(F.col("doc_id") == 2).select("text"),
+    }
+    res = prepare_corpus(df, bench=benches, decontam={"n": 3})
+    assert "decontaminate" in res.stages
+    assert sorted(r.doc_id for r in res.docs.collect()) == [3]
+    rep = res.reports["decontaminate"]
+    assert any("suite_a" in s for s in rep.notes)
+    assert any("suite_b" in s for s in rep.notes)
