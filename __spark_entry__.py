@@ -1043,6 +1043,24 @@ def _ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy("id_a", "id_b")
 
 
+def _grouped_topk_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 5: per-GROUP heavy hitters in one pass
+    (aggregate.py:grouped_topk) — a SpaceSaving sketch per
+    (l_returnflag, partition), blob-only shuffle, per-group merge
+    emitting the top-10 l_partkey rows.  capacity=8192 covers the
+    per-group distinct-partkey domain at sf0.01, so the sketch is
+    EXACT (error 0) and the DuckDB oracle recomputes the identical
+    rows with a plain count + window rank (same deterministic
+    tie-break: count desc, item asc)."""
+    from bloomjoin_spark import grouped_topk
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = grouped_topk(
+        li, "l_returnflag", k=10, capacity=8192, cols=["l_partkey"]
+    )
+    return out.orderBy("l_returnflag", "rank")
+
+
 def _lsh_plan_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 5: the LSH banding planner's full S-curve error table
     (dedup.py:lsh_plan_table) at t=0.8 / 128 permutations — for every
@@ -2208,6 +2226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_docs": _ngram_jaccard_docs,
         "containment_docs": _containment_docs,
         "lsh_plan_report": _lsh_plan_report,
+        "grouped_topk_lineitem": _grouped_topk_lineitem,
         "simhash_planted": _simhash_planted,
         "ann_lsh_recall": _ann_lsh_recall,
         "ann_ivf_recall": _ann_ivf_recall,
@@ -3391,6 +3410,22 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id_a, id_b, jaccard FROM j
             WHERE jaccard >= 0.6 ORDER BY id_a, id_b
+        """,
+        "grouped_topk_lineitem": """
+            WITH c AS (
+              SELECT l_returnflag, l_partkey, COUNT(*)::BIGINT AS count_est
+              FROM lineitem GROUP BY l_returnflag, l_partkey
+            ),
+            r AS (
+              SELECT l_returnflag, l_partkey AS item, count_est,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY l_returnflag
+                       ORDER BY count_est DESC, l_partkey ASC
+                     )::INT AS rank
+              FROM c
+            )
+            SELECT l_returnflag, item, count_est, 0::BIGINT AS error, rank
+            FROM r WHERE rank <= 10 ORDER BY l_returnflag, rank
         """,
         "lsh_plan_report": r"""
             WITH b AS (

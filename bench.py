@@ -720,6 +720,13 @@ def run_headline(spark) -> dict[str, float]:
     qs["theta_distinct_tokens"], _ = timed_min_q("theta_distinct_tokens",
         lambda: build_sketch(toks, lambda: ThetaSketch(4096), token_col="tokens")
     )
+    # per-group heavy hitters over the token arrays (hot tokens per
+    # source): one pass, blob-only shuffle — vs exploding every
+    # (source, token) instance into a groupBy
+    from bloomjoin_spark import grouped_topk
+    qs["grouped_topk_tokens"], _ = timed_min_q("grouped_topk_tokens",
+        lambda: grouped_topk(toks, "source", k=10, token_col="tokens").count()
+    )
 
     # --- round-5: incremental dedup at scale — TOKEN_ROWS/2 history
     # docs, TOKEN_ROWS/20 batch docs, 10% planted cross dups. Two
@@ -941,6 +948,7 @@ QUERY_SHORT_KEYS = {
     "weighted_sample_docs": "wsk",
     "dedup_lines_docs": "dlw",
     "theta_distinct_tokens": "the",
+    "grouped_topk_tokens": "gtk",
     "sessionize_events": "ses",
     "asof_join_events": "aoj",
     "incr_dedup_full": "idf",

@@ -14,6 +14,7 @@ from .aggregate import (
     build_sketch,
     build_sketches,
     grouped_sketch_estimates,
+    grouped_topk,
 )
 from .operators import (
     PreparedCorpus,
@@ -69,6 +70,7 @@ __all__ = [
     "build_sketch",
     "build_sketches",
     "grouped_sketch_estimates",
+    "grouped_topk",
     "cms_params",
     "append_sketch_snapshot",
     "read_sketch_store",

@@ -408,6 +408,74 @@ def grouped_sketch_estimates(
     return partials.groupBy(group_col).applyInPandas(merge_fn, out_schema)
 
 
+def grouped_topk(
+    df: DataFrame,
+    group_col: str,
+    k: int = 10,
+    capacity: int | None = None,
+    cols: list[str] | str | None = None,
+    token_col: str | None = None,
+) -> DataFrame:
+    """Per-group heavy hitters in ONE pass, fully distributed: a
+    SpaceSaving partial per (group, input partition), a shuffle of the
+    KB-scale blobs, an ``applyInPandas`` merge per group emitting that
+    group's top-``k`` as rows ``(group_col, item, count_est, error,
+    rank)`` — count-descending with the sketch's deterministic
+    tie-break (smaller item first), ``rank`` 1-based, true count ∈
+    [count_est − error, count_est] per row.
+
+    The per-group analog of a global SpaceSaving top-k ("hot tokens
+    per source" at 100 TB): like :func:`grouped_sketch_estimates`, no
+    per-group state ever reaches the driver and the only shuffle
+    carries blobs, not rows — a groupBy(group, item).count() +
+    window-rank plan shuffles every distinct (group, item) pair
+    instead.
+
+    ``capacity`` is the monitored-slot count per sketch (default
+    ``max(64, 8·k)``): after merges every item with frequency
+    > 2·n_group/capacity is guaranteed monitored and per-item error is
+    ≤ n_group/capacity, so capacity ≫ k makes the reported top-k
+    trustworthy; capacity ≥ the group's distinct-item count makes it
+    EXACT (error 0)."""
+    from .sketches.topk import TopKSketch
+
+    if k < 1:
+        raise ValueError(f"grouped_topk: k must be >= 1, got {k}")
+    cap = capacity if capacity is not None else max(64, 8 * k)
+    if cap < k:
+        raise ValueError(
+            f"grouped_topk: capacity {cap} < k {k} — the sketch cannot "
+            "report more items than it monitors"
+        )
+    partials = grouped_sketch_partials(
+        df, lambda: TopKSketch(cap), group_col, cols, token_col
+    )
+    gtype = dict(df.dtypes)[group_col]
+    out_schema = (
+        f"`{group_col}` {gtype}, item long, count_est long, "
+        f"error long, rank int"
+    )
+
+    def merge_fn(key, pdf):  # (key, pdf) form; hints confuse eval-type inference
+        acc: Sketch | None = None
+        for b in pdf["blob"]:
+            s = Sketch.from_bytes(bytes(b))
+            acc = s if acc is None else acc.merge(s)
+        rows = acc.topk()[:k]
+        m = len(rows)
+        return pd.DataFrame(
+            {
+                group_col: pd.Series([key[0]] * m),
+                "item": pd.Series([r[0] for r in rows], dtype="int64"),
+                "count_est": pd.Series([r[1] for r in rows], dtype="int64"),
+                "error": pd.Series([r[2] for r in rows], dtype="int64"),
+                "rank": pd.Series(range(1, m + 1), dtype="int32"),
+            }
+        )
+
+    return partials.groupBy(group_col).applyInPandas(merge_fn, out_schema)
+
+
 MULTI_PARTIAL_SCHEMA = (
     "name string, partition_id long, n_partials long, n_rows long, "
     "fingerprint long, blob binary"

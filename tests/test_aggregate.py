@@ -375,3 +375,99 @@ def test_grouped_quantiles_via_extract(spark):
     assert set(got) == set(exact)
     for src in exact:
         assert abs(got[src] - exact[src]) <= max(3.0, 0.05 * exact[src])
+
+
+# ---------------------------------------------------------------------------
+# grouped_topk: per-group heavy hitters, one pass, blob-only shuffle
+# ---------------------------------------------------------------------------
+
+def _exact_grouped_topk(df, group_col, item_col, k):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    cnt = df.groupBy(group_col, item_col).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("c").desc(), F.col(item_col).asc()
+    )
+    return (
+        cnt.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(group_col, F.col(item_col).alias("item"),
+                F.col("c").alias("count_est"), "rank")
+    )
+
+
+def test_grouped_topk_exact_when_capacity_covers_distinct(spark):
+    """capacity >= per-group distinct items → SpaceSaving is exact:
+    rows equal the groupBy-count + window-rank plan, error == 0."""
+    import pyspark.sql.functions as F
+
+    from bloomjoin_spark import grouped_topk
+
+    rows = [
+        (g, int(v))
+        for g in ("a", "b", "c")
+        for i, v in enumerate([7] * 9 + [3] * 5 + [11] * 3 + [2, 5, 6])
+    ]
+    # skew group b: extra mass on a different item
+    rows += [("b", 99)] * 12
+    df = spark.createDataFrame(rows, "src string, item_val long").repartition(4)
+    got = grouped_topk(df, "src", k=3, capacity=64, cols=["item_val"])
+    exp = _exact_grouped_topk(df, "src", "item_val", 3)
+    g = {(r["src"], r["item"], r["count_est"], r["rank"]) for r in got.collect()}
+    e = {(r["src"], r["item"], r["count_est"], r["rank"]) for r in exp.collect()}
+    assert g == e
+    assert all(r["error"] == 0 for r in grouped_topk(
+        df, "src", k=3, capacity=64, cols=["item_val"]).collect())
+
+
+def test_grouped_topk_bounds_under_pressure(spark):
+    """capacity < distinct: every row keeps the SpaceSaving bracket
+    (true ∈ [count_est − error, count_est]) and the dominant item per
+    group (freq > 2n/capacity) is guaranteed reported."""
+    from bloomjoin_spark import grouped_topk
+
+    rows = []
+    for g, hot in (("a", 1000), ("b", 2000)):
+        rows += [(g, hot)] * 300                       # dominant
+        rows += [(g, i) for i in range(120)]           # long tail
+    df = spark.createDataFrame(rows, "src string, item_val long").repartition(5)
+    got = grouped_topk(df, "src", k=5, capacity=32, cols=["item_val"])
+    rows_out = got.collect()
+    true = {(g, v): 0 for g, v in rows}
+    for g, v in rows:
+        true[(g, v)] += 1
+    for r in rows_out:
+        t = true.get((r["src"], r["item"]), 0)
+        assert r["count_est"] - r["error"] <= t <= r["count_est"]
+    top_per_group = {r["src"]: r["item"] for r in rows_out if r["rank"] == 1}
+    assert top_per_group == {"a": 1000, "b": 2000}
+
+
+def test_grouped_topk_token_col_path(spark):
+    """Per-group heavy hitters over token ARRAYS (the north-rule
+    shape): one pass, no explode."""
+    from bloomjoin_spark import grouped_topk
+
+    df = spark.createDataFrame(
+        [
+            ("s1", [5, 5, 5, 1, 2]),
+            ("s1", [5, 9]),
+            ("s2", [8, 8, 3]),
+            ("s2", [8]),
+        ],
+        "source string, tokens array<int>",
+    )
+    got = grouped_topk(df, "source", k=1, token_col="tokens")
+    rows = {(r["source"], r["item"], r["count_est"]) for r in got.collect()}
+    assert rows == {("s1", 5, 4), ("s2", 8, 3)}
+
+
+def test_grouped_topk_validation(spark):
+    from bloomjoin_spark import grouped_topk
+
+    df = spark.createDataFrame([("a", 1)], "src string, v long")
+    with pytest.raises(ValueError, match="k must be"):
+        grouped_topk(df, "src", k=0, cols=["v"])
+    with pytest.raises(ValueError, match="capacity"):
+        grouped_topk(df, "src", k=10, capacity=4, cols=["v"])
