@@ -1061,6 +1061,28 @@ def _grouped_topk_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("l_returnflag", "rank")
 
 
+def _grouped_topk_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 5: WEIGHTED per-group heavy hitters
+    (aggregate.py:grouped_topk with weight_col) — each row's item
+    counts ``weight`` times, so the sketch answers "which parts carry
+    the most QUANTITY per returnflag" without the exact
+    groupBy(flag, part).sum(qty) + window-rank shuffle.  TPC-H
+    quantities are integral, so the long cast is lossless; capacity
+    8192 covers the per-group distinct-part domain at sf0.01 → exact
+    mode (error 0), and the DuckDB oracle recomputes the identical
+    rows with SUM(quantity) + window rank."""
+    from bloomjoin_spark import grouped_topk
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "qty", F.col("l_quantity").cast("long")
+    )
+    out = grouped_topk(
+        li, "l_returnflag", k=10, capacity=8192,
+        cols=["l_partkey"], weight_col="qty",
+    )
+    return out.orderBy("l_returnflag", "rank")
+
+
 def _lsh_plan_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 5: the LSH banding planner's full S-curve error table
     (dedup.py:lsh_plan_table) at t=0.8 / 128 permutations — for every
@@ -2227,6 +2249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_docs": _containment_docs,
         "lsh_plan_report": _lsh_plan_report,
         "grouped_topk_lineitem": _grouped_topk_lineitem,
+        "grouped_topk_weighted": _grouped_topk_weighted,
         "simhash_planted": _simhash_planted,
         "ann_lsh_recall": _ann_lsh_recall,
         "ann_ivf_recall": _ann_ivf_recall,
@@ -3414,6 +3437,23 @@ def oracle_sql() -> dict[str, str]:
         "grouped_topk_lineitem": """
             WITH c AS (
               SELECT l_returnflag, l_partkey, COUNT(*)::BIGINT AS count_est
+              FROM lineitem GROUP BY l_returnflag, l_partkey
+            ),
+            r AS (
+              SELECT l_returnflag, l_partkey AS item, count_est,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY l_returnflag
+                       ORDER BY count_est DESC, l_partkey ASC
+                     )::INT AS rank
+              FROM c
+            )
+            SELECT l_returnflag, item, count_est, 0::BIGINT AS error, rank
+            FROM r WHERE rank <= 10 ORDER BY l_returnflag, rank
+        """,
+        "grouped_topk_weighted": """
+            WITH c AS (
+              SELECT l_returnflag, l_partkey,
+                     SUM(l_quantity)::BIGINT AS count_est
               FROM lineitem GROUP BY l_returnflag, l_partkey
             ),
             r AS (

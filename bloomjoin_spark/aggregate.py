@@ -283,11 +283,16 @@ def make_grouped_partial_fn(
     group_col: str,
     cols: list[str] | None = None,
     token_col: str | None = None,
+    weight_col: str | None = None,
 ):
     """mapInPandas builder: ONE pass over each partition producing one
     partial row per (group key, partition).  Grouping happens inside the
     batch (pandas C groupby), so a K-key input costs one scan — not the
-    K filtered passes of filtering the DataFrame per key."""
+    K filtered passes of filtering the DataFrame per key.
+
+    ``weight_col`` (weighted-frequency sketches only, e.g. TopKSketch):
+    each row's item counts ``weight`` times instead of once; rows whose
+    weight is NULL are skipped (a NULL weight carries no mass)."""
 
     def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         tc = TaskContext.get()
@@ -304,6 +309,23 @@ def make_grouped_partial_fn(
                     sk = sks[key] = factory()
                     counts[key] = 0
                     fps[key] = np.uint64(0)
+                if weight_col is not None:
+                    items = sub[cols[0]].to_numpy()
+                    w = sub[weight_col].to_numpy()
+                    keep = ~(pd.isna(items) | pd.isna(w))
+                    if not keep.all():
+                        if hasattr(sk, "add_null"):
+                            sk.add_null()
+                        items, w = items[keep], w[keep]
+                    iv = items.astype(np.float64)
+                    with np.errstate(over="ignore"):
+                        fps[key] += (
+                            iv.view(np.uint64)
+                            * w.astype(np.int64).view(np.uint64)
+                        ).sum(dtype=np.uint64)
+                    sk.update_weighted(iv, w)
+                    counts[key] += len(sub)
+                    continue
                 if getattr(sk, "CONSUMES", "hashes") == "values":
                     v = _extract_values(sub, cols, token_col)
                     nan_mask = np.isnan(v)
@@ -348,6 +370,7 @@ def grouped_sketch_partials(
     group_col: str,
     cols: list[str] | str | None = None,
     token_col: str | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """One partial row per (group key, input partition) in a single
     scan. Output schema: (group_col, partition_id, n_partials, n_rows,
@@ -355,9 +378,16 @@ def grouped_sketch_partials(
     if isinstance(cols, str):
         cols = [cols]
     keep = [group_col] + (list(cols) if cols else [token_col])
+    if weight_col is not None:
+        if not cols or len(cols) != 1:
+            raise ValueError(
+                "weight_col needs exactly one item column in cols "
+                f"(got cols={cols!r}, token_col={token_col!r})"
+            )
+        keep.append(weight_col)
     gtype = dict(df.dtypes)[group_col]
     schema = f"`{group_col}` {gtype}, {PARTIAL_SCHEMA}"
-    fn = make_grouped_partial_fn(factory, group_col, cols, token_col)
+    fn = make_grouped_partial_fn(factory, group_col, cols, token_col, weight_col)
     return df.select(*keep).mapInPandas(fn, schema=schema)
 
 
@@ -415,6 +445,7 @@ def grouped_topk(
     capacity: int | None = None,
     cols: list[str] | str | None = None,
     token_col: str | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Per-group heavy hitters in ONE pass, fully distributed: a
     SpaceSaving partial per (group, input partition), a shuffle of the
@@ -436,7 +467,14 @@ def grouped_topk(
     > 2·n_group/capacity is guaranteed monitored and per-item error is
     ≤ n_group/capacity, so capacity ≫ k makes the reported top-k
     trustworthy; capacity ≥ the group's distinct-item count makes it
-    EXACT (error 0)."""
+    EXACT (error 0).
+
+    ``weight_col`` switches to WEIGHTED heavy hitters: each row's item
+    counts ``weight`` times (e.g. items = doc ids / part keys, weight =
+    n_tok / quantity — "which items carry the most tokens per source"
+    without the exact groupBy-sum).  Weights must be integer-valued and
+    ≥ 0; ``count_est`` then brackets the true WEIGHT SUM.  Requires
+    ``cols`` (one item column); not combinable with ``token_col``."""
     from .sketches.topk import TopKSketch
 
     if k < 1:
@@ -448,7 +486,7 @@ def grouped_topk(
             "report more items than it monitors"
         )
     partials = grouped_sketch_partials(
-        df, lambda: TopKSketch(cap), group_col, cols, token_col
+        df, lambda: TopKSketch(cap), group_col, cols, token_col, weight_col
     )
     gtype = dict(df.dtypes)[group_col]
     out_schema = (

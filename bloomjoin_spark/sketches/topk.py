@@ -89,6 +89,61 @@ class TopKSketch(Sketch):
                 "values, which would be silently truncated)"
             )
         vals, cnts = np.unique(items, return_counts=True)  # vals ascending
+        self._fold(vals, cnts, int(items.size))
+
+    def update_weighted(self, items: np.ndarray, weights: np.ndarray) -> None:
+        """Absorb a batch of (item, weight) pairs — each row contributes
+        ``weight`` instances instead of one (e.g. items = doc ids /
+        part keys, weights = n_tok / quantity).  The batch collapses to
+        an exact per-unique weight-sum table (one ``np.unique`` + one
+        segmented ``np.add.at``), then folds in through the same
+        PODS'12 combine as :meth:`update_values`, so both SpaceSaving
+        invariants and the 2·total/capacity presence bound hold with
+        ``total`` = the weighted instance count.
+
+        Weights must be integer-valued and ≥ 0 (fractional weights
+        would corrupt the int64 counters; negative weights break the
+        count-never-undercounts invariant). Zero-weight rows are
+        legal no-ops."""
+        if items.size != weights.size:
+            raise ValueError(
+                f"items ({items.size}) and weights ({weights.size}) must "
+                "have equal length"
+            )
+        if items.size == 0:
+            return
+        with np.errstate(invalid="ignore"):
+            if float(np.abs(items).max()) > _SAFE_INT:
+                raise ValueError(
+                    "TopKSketch items must have magnitude <= 2^53 — see "
+                    "update_values"
+                )
+        iv = items.astype(np.int64)
+        if (iv.astype(np.float64) != items.astype(np.float64)).any():
+            raise ValueError("TopKSketch items must be integer-valued")
+        w = np.asarray(weights)
+        wi = w.astype(np.int64)
+        if (wi.astype(np.float64) != w.astype(np.float64)).any():
+            raise ValueError(
+                "TopKSketch weights must be integer-valued (fractional "
+                "weights would corrupt the int64 counters)"
+            )
+        if (wi < 0).any():
+            raise ValueError("TopKSketch weights must be >= 0")
+        vals, inv = np.unique(iv, return_inverse=True)
+        wsums = np.zeros(vals.size, dtype=np.int64)
+        np.add.at(wsums, inv, wi)
+        nz = wsums > 0
+        if not nz.all():
+            vals, wsums = vals[nz], wsums[nz]
+        if vals.size:
+            self._fold(vals, wsums, int(wi.sum()))
+
+    def _fold(self, vals: np.ndarray, cnts: np.ndarray, n_instances: int) -> None:
+        """Fold an exact ascending (item, count) summary table into the
+        monitored set via the PODS'12 combine (shared items sum;
+        table-only items inherit the current min as overcount+error
+        when at capacity; keep the k largest)."""
         d = self._counters
         n_mon = len(d)
         if n_mon:
@@ -123,7 +178,7 @@ class TopKSketch(Sketch):
             int(i): [int(c), int(e)]
             for i, c, e in zip(all_items, all_cnt, all_err)
         }
-        self.total += int(items.size)
+        self.total += n_instances
 
     def add_null(self) -> None:
         self.has_null = True

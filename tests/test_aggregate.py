@@ -471,3 +471,77 @@ def test_grouped_topk_validation(spark):
         grouped_topk(df, "src", k=0, cols=["v"])
     with pytest.raises(ValueError, match="capacity"):
         grouped_topk(df, "src", k=10, capacity=4, cols=["v"])
+
+
+def test_grouped_topk_weighted_exact(spark):
+    """weight_col: ranking by per-item WEIGHT SUM equals the exact
+    groupBy-sum + window-rank plan when capacity covers the domain;
+    NULL-weight rows carry no mass."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from bloomjoin_spark import grouped_topk
+
+    rows = [
+        ("a", 1, 5), ("a", 1, 7), ("a", 2, 100), ("a", 3, 1),
+        ("b", 1, 2), ("b", 9, 50), ("b", 9, 9), ("b", 2, 30),
+        ("a", 4, None),  # NULL weight: no mass
+    ]
+    df = spark.createDataFrame(
+        rows, "src string, item_val long, w long"
+    ).repartition(3)
+    got = grouped_topk(df, "src", k=2, capacity=64,
+                       cols=["item_val"], weight_col="w")
+    cnt = (
+        df.filter(F.col("w").isNotNull())
+        .groupBy("src", "item_val").agg(F.sum("w").alias("c"))
+    )
+    win = Window.partitionBy("src").orderBy(
+        F.col("c").desc(), F.col("item_val").asc()
+    )
+    exp = cnt.withColumn("rank", F.row_number().over(win)).filter("rank <= 2")
+    g = {(r["src"], r["item"], r["count_est"], r["rank"]) for r in got.collect()}
+    e = {(r["src"], r["item_val"], r["c"], r["rank"]) for r in exp.collect()}
+    assert g == e
+    assert all(r["error"] == 0 for r in got.collect())
+
+
+def test_grouped_topk_weighted_bracket_under_pressure(spark):
+    """capacity < distinct with weights: count_est brackets the true
+    weight sum and the dominant-mass item per group is rank 1."""
+    from bloomjoin_spark import grouped_topk
+
+    rows = []
+    for g, hot in (("a", 1000), ("b", 2000)):
+        rows += [(g, hot, 40)] * 30                    # dominant mass
+        rows += [(g, i, 1) for i in range(120)]        # long light tail
+    df = spark.createDataFrame(
+        rows, "src string, item_val long, w long"
+    ).repartition(5)
+    got = grouped_topk(df, "src", k=5, capacity=32,
+                       cols=["item_val"], weight_col="w").collect()
+    true: dict = {}
+    for g, v, w in rows:
+        true[(g, v)] = true.get((g, v), 0) + w
+    for r in got:
+        t = true.get((r["src"], r["item"]), 0)
+        assert r["count_est"] - r["error"] <= t <= r["count_est"]
+    assert {r["src"]: r["item"] for r in got if r["rank"] == 1} == {
+        "a": 1000, "b": 2000
+    }
+
+
+def test_grouped_topk_weighted_validation(spark):
+    from bloomjoin_spark import grouped_topk
+
+    df = spark.createDataFrame(
+        [("a", 1, 1.5)], "src string, v long, w double"
+    )
+    # fractional weights raise inside the task
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises(Exception, match="integer-valued|Py4J"):
+        grouped_topk(df, "src", k=2, cols=["v"], weight_col="w").collect()
+    # weight_col without an item column is rejected up front
+    with pytest.raises(ValueError, match="weight_col"):
+        grouped_topk(df, "src", k=2, token_col="v", weight_col="w")
