@@ -1918,6 +1918,26 @@ def _stateful_hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _topk_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 5: per-key RUNNING heavy hitters as a custom stateful
+    streaming operator (streaming/sketch_stream.py:topk_stream,
+    applyInPandasWithState) — one SpaceSaving sketch per event_type in
+    the state store, top-5 user_id re-emitted per trigger.  The events
+    stream is one file → one trigger, and capacity 1024 covers the 150
+    distinct users per type at sf0.01, so the emission is EXACT and the
+    DuckDB oracle recomputes the identical rows with COUNT + window
+    rank (FULL value oracle for a streaming operator)."""
+    from bloomjoin_spark.streaming import events_stream, topk_stream
+    from bloomjoin_spark.streaming.sketch_stream import run_stream_to_memory
+
+    out = topk_stream(
+        events_stream(spark, sf_dir), "event_type",
+        k=5, capacity=1024, cols=["user_id"],
+    )
+    name = run_stream_to_memory(out, "q_topk_stream_drv", output_mode="update")
+    return spark.table(name).orderBy("event_type", "rank")
+
+
 def _sketch_store_stream_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 5: streaming ingest into the DURABLE sketch store
     (`store.sketch_store_sink`): each micro-batch lands its per-(source,
@@ -2241,6 +2261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theta_source_overlap": _theta_source_overlap,
         "source_overlap_matrix_docs": _source_overlap_matrix_docs,
         "stateful_hll_stream": _stateful_hll_stream,
+        "topk_stream_events": _topk_stream_events,
         "decontam_stream_docs": _decontam_stream_docs,
         "dedup_stream_docs": _dedup_stream_docs,
         "incr_dedup_stream_docs": _incr_dedup_stream_docs,
@@ -3357,6 +3378,22 @@ def oracle_sql() -> dict[str, str]:
         "stateful_hll_stream": """
             SELECT event_type, count(*) AS n_rows, TRUE AS within_bound
             FROM events GROUP BY event_type
+        """,
+        "topk_stream_events": """
+            WITH c AS (
+              SELECT event_type, user_id, COUNT(*)::BIGINT AS count_est
+              FROM events GROUP BY event_type, user_id
+            ),
+            r AS (
+              SELECT event_type, user_id AS item, count_est,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY event_type
+                       ORDER BY count_est DESC, user_id ASC
+                     )::INT AS rank
+              FROM c
+            )
+            SELECT event_type, item, count_est, 0::BIGINT AS error, rank
+            FROM r WHERE rank <= 5 ORDER BY event_type, rank
         """,
         "source_overlap_matrix_docs": r"""
             WITH raw AS (

@@ -7,6 +7,7 @@ from .sketch_stream import (
     documents_stream,
     events_stream,
     session_counts,
+    topk_stream,
     windowed_counts,
 )
 
@@ -19,5 +20,6 @@ __all__ = [
     "documents_stream",
     "events_stream",
     "session_counts",
+    "topk_stream",
     "windowed_counts",
 ]

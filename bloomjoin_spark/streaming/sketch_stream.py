@@ -331,6 +331,96 @@ def stateful_sketch_stream(
     )
 
 
+def topk_stream(
+    stream: DataFrame,
+    group_col: str,
+    k: int = 10,
+    capacity: int | None = None,
+    cols: list[str] | str | None = None,
+    token_col: str | None = None,
+    weight_col: str | None = None,
+):
+    """Per-key RUNNING heavy hitters (``applyInPandasWithState``): the
+    state for each group key is one serialized SpaceSaving sketch;
+    every trigger folds the micro-batch in through the same PODS'12
+    combine the batch :func:`~bloomjoin_spark.grouped_topk` uses and
+    emits the key's refreshed top-``k`` rows ``(group, item, count_est,
+    error, rank)`` — so after any stream prefix the emitted rows equal
+    a batch ``grouped_topk`` over the same rows (same invariants: true
+    ∈ [count_est − error, count_est], exact when ``capacity`` covers
+    the key's distinct items).
+
+    ``weight_col`` ranks by weighted mass (each row's item counts
+    ``weight`` times, integer ≥ 0) — "hottest items by token count per
+    source", updated per trigger.  State per key is O(capacity), so
+    total state is groups × capacity counters — bounded regardless of
+    stream length, unlike exact streaming count aggregation whose state
+    grows with distinct (group, item) pairs."""
+    from ..aggregate import _extract_values
+    from ..sketches.topk import TopKSketch
+
+    if k < 1:
+        raise ValueError(f"topk_stream: k must be >= 1, got {k}")
+    cap = capacity if capacity is not None else max(64, 8 * k)
+    if cap < k:
+        raise ValueError(
+            f"topk_stream: capacity {cap} < k {k} — the sketch cannot "
+            "report more items than it monitors"
+        )
+    if isinstance(cols, str):
+        cols = [cols]
+    if weight_col is not None and (not cols or token_col is not None):
+        raise ValueError(
+            "topk_stream: weight_col needs exactly one item column in "
+            f"cols (got cols={cols!r}, token_col={token_col!r})"
+        )
+
+    def fn(key, pdf_iter, state):
+        sk = (
+            TopKSketch.from_bytes(bytes(state.get[0]))
+            if state.exists
+            else TopKSketch(cap)
+        )
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            if weight_col is not None:
+                items = pdf[cols[0]].to_numpy()
+                w = pdf[weight_col].to_numpy()
+                keep = ~(pd.isna(items) | pd.isna(w))
+                if not keep.all():
+                    sk.add_null()
+                    items, w = items[keep], w[keep]
+                sk.update_weighted(items.astype(np.float64), w)
+                continue
+            v = _extract_values(pdf, cols, token_col)
+            nan_mask = np.isnan(v)
+            if nan_mask.any():
+                sk.add_null()
+                v = v[~nan_mask]
+            sk.update_values(v)
+        state.update((sk.to_bytes(),))
+        rows = sk.topk()[:k]
+        m = len(rows)
+        yield pd.DataFrame(
+            {
+                group_col: pd.Series([key[0]] * m),
+                "item": pd.Series([r[0] for r in rows], dtype="int64"),
+                "count_est": pd.Series([r[1] for r in rows], dtype="int64"),
+                "error": pd.Series([r[2] for r in rows], dtype="int64"),
+                "rank": pd.Series(range(1, m + 1), dtype="int32"),
+            }
+        )
+
+    out_schema = (
+        f"{group_col} string, item long, count_est long, error long, rank int"
+    )
+    state_schema = "blob binary"
+    return stream.groupBy(group_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", "NoTimeout"
+    )
+
+
 DOCS_SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars bigint"
 
 

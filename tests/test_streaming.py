@@ -394,3 +394,143 @@ def test_session_counts_stream_matches_batch(spark, sf_dir, tmp_path):
             break
     assert got.count() == exp.count()
     assert got.exceptAll(exp).count() == 0
+
+
+def test_topk_stream_matches_batch(spark, sf_dir):
+    """Per-key running heavy hitters: after the whole stream, each
+    key's emitted top-k equals batch grouped_topk over the same rows
+    (capacity covers the per-type distinct user domain → exact)."""
+    from bloomjoin_spark import grouped_topk
+    from bloomjoin_spark.streaming import events_stream, topk_stream
+
+    stream = events_stream(spark, sf_dir)
+    out = topk_stream(
+        stream, "event_type", k=5, capacity=8192, cols=["user_id"]
+    )
+    name = run_stream_to_memory(out, "q_topk_stream", output_mode="update")
+    # keep each key's LAST emission (largest count_est per rank)
+    emitted = spark.table(name)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type", "rank").orderBy(
+        F.col("count_est").desc()
+    )
+    last = (
+        emitted.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .drop("rn")
+    )
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    exp = grouped_topk(
+        batch, "event_type", k=5, capacity=8192, cols=["user_id"]
+    )
+    g = {
+        (r["event_type"], r["item"], r["count_est"], r["error"], r["rank"])
+        for r in last.collect()
+    }
+    e = {
+        (r["event_type"], r["item"], r["count_est"], r["error"], r["rank"])
+        for r in exp.collect()
+    }
+    assert g == e
+    assert all(t[3] == 0 for t in g)  # exact mode
+
+
+def test_topk_stream_weighted(spark, sf_dir):
+    """weight_col over a stream: top doc ids by n_chars per source
+    equal the exact batch groupBy-sum + rank."""
+    from pyspark.sql import Window
+
+    from bloomjoin_spark.streaming import topk_stream
+    from bloomjoin_spark.streaming.sketch_stream import documents_stream
+
+    stream = documents_stream(spark, sf_dir)
+    out = topk_stream(
+        stream, "source", k=3, capacity=8192,
+        cols=["doc_id"], weight_col="n_chars",
+    )
+    name = run_stream_to_memory(out, "q_topk_stream_w", output_mode="update")
+    w = Window.partitionBy("source", "rank").orderBy(F.col("count_est").desc())
+    last = (
+        spark.table(name)
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .drop("rn")
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cnt = docs.groupBy("source", "doc_id").agg(F.sum("n_chars").alias("c"))
+    win = Window.partitionBy("source").orderBy(
+        F.col("c").desc(), F.col("doc_id").asc()
+    )
+    exp = cnt.withColumn("rank", F.row_number().over(win)).filter("rank <= 3")
+    g = {(r["source"], r["item"], r["count_est"], r["rank"]) for r in last.collect()}
+    e = {(r["source"], r["doc_id"], r["c"], r["rank"]) for r in exp.collect()}
+    assert g == e
+
+
+def test_topk_stream_validation(spark, sf_dir):
+    from bloomjoin_spark.streaming import events_stream, topk_stream
+
+    stream = events_stream(spark, sf_dir)
+    with pytest.raises(ValueError, match="k must be"):
+        topk_stream(stream, "event_type", k=0, cols=["user_id"])
+    with pytest.raises(ValueError, match="capacity"):
+        topk_stream(stream, "event_type", k=10, capacity=2, cols=["user_id"])
+    with pytest.raises(ValueError, match="weight_col"):
+        topk_stream(stream, "event_type", k=3, token_col="user_id",
+                    weight_col="value")
+
+
+def test_topk_stream_multi_trigger_running_state(spark, tmp_path):
+    """State survives across triggers: two files arrive as two
+    micro-batches (maxFilesPerTrigger=1) and the final emission equals
+    batch grouped_topk over BOTH files — planted so final counts are
+    unique (no tie ambiguity in picking the last emission)."""
+    from bloomjoin_spark import grouped_topk
+    from bloomjoin_spark.streaming import topk_stream
+
+    b1 = [("a", 1)] * 5 + [("a", 2)] * 3 + [("b", 7)] * 4
+    b2 = [("a", 1)] * 2 + [("a", 3)] * 9 + [("b", 8)] * 6
+    spark.createDataFrame(b1, "grp string, item_val long").coalesce(1) \
+        .write.parquet(str(tmp_path / "in" / "f1"))
+    spark.createDataFrame(b2, "grp string, item_val long").coalesce(1) \
+        .write.parquet(str(tmp_path / "in" / "f2"))
+    import glob as _glob
+    import shutil
+
+    src = str(tmp_path / "stream")
+    (tmp_path / "stream").mkdir()
+    for i, f in enumerate(sorted(_glob.glob(str(tmp_path / "in" / "*" / "*.parquet")))):
+        shutil.copy(f, f"{src}/batch{i}.parquet")
+    stream = (
+        spark.readStream.schema("grp string, item_val long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = topk_stream(stream, "grp", k=3, capacity=64, cols=["item_val"])
+    name = run_stream_to_memory(out, "q_topk_stream_mt", output_mode="update")
+    emitted = spark.table(name).collect()
+    # final emission per key = rows whose per-key total is the max seen
+    batch = spark.read.parquet(src)
+    exp = {
+        (r["grp"], r["item"], r["count_est"], r["rank"])
+        for r in grouped_topk(batch, "grp", k=3, capacity=64,
+                              cols=["item_val"]).collect()
+    }
+    # counts only grow across triggers, and planted finals are unique:
+    # keep the max count_est per (key, item), then rank by it
+    best: dict = {}
+    for r in emitted:
+        kk = (r["grp"], r["item"])
+        if kk not in best or r["count_est"] > best[kk]:
+            best[kk] = r["count_est"]
+    import itertools
+
+    got = set()
+    for g, rows in itertools.groupby(
+        sorted(best.items(), key=lambda kv: (kv[0][0], -kv[1], kv[0][1])),
+        key=lambda kv: kv[0][0],
+    ):
+        for rank, ((_, item), c) in enumerate(list(rows)[:3], 1):
+            got.add((g, item, c, rank))
+    assert got == exp
