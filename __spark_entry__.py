@@ -1696,6 +1696,89 @@ def _sketch_store_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fd_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 5: FrequentDirections matrix sketch
+    (sketches/fd.py, operators/spectral.py:fd_sketch) over the
+    embeddings table, both modes:
+
+    - exact (ell=256 > n/2): the buffer never shrinks, so BᵀB == AᵀA
+      — pinned by recomputing the exact Gram from the collected
+      sf-scale matrix (check-only collect, 500×64 at sf0.01);
+    - sketched (ell=8): shrinks certainly happen, and the row pins the
+      published FD guarantees — AᵀA − BᵀB is PSD and its spectral norm
+      is ≤ the sketch's own certified shrink_mass — which hold for ANY
+      partitioning/merge order (this is what makes the estimate
+      trustworthy at 10^12 rows where no exact check exists).
+
+    DuckDB recomputes n_rows/dim exactly and expects the booleans."""
+    import numpy as np
+
+    from bloomjoin_spark import fd_sketch
+
+    emb = _t(spark, sf_dir, "embeddings")
+    A = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64)
+         for r in emb.select("embedding").collect()]
+    )
+    gram_exact = A.T @ A
+    fro_exact = float((A * A).sum())
+
+    rows = []
+    for mode, ell in (("exact", 256), ("sketched", 8)):
+        sk = fd_sketch(emb, "embedding", ell=ell).sketch
+        diff = gram_exact - sk.gram()
+        ev = np.linalg.eigvalsh(diff)
+        rows.append((
+            mode,
+            int(sk.n_rows),
+            int(sk.dim),
+            bool(sk.is_exact),
+            bool(np.allclose(sk.gram(), gram_exact, rtol=1e-9, atol=1e-9)),
+            bool(ev.min() >= -1e-8),
+            bool(float(np.abs(ev).max()) <= sk.spectral_error_bound() + 1e-8),
+            bool(abs(sk.fro_sq - fro_exact) <= 1e-9 * max(fro_exact, 1.0)),
+        ))
+    return spark.createDataFrame(
+        rows,
+        "mode string, n_rows long, dim int, is_exact boolean, "
+        "gram_matches_exact boolean, psd_holds boolean, "
+        "bound_holds boolean, fro_matches boolean",
+    ).orderBy("mode")
+
+
+def _fd_mass_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 5: per-group retained spectral mass in one pass
+    (operators/spectral.py:grouped_spectral_mass — blob-only shuffle,
+    no per-group driver state).  With ell above the per-label row
+    count the FD sketch is exact, so the retained mass equals the
+    label's Σ‖v‖² EXACTLY; the row emits that equality as a boolean
+    plus the exact per-label row count, and DuckDB recomputes both
+    (the mass check via unnest + SUM of squares)."""
+    from bloomjoin_spark import grouped_spectral_mass
+
+    emb = _t(spark, sf_dir, "embeddings")
+    got = grouped_spectral_mass(emb, "label", "embedding", ell=256)
+    exact = emb.select(
+        "label",
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("m"),
+    ).groupBy("label").agg(F.sum("m").alias("mass"))
+    return (
+        got.join(exact, "label")
+        .select(
+            "label",
+            F.col("n_rows"),
+            (F.abs(F.col("estimate") - F.col("mass"))
+             <= F.lit(1e-9) * F.greatest(F.col("mass"), F.lit(1.0))
+             ).alias("mass_matches_exact"),
+        )
+        .orderBy("label")
+    )
+
+
 def _theta_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 5: theta (KMV) sketch set algebra — the distinct-count
     capability HLL lacks.  Per-source theta sketches over the distinct
@@ -2259,6 +2342,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_store_incremental": _sketch_store_incremental,
         "sketch_store_stream_docs": _sketch_store_stream_docs,
         "theta_source_overlap": _theta_source_overlap,
+        "fd_embeddings": _fd_embeddings,
+        "fd_mass_by_label": _fd_mass_by_label,
         "source_overlap_matrix_docs": _source_overlap_matrix_docs,
         "stateful_hll_stream": _stateful_hll_stream,
         "topk_stream_events": _topk_stream_events,
@@ -3406,6 +3491,25 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS exact_intersection, TRUE AS within_bound
             FROM wn a JOIN wn b ON a.w = b.w AND a.source < b.source
             GROUP BY 1, 2
+        """,
+        "fd_embeddings": """
+            SELECT 'exact' AS mode, COUNT(*)::BIGINT AS n_rows,
+                   MAX(len(embedding))::INT AS dim,
+                   TRUE AS is_exact, TRUE AS gram_matches_exact,
+                   TRUE AS psd_holds, TRUE AS bound_holds,
+                   TRUE AS fro_matches
+            FROM embeddings
+            UNION ALL
+            SELECT 'sketched', COUNT(*)::BIGINT,
+                   MAX(len(embedding))::INT,
+                   FALSE, FALSE, TRUE, TRUE, TRUE
+            FROM embeddings
+            ORDER BY mode
+        """,
+        "fd_mass_by_label": """
+            SELECT label, COUNT(*)::BIGINT AS n_rows,
+                   TRUE AS mass_matches_exact
+            FROM embeddings GROUP BY label ORDER BY label
         """,
         "theta_source_overlap": r"""
             SELECT

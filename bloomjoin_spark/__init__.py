@@ -18,6 +18,9 @@ from .aggregate import (
 )
 from .operators import (
     PreparedCorpus,
+    fd_sketch,
+    grouped_spectral_mass,
+    spectral_profile,
     bloom_join,
     contaminated_docs,
     decontaminate,
@@ -34,6 +37,7 @@ from .store import (
 from .sketches import (
     BloomSketch,
     CmsSketch,
+    FrequentDirectionsSketch,
     HllSketch,
     KllSketch,
     Sketch,
@@ -53,6 +57,7 @@ __all__ = [
     "BloomSketch",
     "BuildResult",
     "CmsSketch",
+    "FrequentDirectionsSketch",
     "HllSketch",
     "KllSketch",
     "Sketch",
@@ -65,6 +70,9 @@ __all__ = [
     "decontaminate",
     "prepare_corpus",
     "PreparedCorpus",
+    "fd_sketch",
+    "grouped_spectral_mass",
+    "spectral_profile",
     "format_bloom_params",
     "bloom_sizing",
     "build_sketch",

@@ -192,6 +192,32 @@ def make_partial_fn_arrow(
             if batch.num_rows == 0:
                 continue
             col = batch.column(0)
+            if consumes == "vectors":
+                # matrix sketches (FrequentDirections): the embedding
+                # column is an Arrow list — ONE flat float buffer +
+                # offsets, so the (n, dim) matrix is a zero-copy
+                # flatten + reshape, never a numpy object per row
+                if col.null_count:
+                    col = col.drop_null()
+                if len(col) == 0:
+                    continue
+                dim = int(getattr(sk, "dim"))
+                lens = pa.compute.list_value_length(col).to_numpy(
+                    zero_copy_only=False
+                )
+                if (lens != dim).any():
+                    bad = int(lens[lens != dim][0])
+                    raise ValueError(
+                        f"vector column rows must all have length {dim} "
+                        f"(found a row of length {bad})"
+                    )
+                flat = col.flatten().to_numpy(zero_copy_only=False)
+                m = flat.astype(np.float64, copy=False).reshape(-1, dim)
+                with np.errstate(over="ignore"):
+                    fp += m.reshape(-1).view(np.uint64).sum(dtype=np.uint64)
+                sk.update_matrix(m)
+                n += m.shape[0]
+                continue
             if token_col is not None:
                 flat = col.flatten()  # zero-copy: list values trimmed to batch
                 arr = flat.to_numpy(zero_copy_only=False)
@@ -309,6 +335,22 @@ def make_grouped_partial_fn(
                     sk = sks[key] = factory()
                     counts[key] = 0
                     fps[key] = np.uint64(0)
+                if getattr(sk, "CONSUMES", "hashes") == "vectors":
+                    vecs = [
+                        np.asarray(v, dtype=np.float64)
+                        for v in sub[cols[0]]
+                        if v is not None
+                    ]
+                    if not vecs:
+                        continue
+                    m = np.stack(vecs)
+                    with np.errstate(over="ignore"):
+                        fps[key] += (
+                            m.reshape(-1).view(np.uint64).sum(dtype=np.uint64)
+                        )
+                    sk.update_matrix(m)
+                    counts[key] += len(vecs)
+                    continue
                 if weight_col is not None:
                     items = sub[cols[0]].to_numpy()
                     w = sub[weight_col].to_numpy()
@@ -748,6 +790,20 @@ def sketch_partials(
         cols = [cols]
     keep = list(cols) if cols else [token_col]
     dtypes = dict(df.dtypes)
+    if getattr(factory(), "CONSUMES", "hashes") == "vectors":
+        # matrix sketches: one list-typed column, Arrow-native always
+        if not cols or len(cols) != 1:
+            raise ValueError(
+                "vector-consuming sketches need exactly one list column "
+                f"in cols (got cols={cols!r}, token_col={token_col!r})"
+            )
+        if not dtypes.get(cols[0], "").lower().startswith("array<"):
+            raise ValueError(
+                f"vector-consuming sketches need an array<float> column; "
+                f"{cols[0]!r} is {dtypes.get(cols[0])!r}"
+            )
+        afn = make_partial_fn_arrow(factory, None, False, done_ids)
+        return df.select(*keep).mapInArrow(afn, schema=PARTIAL_SCHEMA)
     arrow_ok = (
         prehashed
         or token_col is not None

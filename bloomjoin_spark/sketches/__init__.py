@@ -1,6 +1,7 @@
 from .base import Sketch
 from .bloom import BloomSketch, bloom_params, bloom_sizing, format_bloom_params
 from .cms import CmsSketch, cms_params
+from .fd import FrequentDirectionsSketch
 from .hll import HllSketch
 from .kll import KllSketch
 from .tdigest import TDigestSketch
@@ -10,6 +11,7 @@ from .topk import TopKSketch
 __all__ = [
     "BloomSketch",
     "CmsSketch",
+    "FrequentDirectionsSketch",
     "HllSketch",
     "KllSketch",
     "Sketch",
