@@ -534,6 +534,25 @@ def run_headline(spark) -> dict[str, float]:
     )
     pq_codes.unpersist()
 
+    # FrequentDirections over 500k synthetic 64-dim vectors (the sf
+    # embeddings table is tiny): one mapInArrow scan + blob tree merge;
+    # vector generation is pure codegen so the cell times the sketch,
+    # not row-at-a-time Python synthesis
+    from bloomjoin_spark import fd_sketch
+    fd_vecs = spark.range(0, 500_000, 1, CPUS).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda j: (F.xxhash64(F.col("id"), j) % 1000).cast("double")
+            / 1000.0,
+        ).alias("embedding"),
+    )
+    # ell=32 < dim=64 keeps the cell in the true SKETCHING regime
+    # (shrink cycles run); ell > dim would re-factorize exactly forever
+    qs["fd_spectral_500k"], _ = timed_min_q("fd_spectral_500k",
+        lambda: fd_sketch(fd_vecs, "embedding", ell=32, dim=64)
+    )
+
     # --- round-4 decontam + text-quality operators.
     # decontam over the 2M-row token table is the scale-shaped cell:
     # ~TOKEN_ROWS×(n_tok−7) n-grams explode inside the scan stage and
@@ -949,6 +968,7 @@ QUERY_SHORT_KEYS = {
     "dedup_lines_docs": "dlw",
     "theta_distinct_tokens": "the",
     "grouped_topk_tokens": "gtk",
+    "fd_spectral_500k": "fds",
     "sessionize_events": "ses",
     "asof_join_events": "aoj",
     "incr_dedup_full": "idf",
