@@ -212,3 +212,40 @@ def test_cms_hll_sparse_roundtrip_exact(vals):
     hll.update_hashes(h)
     rt2 = HllSketch.from_bytes(hll.to_bytes())
     assert np.array_equal(rt2.regs, hll.regs)
+
+
+@given(
+    st.integers(min_value=0, max_value=2**31),   # data seed
+    st.integers(min_value=1, max_value=7),       # nparts
+    st.integers(min_value=0, max_value=2**31),   # shuffle seed
+    st.integers(min_value=3, max_value=10),      # ell
+)
+@settings(max_examples=25, deadline=None)
+def test_fd_guarantees_under_random_merges(dseed, nparts, mseed, ell):
+    """FrequentDirections under ANY partitioning + merge order:
+    AtA - BtB stays PSD, its spectral norm stays <= the sketch's own
+    certified shrink_mass, shrink_mass <= ||A||F^2/ell, and row/mass
+    accounting is exact."""
+    from bloomjoin_spark.sketches.fd import FrequentDirectionsSketch
+
+    rng = np.random.default_rng(dseed)
+    n, d = int(rng.integers(0, 300)), int(rng.integers(2, 12))
+    A = rng.normal(size=(n, d))
+    parts = _rng_split(A, mseed, nparts)
+    sks = []
+    for p in parts:
+        s = FrequentDirectionsSketch(ell=ell, dim=d)
+        if len(p):
+            s.update_matrix(p)
+        sks.append(s)
+    order = np.random.default_rng(mseed + 1).permutation(len(sks))
+    acc = sks[order[0]]
+    for i in order[1:]:
+        acc = acc.merge(sks[i])
+    diff = A.T @ A - acc.gram()
+    ev = np.linalg.eigvalsh(diff) if d else np.zeros(0)
+    assert ev.size == 0 or ev.min() >= -1e-6
+    assert ev.size == 0 or float(np.abs(ev).max()) <= acc.spectral_error_bound() + 1e-6
+    assert acc.spectral_error_bound() <= (A * A).sum() / ell + 1e-6
+    assert acc.n_rows == n
+    assert abs(acc.fro_sq - (A * A).sum()) <= 1e-9 * max((A * A).sum(), 1.0)
