@@ -1779,6 +1779,38 @@ def _fd_mass_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pca_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 5: distributed PCA projection
+    (operators/spectral.py:pca_project) — one mapInArrow matmul stage
+    against the FD sketch's top-k directions (the dim-reduction step
+    before IVF/PQ training). Exact-mode sketch (ell > n/2), so the
+    directions are the true right-singular vectors; the row pins, per
+    embedding row, that the distributed projection equals the numpy
+    A @ Vkᵀ recomputation with the same V (check-only collect at sf
+    scale), plus exact row accounting and output width."""
+    import numpy as np
+
+    from bloomjoin_spark import fd_sketch, pca_project
+
+    emb = _t(spark, sf_dir, "embeddings")
+    res = fd_sketch(emb, "embedding", ell=512)
+    k = 8
+    out = pca_project(emb, "embedding", res, k=k)
+    rows = out.select("vec_id", "embedding", "pca").collect()
+    _, vt = res.sketch.directions(k)
+    all_match = True
+    width_ok = True
+    for r in rows:
+        a = np.asarray(r["embedding"], dtype=np.float64)
+        p = np.asarray(r["pca"], dtype=np.float64)
+        width_ok &= p.size == k
+        all_match &= bool(np.allclose(p, a @ vt.T, rtol=1e-9, atol=1e-12))
+    return spark.createDataFrame(
+        [(len(rows), k, bool(all_match), bool(width_ok))],
+        "n_rows long, k int, proj_matches_exact boolean, width_ok boolean",
+    )
+
+
 def _theta_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 5: theta (KMV) sketch set algebra — the distinct-count
     capability HLL lacks.  Per-source theta sketches over the distinct
@@ -2344,6 +2376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theta_source_overlap": _theta_source_overlap,
         "fd_embeddings": _fd_embeddings,
         "fd_mass_by_label": _fd_mass_by_label,
+        "pca_project_embeddings": _pca_project_embeddings,
         "source_overlap_matrix_docs": _source_overlap_matrix_docs,
         "stateful_hll_stream": _stateful_hll_stream,
         "topk_stream_events": _topk_stream_events,
@@ -3510,6 +3543,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT label, COUNT(*)::BIGINT AS n_rows,
                    TRUE AS mass_matches_exact
             FROM embeddings GROUP BY label ORDER BY label
+        """,
+        "pca_project_embeddings": """
+            SELECT COUNT(*)::BIGINT AS n_rows, 8 AS k,
+                   TRUE AS proj_matches_exact, TRUE AS width_ok
+            FROM embeddings
         """,
         "theta_source_overlap": r"""
             SELECT

@@ -20,6 +20,7 @@ from .operators import (
     PreparedCorpus,
     fd_sketch,
     grouped_spectral_mass,
+    pca_project,
     spectral_profile,
     bloom_join,
     contaminated_docs,
@@ -72,6 +73,7 @@ __all__ = [
     "PreparedCorpus",
     "fd_sketch",
     "grouped_spectral_mass",
+    "pca_project",
     "spectral_profile",
     "format_bloom_params",
     "bloom_sizing",

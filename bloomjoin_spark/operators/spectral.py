@@ -32,6 +32,7 @@ from ..sketches.fd import FrequentDirectionsSketch
 __all__ = [
     "fd_sketch",
     "grouped_spectral_mass",
+    "pca_project",
     "spectral_profile",
 ]
 
@@ -93,6 +94,76 @@ def grouped_spectral_mass(
         cols=[vec_col],
         extract=lambda s: float(np.trace(s.gram())),
     )
+
+
+def pca_project(
+    df: DataFrame,
+    vec_col: str,
+    sketch: FrequentDirectionsSketch | BuildResult,
+    k: int,
+    out_col: str = "pca",
+) -> DataFrame:
+    """Project an ``array<float>`` column onto the top-``k`` principal
+    directions of a built FD sketch — the dimensionality-reduction step
+    before IVF/PQ training, as ONE ``mapInArrow`` stage: the vector
+    column flattens zero-copy to an (n, d) matrix, one BLAS matmul with
+    the k×d direction matrix (closure-shipped — k·d floats, KBs), and
+    the (n, k) result re-wraps as a list column.  No shuffle, no
+    per-row Python; NULL vectors project to NULL.
+
+    The sketch certifies the projection quality: the captured spectral
+    mass of the top-k directions is within ``spectral_error_bound()``
+    of the true top-k mass (FD's PSD sandwich), so 'how much variance
+    k components keep' is answerable without an exact pass."""
+    import pyarrow as pa
+
+    sk = sketch.sketch if isinstance(sketch, BuildResult) else sketch
+    _, vt = sk.directions(k)
+    if vt.shape[0] < k:
+        raise ValueError(
+            f"sketch holds only {vt.shape[0]} directions, asked for {k}"
+        )
+    v = np.ascontiguousarray(vt, dtype=np.float64)  # (k, d)
+    dim = sk.dim
+    in_cols = df.columns
+    if out_col in in_cols:
+        raise ValueError(f"output column {out_col!r} already exists")
+    vec_idx = in_cols.index(vec_col)
+    out_fields = ", ".join(f"`{c}` {t}" for c, t in df.dtypes)
+    out_schema = f"{out_fields}, `{out_col}` array<double>"
+
+    def project(it):
+        for batch in it:
+            col = batch.column(vec_idx)
+            lens = pa.compute.list_value_length(col).fill_null(-1).to_numpy(
+                zero_copy_only=False
+            )
+            valid = pa.compute.is_valid(col).to_numpy(zero_copy_only=False)
+            mask_np = valid & (lens == dim)
+            bad = valid & ~mask_np
+            if bad.any():
+                raise ValueError(
+                    f"vector column rows must have length {dim} "
+                    "(found a non-null row of different length)"
+                )
+            # project only the valid rows; re-expand with nulls after
+            flat = col.drop_null().flatten().to_numpy(zero_copy_only=False)
+            m = flat.astype(np.float64, copy=False).reshape(-1, dim)
+            proj = m @ v.T  # (n_valid, k)
+            n = len(col)
+            offsets = np.zeros(n + 1, dtype=np.int32)
+            offsets[1:] = np.cumsum(np.where(mask_np, k, 0)).astype(np.int32)
+            out = pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int32()),
+                pa.array(proj.reshape(-1), pa.float64()),
+                mask=pa.array(~mask_np),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(i) for i in range(batch.num_columns)] + [out],
+                names=list(batch.schema.names) + [out_col],
+            )
+
+    return df.mapInArrow(project, schema=out_schema)
 
 
 def spectral_profile(result: BuildResult, k: int = 16) -> dict:

@@ -207,3 +207,50 @@ def test_fd_checkpoint_resume(spark, sf_dir, tmp_path):
     assert resumed.n_rows == first.n_rows
     assert resumed.fro_sq == first.fro_sq
     assert np.allclose(resumed.gram(), first.gram())
+
+
+def test_pca_project_matches_numpy(spark, sf_dir):
+    """Distributed projection == numpy A @ Vk.T with the SAME sketch's
+    directions (no sign ambiguity: identical V on both sides); schema
+    passthrough keeps every input column."""
+    from bloomjoin_spark import fd_sketch, pca_project
+
+    emb = _emb(spark, sf_dir).repartition(6)
+    res = fd_sketch(emb, "embedding", ell=512)
+    k = 8
+    out = pca_project(emb, "embedding", res, k=k)
+    assert out.columns == emb.columns + ["pca"]
+    rows = out.select("vec_id", "embedding", "pca").collect()
+    _, vt = res.sketch.directions(k)
+    for r in rows:
+        a = np.asarray(r["embedding"], dtype=np.float64)
+        exp = a @ vt.T
+        assert np.allclose(np.asarray(r["pca"]), exp, rtol=1e-9, atol=1e-12)
+        assert len(r["pca"]) == k
+
+
+def test_pca_project_nulls_and_validation(spark):
+    from bloomjoin_spark import FrequentDirectionsSketch, pca_project
+
+    sk = FrequentDirectionsSketch(ell=4, dim=2)
+    sk.update_matrix(np.array([[1.0, 0.0], [0.0, 2.0], [1.0, 1.0]]))
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, None), (3, [0.5, 0.5])],
+        "id long, embedding array<double>",
+    )
+    rows = {r["id"]: r["pca"] for r in
+            pca_project(df, "embedding", sk, k=2).collect()}
+    assert rows[2] is None
+    assert rows[1] is not None and len(rows[1]) == 2
+    # asking for more directions than the sketch holds
+    with pytest.raises(ValueError, match="directions"):
+        pca_project(df, "embedding", sk, k=3)
+    # existing output column name
+    with pytest.raises(ValueError, match="already exists"):
+        pca_project(df.withColumn("pca", df.id), "embedding", sk, k=2)
+    # ragged non-null row
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [1.0])], "id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="length"):
+        pca_project(ragged, "embedding", sk, k=2).collect()
