@@ -233,3 +233,46 @@ def test_foreign_dir_missing_payload_columns_curated_error(spark, tmp_path):
     ).write.partitionBy("snapshot").parquet(p)
     with pytest.raises(ValueError, match="missing required column"):
         read_sketch_store(spark, p)
+
+
+def test_fd_sketch_rides_the_store(spark, tmp_path):
+    """The matrix sketch is a first-class store citizen: two snapshots
+    of embedding rows land as FD partials via the shared vectors lane,
+    and the blob-only merged gram is EXACT over both snapshots (ell
+    above the total row count) — embedding-drift monitoring without
+    rescanning history."""
+    import numpy as np
+
+    from bloomjoin_spark import FrequentDirectionsSketch
+    from bloomjoin_spark.store import (
+        append_sketch_snapshot,
+        read_sketch_store,
+        store_sketch,
+    )
+
+    def _vecs(lo, hi):
+        import pyspark.sql.functions as F
+
+        return spark.range(lo, hi, 1, 3).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(7)),
+                lambda j: (F.xxhash64(F.col("id"), j) % 100).cast("double")
+                / 100.0,
+            ).alias("embedding"),
+        )
+
+    path = str(tmp_path / "fd_store")
+    factory = lambda: FrequentDirectionsSketch(ell=256, dim=8)  # noqa: E731
+    append_sketch_snapshot(_vecs(0, 100), factory, path, "day1",
+                           cols=["embedding"])
+    append_sketch_snapshot(_vecs(100, 180), factory, path, "day2",
+                           cols=["embedding"])
+    merged = store_sketch(read_sketch_store(spark, path))
+    assert isinstance(merged, FrequentDirectionsSketch)
+    assert merged.n_rows == 180 and merged.is_exact
+    A = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64)
+         for r in _vecs(0, 180).collect()]
+    )
+    assert np.allclose(merged.gram(), A.T @ A, rtol=1e-9, atol=1e-9)
