@@ -21,6 +21,7 @@ from .operators import (
     fd_sketch,
     grouped_spectral_mass,
     pca_project,
+    spectral_drift,
     spectral_profile,
     bloom_join,
     contaminated_docs,
@@ -74,6 +75,7 @@ __all__ = [
     "fd_sketch",
     "grouped_spectral_mass",
     "pca_project",
+    "spectral_drift",
     "spectral_profile",
     "format_bloom_params",
     "bloom_sizing",

@@ -254,3 +254,42 @@ def test_pca_project_nulls_and_validation(spark):
     )
     with pytest.raises(Exception, match="length"):
         pca_project(ragged, "embedding", sk, k=2).collect()
+
+
+def test_spectral_drift_certificate():
+    """Drift between two populations measured from sketches alone: the
+    TRUE normalized Gram distance always lies inside the certified
+    interval, same-distribution drift reads near zero, and a planted
+    rotation reads large — all without an exact pass."""
+    from bloomjoin_spark.operators.spectral import spectral_drift
+
+    rng = np.random.default_rng(11)
+    d = 12
+    base = rng.normal(size=(d, d))
+    A = rng.normal(size=(3000, 4)) @ base[:4]
+    B_same = rng.normal(size=(2000, 4)) @ base[:4]
+    B_rot = rng.normal(size=(2000, 4)) @ base[4:8] * 2.0
+
+    def sk(M):
+        s = FrequentDirectionsSketch(ell=6, dim=d)
+        s.update_matrix(M)
+        return s
+
+    def true_dist(M, N):
+        ga = M.T @ M / M.shape[0]
+        gb = N.T @ N / N.shape[0]
+        return float(np.abs(np.linalg.eigvalsh(ga - gb)).max())
+
+    for B in (B_same, B_rot):
+        r = spectral_drift(sk(A), sk(B))
+        t = true_dist(A, B)
+        assert r["true_distance_lower"] - 1e-9 <= t <= r["true_distance_upper"] + 1e-9
+    same = spectral_drift(sk(A), sk(B_same))
+    rot = spectral_drift(sk(A), sk(B_rot))
+    assert rot["spectral_distance"] > 3 * same["spectral_distance"]
+
+    # validation
+    with pytest.raises(ValueError, match="dim"):
+        spectral_drift(sk(A), FrequentDirectionsSketch(ell=4, dim=3))
+    with pytest.raises(ValueError, match="ingested"):
+        spectral_drift(sk(A), FrequentDirectionsSketch(ell=4, dim=d))
