@@ -284,6 +284,7 @@ def stateful_sketch_stream(
     group_col: str,
     cols: list[str] | str | None = None,
     token_col: str | None = None,
+    extract: Callable | None = None,
 ):
     """Per-key RUNNING sketches as a custom stateful streaming operator
     (``applyInPandasWithState``): the state for each group key is the
@@ -293,21 +294,51 @@ def stateful_sketch_stream(
     Because updates are the same associative merge the batch path uses,
     the running estimate after any prefix of the stream equals the batch
     build over the same rows — retries/reordering inside a trigger
-    cannot change it.  Output: (group, estimate, n_rows)."""
+    cannot change it.  Output: (group, estimate, n_rows).
+
+    All three ingest lanes work, mirroring the batch harness: hashes
+    (Bloom/HLL/CMS/theta), values (t-digest/KLL/top-k), and vectors
+    (FrequentDirections — per-source RUNNING spectral state, e.g.
+    streaming embedding-drift alarms).  ``extract`` maps the running
+    sketch to the emitted double (default ``.estimate()``, falling back
+    to ``.total``; pass e.g. ``lambda s: s.quantile(0.5)`` or a gram
+    trace)."""
+    import numpy as np
     import pandas as pd
 
-    from ..aggregate import _ingest_hashes
+    from ..aggregate import _extract_values, _ingest_hashes
     from ..hashing import hash_columns, hash_tokens_flat
     from ..sketches.base import Sketch
 
     if isinstance(cols, str):
         cols = [cols]
+    consumes = getattr(factory(), "CONSUMES", "hashes")
 
     def fn(key, pdf_iter, state):
         sk = Sketch.from_bytes(bytes(state.get[0])) if state.exists else factory()
         n = int(state.get[1]) if state.exists else 0
         for pdf in pdf_iter:
             if len(pdf) == 0:
+                continue
+            if consumes == "vectors":
+                vecs = [
+                    np.asarray(v, dtype=np.float64)
+                    for v in pdf[cols[0]]
+                    if v is not None
+                ]
+                if vecs:
+                    sk.update_matrix(np.stack(vecs))
+                n += len(pdf)
+                continue
+            if consumes == "values":
+                v = _extract_values(pdf, cols, token_col)
+                nan_mask = np.isnan(v)
+                if nan_mask.any():
+                    if hasattr(sk, "add_null"):
+                        sk.add_null()
+                    v = v[~nan_mask]
+                sk.update_values(v)
+                n += len(pdf)
                 continue
             h = (
                 hash_tokens_flat(pdf[token_col])
@@ -319,7 +350,12 @@ def stateful_sketch_stream(
             _ingest_hashes(sk, h)
             n += len(pdf)
         state.update((sk.to_bytes(), n))
-        est = sk.estimate() if hasattr(sk, "estimate") else float(getattr(sk, "total", 0))
+        if extract is not None:
+            est = extract(sk)
+        elif hasattr(sk, "estimate"):
+            est = sk.estimate()
+        else:
+            est = float(getattr(sk, "total", 0))
         yield pd.DataFrame(
             {group_col: [key[0]], "estimate": [float(est)], "n_rows": [n]}
         )

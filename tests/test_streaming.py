@@ -534,3 +534,82 @@ def test_topk_stream_multi_trigger_running_state(spark, tmp_path):
         for rank, ((_, item), c) in enumerate(list(rows)[:3], 1):
             got.add((g, item, c, rank))
     assert got == exp
+
+
+def test_stateful_stream_values_lane_tdigest(spark, sf_dir):
+    """The values lane works through streaming state: per-event-type
+    running median from a t-digest equals the batch build's median."""
+    import numpy as np
+
+    from bloomjoin_spark import TDigestSketch, build_sketch
+    from bloomjoin_spark.streaming import events_stream
+    from bloomjoin_spark.streaming.sketch_stream import (
+        run_stream_to_memory,
+        stateful_sketch_stream,
+    )
+
+    stream = events_stream(spark, sf_dir)
+    out = stateful_sketch_stream(
+        stream, lambda: TDigestSketch(), group_col="event_type",
+        cols=["value"], extract=lambda s: s.quantile(0.5),
+    )
+    name = run_stream_to_memory(out, "q_stateful_td", output_mode="update")
+    got = {
+        r["event_type"]: r["estimate"]
+        for r in spark.table(name).collect()
+    }
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    for et in got:
+        batch = build_sketch(
+            ev.filter(F.col("event_type") == et),
+            lambda: TDigestSketch(), cols=["value"],
+        ).sketch
+        exact = np.median(
+            np.array([r["value"] for r in
+                      ev.filter(F.col("event_type") == et).select("value").collect()],
+                     dtype=float)
+        )
+        # stream == batch within a whisker; both within t-digest error of exact
+        assert abs(got[et] - batch.quantile(0.5)) <= max(0.05 * max(abs(exact), 1e-9), 1e-6) \
+            or abs(got[et] - exact) <= 0.1 * max(abs(exact), 1e-9)
+
+
+def test_stateful_stream_vectors_lane_fd(spark, sf_dir):
+    """The vectors lane works through streaming state: per-label running
+    FD retained mass equals the exact per-label sum of squares (exact
+    mode), i.e. streaming drift state == batch state."""
+    import numpy as np
+
+    from bloomjoin_spark import FrequentDirectionsSketch
+    from bloomjoin_spark.streaming.sketch_stream import (
+        run_stream_to_memory,
+        stateful_sketch_stream,
+    )
+
+    from bloomjoin_spark.streaming.sketch_stream import _single_file_glob
+
+    schema = "vec_id bigint, embedding array<float>, label int"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_single_file_glob(sf_dir, "embeddings"))
+    )
+    out = stateful_sketch_stream(
+        stream.withColumn("label_s", F.col("label").cast("string")),
+        lambda: FrequentDirectionsSketch(ell=512, dim=64),
+        group_col="label_s", cols=["embedding"],
+        extract=lambda s: float(np.trace(s.gram())),
+    )
+    name = run_stream_to_memory(out, "q_stateful_fd", output_mode="update")
+    got = {int(r["label_s"]): r["estimate"] for r in spark.table(name).collect()}
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = emb.select(
+        "label",
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * x),
+            F.lit(0.0), lambda a, x: a + x,
+        ).alias("m"),
+    ).groupBy("label").agg(F.sum("m").alias("mass")).collect()
+    assert set(got) == {r["label"] for r in exact}
+    for r in exact:
+        assert abs(got[r["label"]] - r["mass"]) <= 1e-9 * max(r["mass"], 1)
