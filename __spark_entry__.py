@@ -1751,9 +1751,11 @@ def _fd_mass_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/spectral.py:grouped_spectral_mass — blob-only shuffle,
     no per-group driver state).  With ell above the per-label row
     count the FD sketch is exact, so the retained mass equals the
-    label's Σ‖v‖² EXACTLY; the row emits that equality as a boolean
-    plus the exact per-label row count, and DuckDB recomputes both
-    (the mass check via unnest + SUM of squares)."""
+    label's Σ‖v‖² EXACTLY.  The equality boolean is computed SPARK-side
+    against an independent plain aggregate (F.aggregate over the array
+    — no sketch code on that side); DuckDB independently recomputes
+    the per-label row counts and expects the boolean TRUE (SVD-free
+    here, but the mass reference itself is not re-derived in SQL)."""
     from bloomjoin_spark import grouped_spectral_mass
 
     emb = _t(spark, sf_dir, "embeddings")

@@ -304,6 +304,79 @@ def make_partial_fn_arrow(
     return partial_fn
 
 
+def _ingest_pdf(
+    sk: Sketch,
+    pdf: pd.DataFrame,
+    cols: list[str] | None,
+    token_col: str | None,
+    weight_col: str | None = None,
+) -> tuple[int, np.uint64]:
+    """Feed ONE pandas batch into a sketch through the right lane —
+    weighted / vectors / values / hashes — with the null semantics every
+    caller must share (the grouped batch builder, the stateful stream,
+    and topk_stream all dispatch here, so batch/stream parity cannot
+    drift).  Returns (rows_counted, fingerprint_delta): rows_counted is
+    the batch row count except on the vectors lane, where NULL vectors
+    carry no rows (matching the Arrow vectors lane's accounting)."""
+    fp = np.uint64(0)
+    if weight_col is not None:
+        items = pdf[cols[0]].to_numpy()
+        w = pdf[weight_col].to_numpy()
+        keep = ~(pd.isna(items) | pd.isna(w))
+        if not keep.all():
+            if hasattr(sk, "add_null"):
+                sk.add_null()
+            items, w = items[keep], w[keep]
+        iv = items.astype(np.float64)
+        with np.errstate(over="ignore"):
+            fp += (
+                iv.view(np.uint64) * w.astype(np.int64).view(np.uint64)
+            ).sum(dtype=np.uint64)
+        sk.update_weighted(iv, w)
+        return len(pdf), fp
+    consumes = getattr(sk, "CONSUMES", "hashes")
+    if consumes == "vectors":
+        col = pdf[cols[0]]
+        vecs = [np.asarray(v, dtype=np.float64) for v in col if v is not None]
+        if len(vecs) < len(col) and hasattr(sk, "add_null"):
+            sk.add_null()
+        if not vecs:
+            return 0, fp
+        dim = getattr(sk, "dim", None)
+        if dim is not None:
+            bad = next((v.size for v in vecs if v.size != dim), None)
+            if bad is not None:
+                raise ValueError(
+                    f"vector column rows must all have length {dim} "
+                    f"(found a row of length {bad})"
+                )
+        m = np.stack(vecs)
+        with np.errstate(over="ignore"):
+            fp += m.reshape(-1).view(np.uint64).sum(dtype=np.uint64)
+        sk.update_matrix(m)
+        return len(vecs), fp
+    if consumes == "values":
+        v = _extract_values(pdf, cols, token_col)
+        nan_mask = np.isnan(v)
+        if nan_mask.any():
+            if hasattr(sk, "add_null"):
+                sk.add_null()
+            v = v[~nan_mask]
+        with np.errstate(over="ignore"):
+            fp += v.view(np.uint64).sum(dtype=np.uint64)
+        sk.update_values(v)
+        return len(pdf), fp
+    h = (
+        hash_tokens_flat(pdf[token_col])
+        if token_col is not None
+        else hash_columns(pdf, list(cols))
+    )
+    with np.errstate(over="ignore"):
+        fp += h.sum(dtype=np.uint64)
+    _ingest_hashes(sk, h)
+    return len(pdf), fp
+
+
 def make_grouped_partial_fn(
     factory: Callable[[], Sketch],
     group_col: str,
@@ -335,60 +408,10 @@ def make_grouped_partial_fn(
                     sk = sks[key] = factory()
                     counts[key] = 0
                     fps[key] = np.uint64(0)
-                if getattr(sk, "CONSUMES", "hashes") == "vectors":
-                    vecs = [
-                        np.asarray(v, dtype=np.float64)
-                        for v in sub[cols[0]]
-                        if v is not None
-                    ]
-                    if not vecs:
-                        continue
-                    m = np.stack(vecs)
-                    with np.errstate(over="ignore"):
-                        fps[key] += (
-                            m.reshape(-1).view(np.uint64).sum(dtype=np.uint64)
-                        )
-                    sk.update_matrix(m)
-                    counts[key] += len(vecs)
-                    continue
-                if weight_col is not None:
-                    items = sub[cols[0]].to_numpy()
-                    w = sub[weight_col].to_numpy()
-                    keep = ~(pd.isna(items) | pd.isna(w))
-                    if not keep.all():
-                        if hasattr(sk, "add_null"):
-                            sk.add_null()
-                        items, w = items[keep], w[keep]
-                    iv = items.astype(np.float64)
-                    with np.errstate(over="ignore"):
-                        fps[key] += (
-                            iv.view(np.uint64)
-                            * w.astype(np.int64).view(np.uint64)
-                        ).sum(dtype=np.uint64)
-                    sk.update_weighted(iv, w)
-                    counts[key] += len(sub)
-                    continue
-                if getattr(sk, "CONSUMES", "hashes") == "values":
-                    v = _extract_values(sub, cols, token_col)
-                    nan_mask = np.isnan(v)
-                    if nan_mask.any():
-                        if hasattr(sk, "add_null"):
-                            sk.add_null()
-                        v = v[~nan_mask]
-                    with np.errstate(over="ignore"):
-                        fps[key] += v.view(np.uint64).sum(dtype=np.uint64)
-                    sk.update_values(v)
-                    counts[key] += len(sub)
-                    continue
-                h = (
-                    hash_tokens_flat(sub[token_col])
-                    if token_col is not None
-                    else hash_columns(sub, list(cols))
-                )
+                n_in, fp_delta = _ingest_pdf(sk, sub, cols, token_col, weight_col)
                 with np.errstate(over="ignore"):
-                    fps[key] += h.sum(dtype=np.uint64)
-                _ingest_hashes(sks[key], h)
-                counts[key] += len(sub)
+                    fps[key] += fp_delta
+                counts[key] += n_in
         if not sks:
             return
         keys = list(sks)

@@ -2,7 +2,7 @@
 deterministic matrix sketching", KDD 2013; Ghashami, Liberty, Phillips
 & Woodruff, SIAM J. Comput. 2016 — including the mergeability proof).
 
-The seventh sketch of the suite, and the first MATRIX-valued one: a
+The eighth sketch of the suite, and the first MATRIX-valued one: a
 deterministic low-rank summary of a tall n×d matrix (n embedding rows,
 d ≤ a few hundred dims) in O(ℓ·d) memory.  ``B`` is an ℓ×d matrix such
 that, after any stream of row batches and any merge tree,
@@ -77,10 +77,17 @@ class FrequentDirectionsSketch(Sketch):
             )
         self.fro_sq += float((m * m).sum())
         self.n_rows += int(m.shape[0])
+        self._absorb_rows(m)
+
+    def _absorb_rows(self, rows: np.ndarray) -> None:
+        """Fill the buffer chunk-by-chunk, shrinking whenever it reaches
+        2ℓ rows — the one buffering loop both ``update_matrix`` and
+        ``merge`` go through (a shrink-trigger change cannot diverge
+        between build and merge paths)."""
         pos = 0
-        while pos < m.shape[0]:
-            take = min(2 * self.ell - self._n_buf, m.shape[0] - pos)
-            self._buf[self._n_buf : self._n_buf + take] = m[pos : pos + take]
+        while pos < rows.shape[0]:
+            take = min(2 * self.ell - self._n_buf, rows.shape[0] - pos)
+            self._buf[self._n_buf : self._n_buf + take] = rows[pos : pos + take]
             self._n_buf += take
             pos += take
             if self._n_buf >= 2 * self.ell:
@@ -140,18 +147,11 @@ class FrequentDirectionsSketch(Sketch):
                 f"(ell, dim): ({self.ell},{self.dim}) vs "
                 f"({other.ell},{other.dim})"
             )
-        rows = other._buf[: other._n_buf]
         self.fro_sq += other.fro_sq
         self.n_rows += other.n_rows
         self.shrink_mass += other.shrink_mass
-        pos = 0
-        while pos < rows.shape[0]:
-            take = min(2 * self.ell - self._n_buf, rows.shape[0] - pos)
-            self._buf[self._n_buf : self._n_buf + take] = rows[pos : pos + take]
-            self._n_buf += take
-            pos += take
-            if self._n_buf >= 2 * self.ell:
-                self._shrink()
+        # copy: other's buffer must not alias ours during the fill loop
+        self._absorb_rows(other._buf[: other._n_buf].copy())
         return self
 
     # -- serialization -------------------------------------------------

@@ -303,16 +303,13 @@ def stateful_sketch_stream(
     sketch to the emitted double (default ``.estimate()``, falling back
     to ``.total``; pass e.g. ``lambda s: s.quantile(0.5)`` or a gram
     trace)."""
-    import numpy as np
     import pandas as pd
 
-    from ..aggregate import _extract_values, _ingest_hashes
-    from ..hashing import hash_columns, hash_tokens_flat
+    from ..aggregate import _ingest_pdf
     from ..sketches.base import Sketch
 
     if isinstance(cols, str):
         cols = [cols]
-    consumes = getattr(factory(), "CONSUMES", "hashes")
 
     def fn(key, pdf_iter, state):
         sk = Sketch.from_bytes(bytes(state.get[0])) if state.exists else factory()
@@ -320,35 +317,11 @@ def stateful_sketch_stream(
         for pdf in pdf_iter:
             if len(pdf) == 0:
                 continue
-            if consumes == "vectors":
-                vecs = [
-                    np.asarray(v, dtype=np.float64)
-                    for v in pdf[cols[0]]
-                    if v is not None
-                ]
-                if vecs:
-                    sk.update_matrix(np.stack(vecs))
-                n += len(pdf)
-                continue
-            if consumes == "values":
-                v = _extract_values(pdf, cols, token_col)
-                nan_mask = np.isnan(v)
-                if nan_mask.any():
-                    if hasattr(sk, "add_null"):
-                        sk.add_null()
-                    v = v[~nan_mask]
-                sk.update_values(v)
-                n += len(pdf)
-                continue
-            h = (
-                hash_tokens_flat(pdf[token_col])
-                if token_col is not None
-                else hash_columns(pdf, cols)
-            )
-            # same ingest as the batch path (aggregate._ingest_hashes):
-            # null keys collapse to add_null, never a phantom distinct
-            _ingest_hashes(sk, h)
-            n += len(pdf)
+            # the SHARED per-batch ingest dispatch (aggregate._ingest_pdf)
+            # — identical lane selection and null semantics as the batch
+            # builders, so stream state == batch build by construction
+            n_in, _ = _ingest_pdf(sk, pdf, cols, token_col)
+            n += n_in
         state.update((sk.to_bytes(), n))
         if extract is not None:
             est = extract(sk)
@@ -360,7 +333,8 @@ def stateful_sketch_stream(
             {group_col: [key[0]], "estimate": [float(est)], "n_rows": [n]}
         )
 
-    out_schema = f"{group_col} string, estimate double, n_rows long"
+    gtype = dict(stream.dtypes)[group_col]
+    out_schema = f"`{group_col}` {gtype}, estimate double, n_rows long"
     state_schema = "blob binary, n long"
     return stream.groupBy(group_col).applyInPandasWithState(
         fn, out_schema, state_schema, "update", "NoTimeout"
@@ -392,7 +366,7 @@ def topk_stream(
     total state is groups × capacity counters — bounded regardless of
     stream length, unlike exact streaming count aggregation whose state
     grows with distinct (group, item) pairs."""
-    from ..aggregate import _extract_values
+    from ..aggregate import _ingest_pdf
     from ..sketches.topk import TopKSketch
 
     if k < 1:
@@ -420,21 +394,9 @@ def topk_stream(
         for pdf in pdf_iter:
             if len(pdf) == 0:
                 continue
-            if weight_col is not None:
-                items = pdf[cols[0]].to_numpy()
-                w = pdf[weight_col].to_numpy()
-                keep = ~(pd.isna(items) | pd.isna(w))
-                if not keep.all():
-                    sk.add_null()
-                    items, w = items[keep], w[keep]
-                sk.update_weighted(items.astype(np.float64), w)
-                continue
-            v = _extract_values(pdf, cols, token_col)
-            nan_mask = np.isnan(v)
-            if nan_mask.any():
-                sk.add_null()
-                v = v[~nan_mask]
-            sk.update_values(v)
+            # shared per-batch ingest dispatch — same lane selection and
+            # null semantics as batch grouped_topk (aggregate._ingest_pdf)
+            _ingest_pdf(sk, pdf, cols, token_col, weight_col)
         state.update((sk.to_bytes(),))
         rows = sk.topk()[:k]
         m = len(rows)
@@ -448,8 +410,12 @@ def topk_stream(
             }
         )
 
+    # the group column keeps its REAL dtype (int/bigint keys must round-
+    # trip the state operator exactly as batch grouped_topk emits them)
+    gtype = dict(stream.dtypes)[group_col]
     out_schema = (
-        f"{group_col} string, item long, count_est long, error long, rank int"
+        f"`{group_col}` {gtype}, item long, count_est long, error long, "
+        "rank int"
     )
     state_schema = "blob binary"
     return stream.groupBy(group_col).applyInPandasWithState(

@@ -613,3 +613,32 @@ def test_stateful_stream_vectors_lane_fd(spark, sf_dir):
     assert set(got) == {r["label"] for r in exact}
     for r in exact:
         assert abs(got[r["label"]] - r["mass"]) <= 1e-9 * max(r["mass"], 1)
+
+
+def test_topk_stream_non_string_group_key(spark, tmp_path):
+    """Regression: the state operators emit the group column in its
+    REAL dtype — an int group key round-trips topk_stream exactly as
+    batch grouped_topk emits it (previously the schema hardcoded
+    string)."""
+    from bloomjoin_spark import grouped_topk
+    from bloomjoin_spark.streaming import topk_stream
+
+    rows = [(1, 10)] * 4 + [(1, 20)] * 2 + [(2, 30)] * 3 + [(2, 40)]
+    src = str(tmp_path / "ints")
+    spark.createDataFrame(rows, "grp int, item_val long").coalesce(1) \
+        .write.parquet(src)
+    stream = (
+        spark.readStream.schema("grp int, item_val long")
+        .option("maxFilesPerTrigger", 10)
+        .parquet(src)
+    )
+    out = topk_stream(stream, "grp", k=2, capacity=16, cols=["item_val"])
+    name = run_stream_to_memory(out, "q_topk_int_grp", output_mode="update")
+    emitted = spark.table(name)
+    assert dict(emitted.dtypes)["grp"] == "int"
+    got = {(r["grp"], r["item"], r["count_est"], r["rank"])
+           for r in emitted.collect()}
+    exp = {(r["grp"], r["item"], r["count_est"], r["rank"])
+           for r in grouped_topk(spark.createDataFrame(rows, "grp int, item_val long"),
+                                 "grp", k=2, capacity=16, cols=["item_val"]).collect()}
+    assert got == exp
