@@ -1610,6 +1610,38 @@ def _session_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _grouped_median_nchars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 5: per-group QUANTILES through the distributed group merge
+    (grouped_sketch_estimates with a t-digest factory and a quantile
+    extract — the grouped VALUES lane, no per-group driver state):
+    per-source median n_chars.  The DuckDB oracle recomputes the exact
+    per-source median and expects the estimate within 2% relative (the
+    t-digest mid-quantile regime is far tighter; 2% absorbs
+    interpolation differences), plus exact per-group row counts."""
+    from bloomjoin_spark import TDigestSketch, grouped_sketch_estimates
+
+    docs = _t(spark, sf_dir, "documents")
+    est = grouped_sketch_estimates(
+        docs, lambda: TDigestSketch(), "source", cols=["n_chars"],
+        extract=lambda s: s.quantile(0.5),
+    )
+    exact = docs.groupBy("source").agg(
+        F.expr("percentile(n_chars, 0.5)").alias("exact_median"),
+        F.count(F.lit(1)).alias("n_exact"),
+    )
+    return (
+        est.join(exact, "source")
+        .select(
+            "source",
+            F.col("n_rows"),
+            (F.abs(F.col("estimate") - F.col("exact_median"))
+             <= 0.02 * F.col("exact_median")).alias("within_bound"),
+            (F.col("n_rows") == F.col("n_exact")).alias("rows_exact"),
+        )
+        .orderBy("source")
+    )
+
+
 def _hll_distinct_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 3: per-group HLL distinct via the DISTRIBUTED group merge
     (grouped_sketch_estimates — no driver-side per-group state):
@@ -2373,6 +2405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_windowed_counts": _streaming_windowed_counts,
         "streaming_bloom_join": _streaming_bloom_join,
         "hll_distinct_by_source": _hll_distinct_by_source,
+        "grouped_median_nchars": _grouped_median_nchars,
         "sketch_store_incremental": _sketch_store_incremental,
         "sketch_store_stream_docs": _sketch_store_stream_docs,
         "theta_source_overlap": _theta_source_overlap,
@@ -3482,6 +3515,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, count(DISTINCT doc_id) AS exact_distinct,
                    count(*) AS n_rows, TRUE AS within_bound
             FROM documents GROUP BY source
+        """,
+        "grouped_median_nchars": """
+            SELECT source, count(*)::BIGINT AS n_rows,
+                   TRUE AS within_bound, TRUE AS rows_exact
+            FROM documents GROUP BY source ORDER BY source
         """,
         "sketch_store_incremental": """
             SELECT source, count(DISTINCT doc_id) AS exact_distinct,
