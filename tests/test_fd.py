@@ -293,3 +293,46 @@ def test_spectral_drift_certificate():
         spectral_drift(sk(A), FrequentDirectionsSketch(ell=4, dim=3))
     with pytest.raises(ValueError, match="ingested"):
         spectral_drift(sk(A), FrequentDirectionsSketch(ell=4, dim=d))
+
+
+def test_pca_project_composes_with_ann(spark, sf_dir):
+    """The dim-reduction composition the operator exists for: project
+    corpus + queries onto the FD top-k subspace and run exact cosine
+    top-k in the REDUCED space.  The sf embeddings are near-ISOTROPIC
+    (by construction — no planted low-rank signal), so recall tracks
+    the captured mass fraction, which spectral_profile predicts from
+    the sketch alone: k=48/64 keeps ~86% of the mass (measured 0.86)
+    and recall@10 ≥ 0.5 (measured 0.72); real embedding spectra are
+    far more skewed, which is the regime the operator targets."""
+    import pyspark.sql.functions as F
+
+    from bloomjoin_spark import fd_sketch, pca_project
+    from bloomjoin_spark.operators import cosine_topk
+
+    emb = _emb(spark, sf_dir)
+    res = fd_sketch(emb, "embedding", ell=512)
+    k = 48
+    sv2, _ = res.sketch.directions(k)
+    mass_frac = sv2.sum() / res.sketch.fro_sq
+    assert mass_frac >= 0.7  # the sketch's own prediction for k=48/64
+    corpus_p = pca_project(emb, "embedding", res, k=k).select(
+        "vec_id", F.col("pca").alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    queries_p = pca_project(queries, "embedding", res, k=k).select(
+        "query_id", F.col("pca").alias("embedding")
+    )
+    full = cosine_topk(emb, queries, k=10)
+    red = cosine_topk(corpus_p, queries_p, k=10)
+    truth: dict = {}
+    for r in full.collect():
+        truth.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = tot = 0
+    for r in red.collect():
+        if r["vec_id"] in truth.get(r["query_id"], set()):
+            hits += 1
+        tot += 1
+    assert tot > 0
+    assert hits / tot >= 0.5, f"recall@10 after {k}-dim PCA = {hits/tot:.2f}"
