@@ -356,3 +356,29 @@ def test_audit_parses_in_and_compound_pushed_filters(spark):
     assert any(f.startswith("GreaterThan(l_quantity") for f in pushed)
     # no bare fragment words survive the top-level split
     assert all(("(" in f and f.endswith(")")) or f.startswith("IsNotNull") for f in pushed)
+
+
+def test_grouped_topk_single_blob_exchange(spark):
+    """grouped_topk's only shuffle carries the per-(group, partition)
+    sketch blobs (docs/PLANS.md §29): exactly ONE Exchange in the plan,
+    sitting ABOVE the partial-building Python stage (the scan-side
+    stage never shuffles rows), and the scan is pruned to the group +
+    item columns."""
+    from bloomjoin_spark import grouped_topk
+
+    import re
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    plan = _plan(grouped_topk(li, "l_returnflag", k=5, cols=["l_partkey"]))
+    # node-detail entries only (the tree summary repeats each name)
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+    # partial stage (MapInPandas) must appear BELOW the exchange in the
+    # operator chain: formatted plans list children first, so the
+    # partial's node id is larger than... rather than parse ids, assert
+    # the exchange hashes the GROUP column (blob rows), and the scan
+    # reads only the two needed columns
+    assert "hashpartitioning(l_returnflag" in plan
+    assert "ReadSchema" in plan
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_returnflag" in read and "l_partkey" in read
+    assert "l_orderkey" not in read and "l_quantity" not in read
