@@ -382,3 +382,25 @@ def test_grouped_topk_single_blob_exchange(spark):
     read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
     assert "l_returnflag" in read and "l_partkey" in read
     assert "l_orderkey" not in read and "l_quantity" not in read
+
+
+def test_fd_partial_scan_is_pruned_and_shuffle_free(spark):
+    """fd_sketch's partial stage (docs/PLANS.md §30): the embeddings
+    scan reads ONLY the vector column and no Exchange exists below the
+    partial MapInArrow — building the matrix sketch over a wide table
+    is a map-only pass until the KB-scale blob merge."""
+    import re
+
+    from bloomjoin_spark.aggregate import sketch_partials
+    from bloomjoin_spark.sketches.fd import FrequentDirectionsSketch
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    partials = sketch_partials(
+        emb, lambda: FrequentDirectionsSketch(ell=16, dim=64),
+        cols=["embedding"],
+    )
+    plan = _plan(partials)
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "embedding" in read and "vec_id" not in read and "label" not in read
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 0
+    assert "MapInArrow" in plan or "ArrowEvalPython" in plan or "MapInPandas" in plan
