@@ -74,11 +74,12 @@ __all__ = [
 
 _TOK = "__sp_toks"
 _H = "__sp_h"
+_HARR = "__sp_harr"
 _POS0 = "__sp_pos0"
 _START = "__sp_start"
 _GRAM = "__sp_gram"
 _STARTS = "__sp_starts"
-_RESERVED = (_TOK, _H, _POS0, _START, _GRAM, _STARTS, "__sp_nd", "__sp_iv")
+_RESERVED = (_TOK, _H, _HARR, _POS0, _START, _GRAM, _STARTS, "__sp_nd", "__sp_iv")
 
 
 @dataclass
@@ -149,11 +150,28 @@ def duplicate_span_starts(
     base = df.select(F.col(id_col), _resolve(tokens_col).alias(_TOK))
     ladder = ngram_hashes_col(F.col(_TOK), n)
 
+    # the per-doc hash ladder is consumed THREE times (dup-set count,
+    # candidate probe, posexplode locate).  Recomputing it per consumer
+    # is not just 3 scans: when `tokens_col` is itself an expression
+    # (`words_col(text)` — the bench/oracle shape) the optimizer's
+    # filter-pushdown / Python-input extraction INLINE that expression
+    # into every `element_at` of the ladder lambda, re-splitting the
+    # text once per window element — O(L²) per doc, measured 25× slower
+    # than one codegen evaluation (plans/r06/span_dedup_*).  One lazy
+    # localCheckpoint pins the ladder as a stored ATTRIBUTE: 8 bytes per
+    # token position (the metadata-not-payload shape of guide §8; the
+    # token text itself is never duplicated), materialized by the
+    # stage-1 count job below, dropped with the session.
+    lad = base.select(F.col(id_col), ladder.alias(_HARR)).localCheckpoint(
+        eager=False
+    )
+    h_arr = F.col(_HARR)
+
     # 1. duplicated-hash set D: distinct-per-doc window hashes shuffle
     #    as (hash, doc) pairs; count(*) == distinct-doc count because
     #    array_distinct leaves one row per (doc, hash)
     dup = (
-        base.select(F.col(id_col), F.explode(F.array_distinct(ladder)).alias(_H))
+        lad.select(F.col(id_col), F.explode(F.array_distinct(h_arr)).alias(_H))
         .groupBy(_H)
         .agg(F.count(F.lit(1)).alias("__sp_nd"))
         .where(F.col("__sp_nd") >= min_docs)
@@ -171,13 +189,13 @@ def duplicate_span_starts(
 
     # 2. candidate-document prefilter, gated on its own broadcast size
     m_bits, _k = bloom_sizing(n_dup, fpp)
-    cand = base
+    cand = lad
     if m_bits // 8 <= max_filter_bytes:
         res = build_sketch(
             dup, lambda: BloomSketch(n=n_dup, fpp=fpp), cols=[_H], prehashed=True
         )
         bc = spark.sparkContext.broadcast(res.sketch)
-        cand = base.where(_any_in_bloom_udf(bc)(ladder))
+        cand = lad.where(_any_in_bloom_udf(bc)(h_arr))
         report.prefilter = "bloom"
         report.filter_bits = res.sketch.m
     else:
@@ -192,7 +210,7 @@ def duplicate_span_starts(
     #    exact hash semi-join against D removes the Bloom false
     #    positives, then starts gather per document
     per_doc = (
-        cand.select(F.col(id_col), F.posexplode(ladder).alias(_POS0, _H))
+        cand.select(F.col(id_col), F.posexplode(h_arr).alias(_POS0, _H))
         .join(dup, on=_H, how="left_semi")
         .groupBy(id_col)
         .agg(
@@ -320,9 +338,18 @@ def remove_duplicate_spans(
     )
 
     toks = F.col(tokens_col)
-    iv = _merged_intervals(
-        F.coalesce(F.col(_STARTS), F.array().cast("array<int>")), n
+    # stage the merged intervals as an ATTRIBUTE: `cleaned` and
+    # `n_removed` below both consume them, and embedding the interval
+    # aggregate twice doubles the (already large) expression tree the
+    # optimizer must analyze — measured ~1.5 s of pure planning per
+    # call at round start (plans/r06/span_dedup_*)
+    joined = joined.select(
+        *df.columns,
+        _merged_intervals(
+            F.coalesce(F.col(_STARTS), F.array().cast("array<int>")), n
+        ).alias("__sp_iv"),
     )
+    iv = F.col("__sp_iv")
 
     # keep the gap slices BETWEEN intervals plus the tail after the
     # last one — one codegen expression, no per-position scan.  zero
