@@ -1057,19 +1057,30 @@ def build_history_filter(
     fps = history.select(
         content_fingerprint(text_col).alias("__fp")
     )
+    persisted = False
     if n_hint is None:
+        # sizing and build both scan the fingerprints: persist the
+        # 16-byte/row projection so the history text is read and
+        # fingerprinted ONCE, not once per pass (same persist-for-two-
+        # jobs contract as bloom_join's sizing, bloom_join.py:276-292)
+        fps = fps.persist()
+        persisted = True
         n_hint = fps.agg(
             F.approx_count_distinct("__fp").alias("d")
         ).first()["d"]
-    n = max(int(n_hint), 16)
-    if int(n_hint) == 0:
-        # empty history: an empty filter rejects everything (the same
-        # empty-build short-circuit as bloom_join, O26) — no Spark job
-        return BloomSketch(n, fpp)
-    return build_sketch(
-        fps, lambda: BloomSketch(n, fpp), cols=["__fp"],
-        checkpoint_dir=checkpoint_dir,
-    ).sketch
+    try:
+        n = max(int(n_hint), 16)
+        if int(n_hint) == 0:
+            # empty history: an empty filter rejects everything (the same
+            # empty-build short-circuit as bloom_join, O26) — no Spark job
+            return BloomSketch(n, fpp)
+        return build_sketch(
+            fps, lambda: BloomSketch(n, fpp), cols=["__fp"],
+            checkpoint_dir=checkpoint_dir,
+        ).sketch
+    finally:
+        if persisted:
+            fps.unpersist()
 
 
 def incremental_dedup(
@@ -1137,12 +1148,14 @@ def incremental_dedup(
         return pd.Series(bc.value.contains_hashes(hash_series(s)))
 
     probed = reps.withColumn("__hit", _probe.asNondeterministic()(F.col("__fp")))
-    if report is not None:
-        # one materialization serves both the counters and the
-        # returned lineage — without it every counter job re-runs the
-        # probe UDF (and the verify join below), multiplying the
-        # call's cost ~4× just for observability
-        probed = probed.localCheckpoint(eager=False)
+    # one materialization (batch-sized: one 16-byte fingerprint + id per
+    # distinct batch doc) serves every consumer: the hit branch feeds
+    # the verify join AND its bloom_join sizing jobs, the miss branch
+    # feeds the union, and the report counters re-aggregate it — without
+    # it each of those jobs re-runs the groupBy + probe UDF chain,
+    # multiplying the call's cost ~4× (measured: the reuse-filter cell
+    # re-evaluated the 0.9 s reps aggregate + probe three times)
+    probed = probed.localCheckpoint(eager=False)
     # hit fingerprints might be in history (or are Bloom false
     # positives): verify with an exact anti join whose history scan is
     # itself bloom-prefiltered down to ~|candidates| rows

@@ -61,11 +61,24 @@ def write_bucketed(
     counts are equal (Spark 3+ can also coalesce a multiple into the
     smaller count when ``spark.sql.bucketing.coalesceBucketsInJoin``
     is enabled).
+
+    File-count contract: the write first hash-repartitions by the
+    bucket keys into ``buckets`` partitions — the SAME ``pmod(hash,
+    buckets)`` assignment bucketing itself uses — so every task holds
+    exactly one bucket and writes exactly one file.  Without it every
+    input task writes a file per bucket it touches (M·buckets files —
+    the guide-§6 small-file explosion: a 64-partition input at 32
+    buckets produced 2 049 files where 32 suffice, and every later
+    scan pays the listing + per-file open cost).  The repartition IS
+    the pay-once layout shuffle this helper exists to amortize.
     """
+    from pyspark.sql import functions as F
+
     keys = [by] if isinstance(by, str) else list(by)
     if mode == "overwrite":
         _drop_stale_managed_table(df.sparkSession, table)
-    w = df.write.format(fmt).mode(mode).bucketBy(buckets, *keys)
+    out = df.repartition(buckets, *[F.col(k) for k in keys])
+    w = out.write.format(fmt).mode(mode).bucketBy(buckets, *keys)
     if sort:
         w = w.sortBy(*keys)
     w.saveAsTable(table)
