@@ -513,15 +513,28 @@ def minhash_dedup_pairs(
 
 
 def dedup_clusters(pairs: DataFrame, id_col_a: str = "id_a", id_col_b: str = "id_b",
-                   max_iter: int = 10) -> DataFrame:
+                   max_iter: int = 10,
+                   driver_max_edges: int = 2_000_000) -> DataFrame:
     """Connected components over dup pairs via min-label propagation:
     (id, cluster_id=min id in component). Dup clusters have tiny
-    diameter, so this converges in 2-3 iterations."""
+    diameter, so this converges in 2-3 iterations.
+
+    Small pair sets (≤ ``driver_max_edges`` directed edges — the edge
+    set is already eagerly materialized, so the gate costs one count of
+    checkpointed rows) take a driver union-find instead: each
+    distributed iteration is two jobs (join-aggregate + convergence
+    check), so a 3-iteration run pays ~6 scheduler round-trips to label
+    a graph that fits in a few MB.  The union-find computes the same
+    min-id component labels exactly; the iterative path remains for
+    pair sets past the gate (at 100 TB a pair graph can be billions of
+    edges — that must stay distributed)."""
     edges = pairs.select(
         F.col(id_col_a).alias("src"), F.col(id_col_b).alias("dst")
     )
     sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     sym = sym.localCheckpoint()  # edge set reused every iteration
+    if sym.count() <= driver_max_edges:
+        return _driver_union_find(sym)
     labels = (
         sym.select("src").union(sym.select(F.col("dst").alias("src")))
         .distinct()
@@ -555,6 +568,40 @@ def dedup_clusters(pairs: DataFrame, id_col_a: str = "id_a", id_col_b: str = "id
         if not changed:
             break
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+
+
+def _driver_union_find(sym: DataFrame) -> DataFrame:
+    """Min-root union-find over a BOUNDED (gate-checked, materialized)
+    symmetric edge frame — the small-graph fast path of
+    :func:`dedup_clusters`.  Returns the same ``(id, cluster_id=min id
+    in component)`` labels as min-label propagation: union-by-min keeps
+    every root the smallest id of its component (Python and Spark
+    compare strings identically here — both order by codepoint)."""
+    spark = sym.sparkSession
+    id_type = sym.schema["src"].dataType.simpleString()
+    out_schema = f"id {id_type}, cluster_id {id_type}"
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in sym.collect():  # bounded by driver_max_edges (gate above)
+        a, b = row[0], row[1]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    rows = [(x, find(x)) for x in parent]
+    return spark.createDataFrame(rows, schema=out_schema)
 
 
 def minhash_dedup(

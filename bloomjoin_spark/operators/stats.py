@@ -391,8 +391,23 @@ def estimate_join_size(
     if len(lkeys) != len(rkeys):
         raise ValueError("left and right key lists must have equal length")
     factory = lambda: CmsSketch(eps, delta)  # noqa: E731
-    lsk = build_sketch(left.select(*lkeys), factory, cols=lkeys).sketch
-    rsk = build_sketch(right.select(*rkeys), factory, cols=rkeys).sketch
+    # the two builds are independent jobs over different tables: submit
+    # them from two driver threads so the smaller side's tasks back-fill
+    # executors freed by the larger side's tail (guide §2.6 overlap) —
+    # sequential builds serialize two full scans end to end
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        lfut = pool.submit(inheritable_thread_target(
+            lambda: build_sketch(left.select(*lkeys), factory, cols=lkeys)
+        ))
+        rfut = pool.submit(inheritable_thread_target(
+            lambda: build_sketch(right.select(*rkeys), factory, cols=rkeys)
+        ))
+        lsk = lfut.result().sketch
+        rsk = rfut.result().sketch
     return {
         "estimate": lsk.inner_product(rsk),
         "bound": lsk.inner_product_bound(rsk),
