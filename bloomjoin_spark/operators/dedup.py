@@ -777,7 +777,13 @@ def _rarity_prefix(ann: DataFrame, id_col: str, threshold: float) -> DataFrame:
     return (
         ann.withColumn("__r", F.row_number().over(w))
         .filter((F.col("__r") <= prefix_len) & (F.col("__df") >= 2))
-        .select(id_col, "__g", "__L")
+        # __r rides along for the PPJoin position filter: both sides
+        # rank by the SAME global order, so the first common shingle of
+        # a true pair has the minimal rank on both sides and bounds the
+        # overlap by min(L−r) + 1 (Xiao et al. 2008) — the candidate
+        # join can prune on it with zero recall loss (any-edge-passes
+        # keeps the minimal-rank edge of every true pair)
+        .select(id_col, "__g", "__L", "__r")
     )
 
 
@@ -861,6 +867,26 @@ def ngram_jaccard_pairs(
             .filter(
                 F.least(F.col("a.__L"), F.col("b.__L")).cast("double")
                 >= F.lit(threshold) * F.greatest(F.col("a.__L"), F.col("b.__L"))
+                - F.lit(_T_EPS)
+            )
+            # position filter (PPJoin): J ≥ t needs overlap
+            # I ≥ t·(L_a+L_b)/(1+t), and a match at ranks (r_a, r_b)
+            # bounds I ≤ min(L_a−r_a, L_b−r_b) + 1.  Applied per edge
+            # and OR-ed by the distinct below: the first common shingle
+            # of a true pair (minimal rank on BOTH sides — one shared
+            # global order) always passes, so recall is unchanged while
+            # pairs meeting only on late prefix positions never reach
+            # the verify join
+            .filter(
+                (
+                    F.lit(1)
+                    + F.least(
+                        F.col("a.__L") - F.col("a.__r"),
+                        F.col("b.__L") - F.col("b.__r"),
+                    )
+                ).cast("double")
+                >= F.lit(threshold / (1.0 + threshold))
+                * (F.col("a.__L") + F.col("b.__L"))
                 - F.lit(_T_EPS)
             )
             .select(
