@@ -1229,6 +1229,13 @@ def incremental_dedup(
     # multiplying the call's cost ~4× (measured: the reuse-filter cell
     # re-evaluated the 0.9 s reps aggregate + probe three times)
     probed = probed.localCheckpoint(eager=False)
+    # materialize the checkpoint NOW and keep the count: it upper-bounds
+    # |candidates|, so passing it as the verify join's n_hint skips
+    # bloom_join's own sizing pass (persist + count/approx-distinct job)
+    # — the filter is sized for all reps instead of just hits, a few ×
+    # larger m at the same fpp, which only loosens nothing (results and
+    # guarantees unchanged, one fewer job per ingest)
+    n_reps_total = probed.count()
     # hit fingerprints might be in history (or are Bloom false
     # positives): verify with an exact anti join whose history scan is
     # itself bloom-prefiltered down to ~|candidates| rows
@@ -1237,6 +1244,7 @@ def incremental_dedup(
     verified_new = bloom_join(
         cand, hfp, on="__fp", how="anti",
         fpp=fpp, force_prefilter=True, collect_metrics=False,
+        n_hint={"x": max(int(n_reps_total), 16)},
     )
     if report is not None:
         verified_new = verified_new.localCheckpoint(eager=False)
