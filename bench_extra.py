@@ -297,6 +297,33 @@ class Cells:
         return lambda: build_sketch(
             toks, lambda: CmsSketch(eps=1e-4, delta=1e-3), token_col="tokens")
 
+    def cell_dlw(self):
+        from pyspark.sql import functions as F
+
+        from bloomjoin_spark.operators import dedup_lines_within
+
+        docs = self.docs
+        return lambda: dedup_lines_within(docs.select("doc_id", "text"), sep=" ") \
+            .agg(F.sum("n_removed_lines"), F.sum(F.length("text"))).collect()
+
+    def cell_wfp(self):
+        from pyspark.sql import functions as F
+
+        from bloomjoin_spark.operators import winnowing_fingerprints
+
+        docs = self.docs
+        return lambda: winnowing_fingerprints(docs).agg(
+            F.sum(F.size("winnow_fps"))).first()
+
+    def cell_tng(self):
+        from pyspark.sql import functions as F
+
+        from bloomjoin_spark.operators import top_ngram_frac
+
+        docs = self.docs
+        return lambda: top_ngram_frac(docs, n=2).agg(
+            F.sum("top_ngram_char_frac")).first()
+
     def cell_enc(self):
         from pyspark.sql import functions as F
 

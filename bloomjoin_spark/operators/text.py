@@ -143,6 +143,12 @@ def winnowing_fingerprints(
     for i in range(1, n):
         acc = F.zip_with(acc, F.slice(th, F.lit(i + 1), m),
                          lambda a, b: F.xxhash64(a, b))
+    # stage the rolling-hash array as an ATTRIBUTE before the window
+    # minima reference it once per window position — slicing the raw
+    # expression inside the transform lambda re-evaluates the whole
+    # n-pass ladder (split included) per element, O(L²) per document
+    staged = df.withColumn("__wf_acc", acc)
+    acc = F.col("__wf_acc")
     nwin = F.size(acc) - (window - 1)
     mins = F.transform(
         F.sequence(F.lit(1), nwin),
@@ -151,7 +157,7 @@ def winnowing_fingerprints(
     fps = F.when(nwin >= 1, F.array_distinct(mins)).otherwise(
         F.array(F.xxhash64(F.lower(F.trim(F.col(text_col)))))
     )
-    return df.withColumn(out_col, fps)
+    return staged.withColumn(out_col, fps).drop("__wf_acc")
 
 
 # ---------------------------------------------------------------------------
@@ -453,10 +459,15 @@ def dedup_lines_within(
     import re as _re
 
     out_col = out_col or text_col
-    lines = F.split(F.col(text_col), _re.escape(sep))
+    # stage the line array as an ATTRIBUTE: the filter lambda probes it
+    # with array_position once per element, and referencing the raw
+    # split() expression there re-splits the text per element — O(L²)
+    # splits per document on top of the documented O(L²) comparisons
+    staged = df.withColumn("__dl_lines", F.split(F.col(text_col), _re.escape(sep)))
+    lines = F.col("__dl_lines")
     kept = F.filter(
         lines, lambda x, i: F.array_position(lines, x) == i + F.lit(1)
     )
-    return df.withColumn(
+    return staged.withColumn(
         count_col, (F.size(lines) - F.size(kept)).cast("int")
-    ).withColumn(out_col, F.array_join(kept, sep))
+    ).withColumn(out_col, F.array_join(kept, sep)).drop("__dl_lines")
