@@ -258,7 +258,7 @@ def _gram_candidate_pred(
             keyed.select(_H), lambda: BloomSketch(n=n_bench, fpp=fpp), cols=[_H],
             prehashed=True,
         )
-        bc = spark.sparkContext.broadcast(res.sketch)
+        bc = spark.sparkContext.broadcast(res.sketch.seal())
         cand_pred = _any_in_bloom_udf(bc)(doc_hashes)
         report.engine = "bloom"
         report.filter_bits = res.sketch.m

@@ -1212,7 +1212,10 @@ def incremental_dedup(
         report.filter_provided = True
 
     spark = batch.sparkSession
-    bc = spark.sparkContext.broadcast(history_filter)
+    # seal() densifies BEFORE the broadcast: an unsealed (sparse) filter
+    # ships as its pooled hash list and every Python worker re-densifies
+    # it on first probe — seconds per worker at 1M history keys
+    bc = spark.sparkContext.broadcast(history_filter.seal())
 
     @F.pandas_udf("boolean")
     def _probe(s: pd.Series) -> pd.Series:

@@ -194,7 +194,7 @@ def duplicate_span_starts(
         res = build_sketch(
             dup, lambda: BloomSketch(n=n_dup, fpp=fpp), cols=[_H], prehashed=True
         )
-        bc = spark.sparkContext.broadcast(res.sketch)
+        bc = spark.sparkContext.broadcast(res.sketch.seal())
         cand = lad.where(_any_in_bloom_udf(bc)(h_arr))
         report.prefilter = "bloom"
         report.filter_bits = res.sketch.m

@@ -173,20 +173,41 @@ class BloomSketch(Sketch):
         return self._words
 
     def _set_bits(self, h: np.ndarray) -> None:
-        idx = _probe_matrix(h, self.k, self.mask)
-        if self.m <= (1 << 28) and idx.size >= 4096:
+        # positions are computed ONE PROBE AT A TIME into a reused
+        # n-sized buffer instead of materializing the (n, k) matrix —
+        # three k·n·8-byte temporaries per insert batch meant ~550 MB of
+        # FRESH allocations for a 1M-key densify, and first-touch page
+        # faults on this class of (oversubscribed) host run at ~50 MB/s:
+        # measured 27 s for the matrix form vs 0.3 s for this loop, with
+        # identical positions
+        with np.errstate(over="ignore"):
+            h1 = splitmix64(h.astype(np.uint64, copy=False) ^ _U64(_SEED1))
+            h2 = splitmix64(h.astype(np.uint64, copy=False) ^ _U64(_SEED2)) | _U64(1)
+        p = np.empty_like(h1)
+        if self.m <= (1 << 28) and h.size * self.k >= 4096:
             # duplicate-safe scatter-STORE into a bool plane + packbits:
             # O(n) stores + O(m/8) pack, ~30× faster than the unbuffered
             # np.bitwise_or.at scatter (measured 1.7s → 0.06s for 6M
             # probe positions into a 2^23-bit filter)
             bools = np.zeros(self.m, dtype=bool)
-            bools[idx.ravel()] = True
+            with np.errstate(over="ignore"):
+                for i in range(self.k):
+                    np.multiply(h2, _U64(i), out=p)
+                    np.add(p, h1, out=p)
+                    np.bitwise_and(p, self.mask, out=p)
+                    bools[p] = True
             packed = np.packbits(bools, bitorder="little")
             np.bitwise_or(self._words, packed.view(np.uint64), out=self._words)
             return
-        word_idx = (idx >> _U64(6)).ravel()
-        bit = (_U64(1) << (idx & _U64(63))).ravel()
-        np.bitwise_or.at(self._words, word_idx, bit)
+        bit = np.empty_like(h1)
+        with np.errstate(over="ignore"):
+            for i in range(self.k):
+                np.multiply(h2, _U64(i), out=p)
+                np.add(p, h1, out=p)
+                np.bitwise_and(p, self.mask, out=p)
+                np.left_shift(_U64(1), np.bitwise_and(p, _U64(63)), out=bit)
+                np.right_shift(p, _U64(6), out=p)
+                np.bitwise_or.at(self._words, p, bit)
 
     def update_hashes(self, h: np.ndarray) -> None:
         """Insert a batch of canonical uint64 hashes (dedup first — the
