@@ -531,10 +531,15 @@ def dedup_clusters(pairs: DataFrame, id_col_a: str = "id_a", id_col_b: str = "id
     edges = pairs.select(
         F.col(id_col_a).alias("src"), F.col(id_col_b).alias("dst")
     )
+    # gate on the PAIR count first (the package's callers pass an
+    # eagerly-checkpointed pair set, so this is a cheap job): the fast
+    # path then collects the directed edges straight to the union-find —
+    # no symmetric-union checkpoint job at all.  Only the iterative path
+    # materializes sym (it re-joins the edge set every iteration).
+    if 2 * edges.count() <= driver_max_edges:
+        return _driver_union_find(edges)
     sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     sym = sym.localCheckpoint()  # edge set reused every iteration
-    if sym.count() <= driver_max_edges:
-        return _driver_union_find(sym)
     labels = (
         sym.select("src").union(sym.select(F.col("dst").alias("src")))
         .distinct()
@@ -571,12 +576,13 @@ def dedup_clusters(pairs: DataFrame, id_col_a: str = "id_a", id_col_b: str = "id
 
 
 def _driver_union_find(sym: DataFrame) -> DataFrame:
-    """Min-root union-find over a BOUNDED (gate-checked, materialized)
-    symmetric edge frame — the small-graph fast path of
-    :func:`dedup_clusters`.  Returns the same ``(id, cluster_id=min id
-    in component)`` labels as min-label propagation: union-by-min keeps
-    every root the smallest id of its component (Python and Spark
-    compare strings identically here — both order by codepoint)."""
+    """Min-root union-find over a BOUNDED (gate-checked) edge frame
+    (directed or symmetric — union-find is direction-blind) — the
+    small-graph fast path of :func:`dedup_clusters`.  Returns the same
+    ``(id, cluster_id=min id in component)`` labels as min-label
+    propagation: union-by-min keeps every root the smallest id of its
+    component (Python and Spark compare strings identically here — both
+    order by codepoint)."""
     spark = sym.sparkSession
     id_type = sym.schema["src"].dataType.simpleString()
     out_schema = f"id {id_type}, cluster_id {id_type}"
