@@ -401,6 +401,32 @@ def test_incremental_dedup_keeps_only_new(hist_and_batch):
     assert not rep.filter_provided
 
 
+def test_incremental_dedup_engine_dispatch(hist_and_batch):
+    """In-call build with no checkpoint_dir takes the all-JVM native
+    lane (r6 optimization: no Python sketch build, no ArrowEvalPython
+    probe); a provided filter keeps the mergeable sketch engine.  Both
+    lanes produce identical output (the verify join removes every
+    filter false positive; misses are exact under any Bloom filter)."""
+    from bloomjoin_spark.operators import (
+        IncrementalDedupReport,
+        build_history_filter,
+        incremental_dedup,
+    )
+
+    history, batch, _ = hist_and_batch
+    rep = IncrementalDedupReport()
+    out = incremental_dedup(batch, history, report=rep)
+    assert rep.engine == "native"
+    assert rep.engine_fallback_reason is None
+    rep2 = IncrementalDedupReport()
+    bf = build_history_filter(history)
+    out2 = incremental_dedup(batch, history, history_filter=bf, report=rep2)
+    assert rep2.engine == "bloom" and rep2.filter_provided
+    kept = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    kept2 = sorted(r["doc_id"] for r in out2.select("doc_id").collect())
+    assert kept == kept2
+
+
 def test_incremental_dedup_with_prebuilt_checkpointed_filter(hist_and_batch, tmp_path):
     from bloomjoin_spark.operators import (
         IncrementalDedupReport,
