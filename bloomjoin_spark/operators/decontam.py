@@ -411,21 +411,35 @@ def contaminated_docs_many(
         )
         tagged = t if tagged is None else tagged.unionByName(t)
     # one materialization point: the (suite, gram) table feeds the
-    # per-suite counts, the union-distinct filter build, and the verify
-    # join — without it every branch re-explodes every suite
+    # suite/union counts, the filter build, and the verify join —
+    # without it every branch re-explodes every suite
     tagged = tagged.localCheckpoint(eager=False)
+    # ONE rollup job yields the per-suite sizes AND the exact
+    # distinct-union count (the NULL-suite total row): suite labels are
+    # never NULL (F.lit(str(name))), so the total row is unambiguous.
+    # This replaces a groupBy-collect job plus a separate
+    # distinct→checkpoint→count chain — the union gram frame itself is
+    # unnecessary, because duplicate inserts are no-ops for a Bloom
+    # filter (both engines), so the build below runs straight over the
+    # checkpointed tagged table.
+    count_rows = (
+        tagged.rollup(suite_col)
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.count_distinct(_NG).alias("cnt_d"),
+        )
+        .collect()  # bounded: one row per suite + one total row
+    )
     suite_sizes = {
-        r[suite_col]: r["cnt"]
-        for r in tagged.groupBy(suite_col)
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .collect()  # bounded: one row per suite
+        r[suite_col]: r["cnt"] for r in count_rows if r[suite_col] is not None
     }
     for name in benches:
         report.notes.append(
             f"suite {name!r}: {suite_sizes.get(str(name), 0)} distinct n-grams"
         )
-    union_ngs = tagged.select(_NG).distinct().localCheckpoint(eager=False)
-    n_union = union_ngs.count()
+    n_union = next(
+        (int(r["cnt_d"]) for r in count_rows if r[suite_col] is None), 0
+    )
     report.n_bench_ngrams = n_union
 
     out_schema_src = corpus.select(
@@ -439,7 +453,7 @@ def contaminated_docs_many(
         empty = out_schema_src.where(F.lit(False))
         return (empty, report) if return_report else empty
 
-    keyed = union_ngs.withColumn(
+    keyed = tagged.withColumn(
         _H, F.element_at(ngram_hashes_col(F.col(_NG), n), 1)
     )
     base = corpus.select(F.col(id_col), ccol.alias("__bj_toks"))
